@@ -1,0 +1,201 @@
+package graft.amend
+
+import graft.model.{DepParse, RawRel, Rel, SentenceRels}
+import graft.extract.{DepTree, Extractor}
+
+/** Post-extraction pipeline: reformat → n-ary split → token normalize →
+  * amendments → stopword filters → negation marking → SVO-only pruning →
+  * coarsification. Faithful port of the reference's `post_processing`
+  * (/root/reference/dudepparse.py:1718-1786), restructured per-sentence
+  * (every reference step is per-sentence; document grouping there is pure
+  * list plumbing).
+  */
+object PostProcess {
+
+  /** raw extractor shape → (names, tag, idxs) shape
+    * (reference reformat_cur_rels, dudepparse.py:56-76). */
+  def reformat(rels: Seq[RawRel]): Vector[Rel] =
+    rels.map { raw =>
+      val names = raw.args.map(_.map(_.surface)).toVector
+      val idxs = raw.args.map(_.map(_.idx)).toVector
+      Rel(names, raw.tag, idxs)
+    }.toVector
+
+  /** DOB 4-ary → two SVO binaries + the original DOB kept
+    * (reference translate_nary_to_binaries, dudepparse.py:235-249). */
+  def translateNaryToBinaries(rels: Vector[Rel]): Vector[Rel] =
+    rels.flatMap { rel =>
+      if (rel.tag != "DOB") Vector(rel)
+      else {
+        val r1 = Rel(Vector(rel.names(0), rel.names(1), rel.names(2)), "SVO",
+                     Vector(rel.idxs(0), rel.idxs(1), rel.idxs(2)))
+        val r2 = Rel(Vector(rel.names(0), rel.names(1), rel.names(3)), "SVO",
+                     Vector(rel.idxs(0), rel.idxs(1), rel.idxs(3)))
+        Vector(r1, r2, rel)
+      }
+    }
+
+  /** strip '·' from SVO predicates (reference Token_Normalizer with
+    * remove_from_args=False, dudepparse.py:335-375). */
+  def tokenNormalize(rels: Vector[Rel]): Vector[Rel] =
+    rels.map { rel =>
+      if (rel.tag == "SVO" && rel.names(1).exists(_.contains("·")))
+        rel.copy(names = rel.names.updated(1, rel.names(1).map(_.replace("·", ""))))
+      else rel
+    }
+
+  /** stopword / digit / length / Chinese-char triple filter (reference
+    * filter_triples_stopwords, dudepparse.py:267-332). Includes the
+    * reference's subject-retested-in-object-branch quirk (line 310). */
+  def filterTriplesStopwords(rels: Vector[Rel], argLenThreshold: Int = 20,
+                             mustIncludeChinese: Boolean = true): Vector[Rel] = {
+    import Amender.{stopWordList, noChineseChar}
+    def allDigits(s: String): Boolean =
+      s != null && s.nonEmpty && s.forall(c => (c >= '0' && c <= '9') || c == '.')
+
+    rels.flatMap { rel =>
+      if (rel.tag != "SVO") Some(rel)
+      else {
+        val subj = rel.names(0).orNull
+        val pred = rel.names(1).getOrElse("")
+        val obj = rel.names(2).orNull
+        var skip = false
+        var subjNull = false
+        var objNull = false
+
+        if (subj != null && subj.length > argLenThreshold) skip = true
+        if (subj != null && stopWordList.contains(subj)) skip = true
+        else if (allDigits(subj) || (mustIncludeChinese && noChineseChar(subj))) skip = true
+        else if (subj != null && subj.trim.isEmpty) subjNull = true
+
+        if (obj != null && obj.length > argLenThreshold) skip = true
+        if (obj != null && stopWordList.contains(obj)) skip = true
+        // QUIRK (spec): the reference re-tests the SUBJECT's Chinese-ness
+        // here (dudepparse.py:310), not the object's.
+        else if (allDigits(obj) || (mustIncludeChinese && noChineseChar(subj))) skip = true
+        else if (obj != null && obj.trim.isEmpty) objNull = true
+
+        if (pred.trim.isEmpty) skip = true
+        if (subjNull && objNull) skip = true
+
+        if (skip) None
+        else if (subjNull && rel.names(2).nonEmpty)
+          Some(Rel(Vector(None, rel.names(1), rel.names(2)), rel.tag,
+                   Vector(None, rel.idxs(1), rel.idxs(2))))
+        else if (objNull && rel.names(0).nonEmpty)
+          Some(Rel(Vector(rel.names(0), rel.names(1), None), rel.tag,
+                   Vector(rel.idxs(0), rel.idxs(1), None)))
+        else Some(rel)
+      }
+    }
+  }
+
+  /** negation marking: odd count of negating ADV/CMP dependents across the
+    * predicate's morphemes → '否·' prefix (reference check_nct,
+    * dudepparse.py:1550-1594; the tense/modal/copular conversions are
+    * disabled there and omitted here). */
+  def checkNct(rels: Vector[Rel], r: DepParse): Vector[Rel] = {
+    import Amender.{negAdvList, negCmpList, traceAntecedent}
+    rels.map { rel =>
+      if (rel.tag != "SVO") rel
+      else {
+        val hedIdx = rel.idxs(1).get
+        val vbToks = rel.pred.split("·", -1).toSet
+        val hedWord = r.words(hedIdx)
+        val vbIdxsFrom1 = r.words.indices.flatMap { tokId =>
+          if (traceAntecedent(tokId, hedIdx, r)) {
+            if (vbToks.contains(r.words(tokId)) && r.words(tokId) != hedWord) Some(tokId + 1)
+            else if (tokId == hedIdx) Some(tokId + 1)
+            else None
+          } else None
+        }.toSet
+        val negCount = r.words.indices.count { tokId =>
+          vbIdxsFrom1.contains(r.heads(tokId)) &&
+            ((r.deprels(tokId) == "ADV" && negAdvList.contains(r.words(tokId))) ||
+             (r.deprels(tokId) == "CMP" && negCmpList.contains(r.words(tokId))))
+        }
+        if (negCount % 2 == 1)
+          rel.copy(names = rel.names.updated(1, Some("否·" + rel.pred)))
+        else rel
+      }
+    }
+  }
+
+  /** keep SVO triples only, deterministically capped (reference
+    * only_keep_svo, dudepparse.py:215-231; random.sample pinned to
+    * first-k). */
+  def onlyKeepSvo(rels: Vector[Rel], entryThreshold: Int = 3000): Vector[Rel] = {
+    val svo = rels.filter(_.tag == "SVO")
+    if (svo.length <= entryThreshold) svo else svo.take(entryThreshold)
+  }
+
+  /** re-project amended-relation arguments to coarse subtree spans, with
+    * revert guards (reference coarsify, dudepparse.py:1667-1715,
+    * keep_same_flag=True live config). Predicate chunking keeps empty
+    * chunks: an empty chunk always reverts (Python `'' in s` is true). */
+  def coarsify(coarseExtractor: Extractor, rels: Vector[Rel]): Vector[Rel] = {
+    rels.map { rel =>
+      val chunks = rel.pred.split("·", -1)
+      var newSubj = rel.names(0)
+      var newObj = rel.names(2)
+      rel.idxs(0).foreach { si =>
+        val orig = rel.names(0).getOrElse("")
+        var cand = coarseExtractor.processSubTerm(coarseExtractor.tree.pyAt(si))
+        if (chunks.exists(ch => ch != "的" && ch != "在" && cand.contains(ch))) cand = orig
+        if (!cand.contains(orig)) cand = orig
+        newSubj = Some(cand)
+      }
+      rel.idxs(2).foreach { oi =>
+        val orig = rel.names(2).getOrElse("")
+        var cand = coarseExtractor.processSubTerm(coarseExtractor.tree.pyAt(oi))
+        if (chunks.exists(ch => ch != "的" && ch != "在" && cand.contains(ch))) cand = orig
+        if (!cand.contains(orig)) cand = orig
+        newObj = Some(cand)
+      }
+      Rel(Vector(newSubj, rel.names(1), newObj), rel.tag, rel.idxs)
+    }
+  }
+
+  /** Full per-sentence post-processing (reference post_processing,
+    * dudepparse.py:1718-1786, live flags: KEEP_ONLY_SVO=True,
+    * MUST_INCLUDE_CHINESE=True, ADD_HALF_COARSE=False). */
+  def processSentence(parse: DepParse,
+                      posTags: Option[Map[String, Seq[String]]],
+                      ignorePostag: Boolean = false): SentenceRels = {
+    val tree = new DepTree(parse)
+    val coarseTree = new DepTree(parse)
+    val fineRaw = new Extractor(tree, coarse = false).parse()
+    val coarseExtractor = new Extractor(coarseTree, coarse = true)
+    val coarseRaw = coarseExtractor.parse()
+
+    var fine = tokenNormalize(translateNaryToBinaries(reformat(fineRaw)))
+    var coarse = tokenNormalize(translateNaryToBinaries(reformat(coarseRaw)))
+
+    val am = Amender.amendSentence(parse, fine, coarse, posTags, ignorePostag)
+    fine = am.prunedFine
+    coarse = am.prunedCoarse
+    var amendFine = am.amendFine
+    var amendCoarse = am.amendCoarse
+    var possible = am.possibleFine
+
+    fine = filterTriplesStopwords(fine)
+    coarse = filterTriplesStopwords(coarse)
+    amendFine = filterTriplesStopwords(amendFine)
+    amendCoarse = filterTriplesStopwords(amendCoarse)
+    possible = filterTriplesStopwords(possible)
+
+    fine = checkNct(fine, parse)
+    coarse = checkNct(coarse, parse)
+    amendFine = checkNct(amendFine, parse)
+    amendCoarse = checkNct(amendCoarse, parse)
+
+    fine = onlyKeepSvo(fine)
+    coarse = onlyKeepSvo(coarse)
+    amendFine = onlyKeepSvo(amendFine)
+    amendCoarse = onlyKeepSvo(amendCoarse)
+
+    amendCoarse = coarsify(coarseExtractor, amendCoarse)
+
+    SentenceRels(fine, coarse, amendFine, amendCoarse, possible)
+  }
+}

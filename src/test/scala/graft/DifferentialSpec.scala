@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.amend.PostProcess
+import graft.model.Rel
+import graft.synth.Templates
+
+/** Differential test: the Scala engine's per-sentence output must EXACTLY
+  * match the reference implementation's output (captured by replaying the
+  * same deterministic fixtures through /root/reference in its ready-parse
+  * mode; goldens in src/test/resources/golden_rels.json). This is the
+  * P/R-vs-reference gate — exact match means P/R = 1.0 on the fixture
+  * corpus. */
+class DifferentialSpec extends AnyFunSuite {
+
+  private def relKey(rel: Rel): String = rel.serialize
+
+  private def goldenKey(relNode: JsonNode): String = {
+    val names = relNode.get(0)
+    val idxs = relNode.get(2)
+    def n(i: Int) = if (names.get(i).isNull) "None" else names.get(i).asText()
+    def x(i: Int) = if (idxs.get(i).isNull) "None" else idxs.get(i).asText()
+    s"${n(0)}::${n(1)}::${n(2)}::::${relNode.get(1).asText()}::::${x(0)}::${x(1)}::${x(2)}"
+  }
+
+  test("engine output exactly matches the reference on 2000 fixture sentences") {
+    val mapper = new ObjectMapper()
+    val stream = getClass.getResourceAsStream("/golden_rels.json")
+    assert(stream != null, "golden_rels.json missing from test resources")
+    val golden = mapper.readTree(stream)
+    var checked = 0
+    val mismatches = scala.collection.mutable.ListBuffer.empty[String]
+    golden.forEach { g =>
+      if (g.get("ok").asBoolean()) {
+        val id = g.get("id").asText()
+        val k = id.split("-")(1).toLong
+        val fx = Templates.generate(k)
+        assert(fx.id == id, s"fixture regeneration drifted for $id")
+        val rels = PostProcess.processSentence(fx.parse, Some(fx.posTags))
+        val pairs = Seq(
+          "fine" -> rels.fine, "coarse" -> rels.coarse,
+          "amend_fine" -> rels.amendFine, "amend_coarse" -> rels.amendCoarse,
+          "possible" -> rels.possible)
+        for ((listName, ours) <- pairs) {
+          val goldList = g.get(listName).get(0) // one sentence per fixture
+          val goldKeys = (0 until goldList.size()).map(i => goldenKey(goldList.get(i)))
+          val ourKeys = ours.map(relKey)
+          if (goldKeys != ourKeys) {
+            mismatches += s"$id/$listName\n  ref:  $goldKeys\n  ours: $ourKeys\n  sent: ${fx.sentence}"
+          }
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 2000 - 5, s"only $checked fixtures checked")
+    if (mismatches.nonEmpty) {
+      val sample = mismatches.take(10).mkString("\n\n")
+      fail(s"${mismatches.size} list mismatches out of ${checked * 5}; first 10:\n$sample")
+    }
+  }
+}
