@@ -1,0 +1,121 @@
+package graft.segment
+
+import scala.collection.mutable.ListBuffer
+
+/** Sentence segmentation + normalization.
+  *
+  * Semantics re-derived from the reference's `split_str` /
+  * `split_long_sentences` (/root/reference/preprocess_corpus.py:66-163):
+  * cascading split on a delimiter list with delimiter re-attachment rules,
+  * a Chinese-character length admission window (4 < zh ≤ 430, total < 500),
+  * greedy re-split of over-long sentences at weak boundaries, and a final
+  * strip.
+  *
+  * The reference's `Normalizer.tok_norm` (preprocess_corpus.py:26-58) runs
+  * text through a BERT tokenizer only to delete '[UNK]' tokens, '#', '::'
+  * and spaces; we re-derive it as a deterministic character-level
+  * normalization spec (no model dependency): remove whitespace, '#' and
+  * '::', drop empty lines.
+  */
+object Segmenter {
+
+  /** reference delimiter cascade (preprocess_corpus.py:11). */
+  val delimiters: Seq[String] = Seq("\n", "。", "！", "？", "；", "：\"", "……", ";", "。\"")
+
+  /** delimiters NOT re-attached to the preceding piece (py:116). */
+  private val noReattach = Set(" ", "\n", "（", "：\"")
+  /** delimiters whose LAST char prefixes the following piece (py:118). */
+  private val prefixNext = Set("（", "：\"")
+
+  val FilterLen = 4
+  val MaxZh = 430
+  val MaxLen = 500
+
+  def countZhChars(s: String): Int = s.count(c => c >= '一' && c <= '鿿')
+
+  /** Python str.split(sep) semantics (all occurrences, keeps empties). */
+  private def pySplit(s: String, sep: String): Vector[String] = {
+    val out = ListBuffer.empty[String]
+    var i = 0
+    var start = 0
+    while ({ i = s.indexOf(sep, start); i >= 0 }) {
+      out += s.substring(start, i)
+      start = i + sep.length
+    }
+    out += s.substring(start)
+    out.toVector
+  }
+
+  /** greedy re-split of an over-long sentence at the weak boundary nearest
+    * below each `interval`-char window (preprocess_corpus.py:66-100). */
+  def splitLongSentences(string: String, interval: Int = MaxZh): Vector[String] = {
+    val res = ListBuffer.empty[String]
+    var offset = 0
+    var break = false
+    while (offset < string.length && !break) {
+      if (offset + interval >= string.length) {
+        res += string.substring(offset)
+        offset += interval
+        break = true
+      } else {
+        var closest = -1
+        var i = interval
+        var found = false
+        while (i > 0 && !found) {
+          if (offset + i < string.length) {
+            val c = string.charAt(offset + i)
+            if (c == '，' || c == '；' || c == '、' || c == ' ') {
+              closest = offset + i
+              res += string.substring(offset, closest)
+              offset = closest + 1
+              found = true
+            }
+          }
+          i -= 1
+        }
+        if (closest == -1 && offset + interval < string.length) {
+          closest = offset + interval
+          res += string.substring(offset, closest)
+          offset = closest
+        }
+      }
+    }
+    res.toVector.filter(item => countZhChars(item) > FilterLen)
+  }
+
+  /** cascading delimiter split + admission filter + strip
+    * (preprocess_corpus.py:103-163). Returns sentences zipped with the
+    * index of the input chunk each came from (lineage). */
+  def splitStr(chunks: Seq[String]): Vector[(String, Int)] = {
+    var splitted: Vector[(String, Int)] = chunks.zipWithIndex.toVector
+    for (d <- delimiters) {
+      splitted = splitted.flatMap { case (s, idx) =>
+        val pieces = pySplit(s, d)
+        pieces.zipWithIndex.map { case (piece, pieceId) =>
+          val withDelim =
+            if (pieceId != pieces.length - 1 && !noReattach.contains(d)) piece + d
+            else if (pieceId > 0 && prefixNext.contains(d)) d.last.toString + piece
+            else piece
+          (withDelim, idx)
+        }
+      }
+    }
+    val admitted = splitted.flatMap { case (s, idx) =>
+      val zh = countZhChars(s)
+      if (FilterLen < zh && zh <= MaxZh && s.length < MaxLen) Vector((s, idx))
+      else if (zh > MaxZh || s.length >= MaxLen) splitLongSentences(s).map((_, idx))
+      else Vector.empty
+    }
+    admitted.map { case (s, idx) => (s.trim, idx) }
+  }
+
+  /** normalization spec replacing the reference's BERT-tokenizer round-trip
+    * (see class doc): remove whitespace / '#' / '::', drop empties. */
+  def tokNorm(sentences: Seq[String]): Vector[String] =
+    sentences.map(_.filterNot(_.isWhitespace).replace("#", "").replace("::", ""))
+      .filter(_.nonEmpty).toVector
+
+  /** full segmentation of one text payload: split → normalize. */
+  def segment(text: String): Vector[String] =
+    tokNorm(splitStr(Seq(text)).map(_._1))
+}

@@ -27,17 +27,17 @@ object Templates {
       templateId: Int)
 
   // vocabulary pools (slot kind → tag set)
-  private val persons = Vector("张三", "李四", "王五", "赵六", "孙七", "周八", "默克尔", "郝平", "吴教授", "陈医生")
-  private val orgs = Vector("北京大学", "清华大学", "研究所", "委员会", "保险公司", "中央银行")
-  private val places = Vector("机场", "图书馆", "巴黎", "法国", "美国", "德国", "车站", "医院", "广场", "学校")
-  private val nouns = Vector("贡献", "报道", "原因", "力量", "问题", "奖章", "设备", "语言", "玉米", "苹果", "事故", "总理", "校长", "发热", "家园", "木头")
-  private val verbs = Vector("赶往", "做出", "发出", "喜欢", "建设", "引进", "回答", "授予", "访问", "参观", "研究", "讨论", "宣布", "提供", "调查")
-  private val advs = Vector("急匆匆", "认真", "悄悄", "迅速", "努力")
-  private val preps = Vector("与", "为", "在", "从", "关于", "对", "通过", "随着")
-  private val negs = Vector("不", "没有", "未能", "无法")
+  private[synth] val persons = Vector("张三", "李四", "王五", "赵六", "孙七", "周八", "默克尔", "郝平", "吴教授", "陈医生")
+  private[synth] val orgs = Vector("北京大学", "清华大学", "研究所", "委员会", "保险公司", "中央银行")
+  private[synth] val places = Vector("机场", "图书馆", "巴黎", "法国", "美国", "德国", "车站", "医院", "广场", "学校")
+  private[synth] val nouns = Vector("贡献", "报道", "原因", "力量", "问题", "奖章", "设备", "语言", "玉米", "苹果", "事故", "总理", "校长", "发热", "家园", "木头")
+  private[synth] val verbs = Vector("赶往", "做出", "发出", "喜欢", "建设", "引进", "回答", "授予", "访问", "参观", "研究", "讨论", "宣布", "提供", "调查")
+  private[synth] val advs = Vector("急匆匆", "认真", "悄悄", "迅速", "努力")
+  private[synth] val preps = Vector("与", "为", "在", "从", "关于", "对", "通过", "随着")
+  private[synth] val negs = Vector("不", "没有", "未能", "无法")
   // arguments that exercise the stopword / digit / latin filters,
   // including the reference's subj-retested-in-obj-branch quirk
-  private val oddArgs = Vector("他", "123", "abc", "3.14", "这些")
+  private[synth] val oddArgs = Vector("他", "123", "abc", "3.14", "这些")
 
   private final class Slots(k: Long) {
     private var h: Long = k
@@ -52,6 +52,26 @@ object Templates {
   private def dp(words: Seq[String], heads: Seq[Int], deprels: Seq[String]): DepParse =
     DepParse(words.toIndexedSeq, heads.toIndexedSeq, deprels.toIndexedSeq)
 
+  private val nTag = Seq("NN")
+  private val rTag = Seq("NR")
+
+  /** A fraction of sentences get degraded (non-nominal) tags to exercise
+    * the POS-acceptability gates negatively. Derived from the SENTENCE
+    * text (stable char-code hash), so the pipeline's deterministic tagger
+    * can reproduce it without knowing the generation index. */
+  def degraded(sentence: String): Boolean =
+    sentence.map(_.toInt.toLong).sum % 7 == 0
+
+  /** slot-kind tags with degrade applied; duplicate words merge tag lists
+    * (the reference builds word→set-of-tags, main_ner.py:36-40). */
+  def posTagsFor(words: Seq[String], tags: Seq[(String, Seq[String])]): Map[String, Seq[String]] = {
+    val deg = degraded(words.mkString)
+    val adjusted =
+      if (deg) tags.map { case (w, ts) => (w, ts.map(t => if (t == "NN" || t == "NR") "JJ" else t)) }
+      else tags
+    adjusted.groupBy(_._1).map { case (w, ts) => w -> ts.flatMap(_._2).distinct }
+  }
+
   /** Number of templates. */
   val templateCount = 22
 
@@ -59,15 +79,10 @@ object Templates {
   def generate(k: Long): Fixture = {
     val t = (k % templateCount).toInt
     val s = new Slots(k / templateCount)
-    // a fraction of sentences get non-nominal tags to exercise the
-    // POS-acceptability gates negatively
-    val degrade = s.flag(7)
-    def nTag = if (degrade) Seq("JJ") else Seq("NN")
-    def rTag = if (degrade) Seq("JJ") else Seq("NR")
 
     def fx(words: Seq[String], heads: Seq[Int], deprels: Seq[String],
            tags: Seq[(String, Seq[String])]): Fixture = {
-      val posTags = tags.groupBy(_._1).map { case (w, ts) => w -> ts.flatMap(_._2).distinct }
+      val posTags = posTagsFor(words, tags)
       Fixture(s"t$t-$k", words.mkString, dp(words, heads, deprels), posTags, t)
     }
 
@@ -79,7 +94,7 @@ object Templates {
            Seq(p -> rTag, a -> Seq("AD"), v -> Seq("VV"), o -> nTag))
       case 1 => // g02: POB conjunction pivot (dudepparse.py:477)
         val (s1, n1) = (s.pick(places), s.pick(places))
-        fx(Seq(s1, "与", n1, "接壤"), Seq(4, 4, 2, 0), Seq("SBV", "ADV", "POB", "HED"),
+        fx(Seq(s1, "与", n1, "接壤", "。"), Seq(4, 4, 2, 0, 4), Seq("SBV", "ADV", "POB", "HED", "MT"),
            Seq(s1 -> nTag, n1 -> nTag, "接壤" -> Seq("VV")))
       case 2 => // g03: POB class 2 (dudepparse.py:482-483)
         val (p, pr, n, v, o) = (s.pick(persons), s.pick(preps), s.pick(nouns), s.pick(verbs), s.pick(nouns))
@@ -128,7 +143,7 @@ object Templates {
            Seq(sub -> nTag, p -> rTag, v -> Seq("VV")))
       case 11 => // g12 ATT_ATT (dudepparse.py:1398)
         val (n1, n2, p3) = (s.pick(places), s.pick(nouns), s.pick(persons))
-        fx(Seq(n1, n2, p3), Seq(2, 3, 0), Seq("ATT", "ATT", "HED"),
+        fx(Seq(n1, n2, p3, "。"), Seq(2, 3, 0, 3), Seq("ATT", "ATT", "HED", "MT"),
            Seq(n1 -> rTag, n2 -> nTag, p3 -> rTag))
       case 12 => // g13 VOB_VOB + bare-bei (dudepparse.py:1436)
         val (p, o) = (s.pick(persons), s.pick(persons))
@@ -137,45 +152,45 @@ object Templates {
            Seq(p -> rTag, o -> rTag, "控" -> Seq("VV"), "试图" -> Seq("VV"), "杀死" -> Seq("VV")))
       case 13 => // DBL pivotal construction (extract.py:277-304)
         val (p, p2, v, o) = (s.pick(persons), s.pick(persons), s.pick(verbs), s.pick(nouns))
-        fx(Seq(p, "让", p2, v, o), Seq(2, 0, 2, 2, 4),
-           Seq("SBV", "HED", "DBL", "DBL", "VOB"),
+        fx(Seq(p, "让", p2, v, o, "。"), Seq(2, 0, 2, 2, 4, 2),
+           Seq("SBV", "HED", "DBL", "DBL", "VOB", "MT"),
            Seq(p -> rTag, p2 -> rTag, v -> Seq("VV"), o -> nTag))
       case 14 => // 把 disposal (extract.py:183-202)
         val (p, o, v) = (s.pick(persons), s.pick(nouns), s.pick(verbs))
-        fx(Seq(p, "把", o, v, "了"), Seq(4, 4, 2, 0, 4),
-           Seq("SBV", "POB", "VOB", "HED", "MT"),
+        fx(Seq(p, "把", o, v, "了", "。"), Seq(4, 4, 2, 0, 4, 4),
+           Seq("SBV", "POB", "VOB", "HED", "MT", "MT"),
            Seq(p -> rTag, o -> nTag, v -> Seq("VV")))
       case 15 => // 被 passive with agent (extract.py:219-226)
         val (o, p, v) = (s.pick(nouns), s.pick(persons), s.pick(verbs))
-        fx(Seq(o, "被", p, v, "了"), Seq(4, 4, 2, 0, 4),
-           Seq("SBV", "POB", "VOB", "HED", "MT"),
+        fx(Seq(o, "被", p, v, "了", "。"), Seq(4, 4, 2, 0, 4, 4),
+           Seq("SBV", "POB", "VOB", "HED", "MT", "MT"),
            Seq(o -> nTag, p -> rTag, v -> Seq("VV")))
       case 16 => // negation (dudepparse.py:1550-1594); odd arg pool
         val subPool = if (s.flag(3)) oddArgs else persons
         val (p, ng, v, o) = (s.pick(subPool), s.pick(negs), s.pick(verbs), s.pick(persons))
-        fx(Seq(p, ng, v, o), Seq(3, 3, 0, 3), Seq("SBV", "ADV", "HED", "VOB"),
+        fx(Seq(p, ng, v, o, "。"), Seq(3, 3, 0, 3, 3), Seq("SBV", "ADV", "HED", "VOB", "MT"),
            Seq(p -> rTag, ng -> Seq("AD"), v -> Seq("VV"), o -> rTag))
       case 17 => // serial-verb VV (extract.py:306-319)
         val (p, pl, v2) = (s.pick(persons), s.pick(places), s.pick(verbs))
-        fx(Seq(p, "去", pl, v2), Seq(2, 0, 2, 2), Seq("SBV", "HED", "VOB", "VV"),
+        fx(Seq(p, "去", pl, v2, "。"), Seq(2, 0, 2, 2, 2), Seq("SBV", "HED", "VOB", "VV", "MT"),
            Seq(p -> rTag, pl -> nTag, v2 -> Seq("VV")))
       case 18 => // COO merge under HED + POB amendment (dudepparse.py:740)
         val (p, pl) = (s.pick(persons), s.pick(places))
-        fx(Seq(p, "奔跑", "、", "跳跃", "在", pl), Seq(2, 0, 4, 2, 4, 5),
-           Seq("SBV", "HED", "MT", "COO", "ADV", "POB"),
+        fx(Seq(p, "奔跑", "、", "跳跃", "在", pl, "。"), Seq(2, 0, 4, 2, 4, 5, 2),
+           Seq("SBV", "HED", "MT", "COO", "ADV", "POB", "MT"),
            Seq(p -> rTag, pl -> nTag, "奔跑" -> Seq("VV"), "跳跃" -> Seq("VV")))
       case 19 => // g08 ATT_POB (dudepparse.py:1044)
         val (p, v, n, o) = (s.pick(persons), s.pick(verbs), s.pick(nouns), s.pick(nouns))
-        fx(Seq(p, v, "关于", "那次", n, "的", o), Seq(2, 0, 7, 5, 3, 3, 2),
-           Seq("SBV", "HED", "ATT", "ATT", "POB", "MT", "VOB"),
+        fx(Seq(p, v, "关于", "那次", n, "的", o, "。"), Seq(2, 0, 7, 5, 3, 3, 2, 2),
+           Seq("SBV", "HED", "ATT", "ATT", "POB", "MT", "VOB", "MT"),
            Seq(p -> rTag, v -> Seq("VV"), n -> nTag, o -> nTag))
       case 20 => // V_CMP fusion (dudepparse.py:858-913)
         val (p, pl) = (s.pick(persons), s.pick(places))
-        fx(Seq(p, "走", "到", pl), Seq(2, 0, 2, 3), Seq("SBV", "HED", "CMP", "VOB"),
+        fx(Seq(p, "走", "到", pl, "。"), Seq(2, 0, 2, 3, 2), Seq("SBV", "HED", "CMP", "VOB", "MT"),
            Seq(p -> rTag, pl -> nTag, "走" -> Seq("VV"), "到" -> Seq("VV")))
       case _ => // 21: double-object DOB (extract.py:359-384)
         val (o1, p, n) = (s.pick(orgs), s.pick(persons), s.pick(nouns))
-        fx(Seq(o1, "授予", p, n), Seq(2, 0, 2, 2), Seq("SBV", "HED", "DOB", "DOB"),
+        fx(Seq(o1, "授予", p, n, "。"), Seq(2, 0, 2, 2, 2), Seq("SBV", "HED", "DOB", "DOB", "MT"),
            Seq(o1 -> rTag, p -> rTag, n -> nTag, "授予" -> Seq("VV")))
     }
   }
