@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** Stage checkpointing with per-partition lineage — the sandbox stand-in
+  * for Iceberg snapshot-per-stage (no Iceberg jars ship with this image;
+  * in production every `save` below is a `df.writeTo(table).append()`
+  * against an Iceberg catalog and `valid` is a snapshot-existence check).
+  *
+  * Semantics: a stage whose checkpoint directory contains both Spark's
+  * _SUCCESS marker and our _graft_meta.json is complete — `runStage`
+  * reads it back instead of recomputing, which is what makes a killed job
+  * resume without recomputation (the reference achieves the same with its
+  * --ready_ddp materialized-parse mode, dudepparse.py:1891-1899, and
+  * manual slice files).
+  */
+final class CheckpointStore(root: String, spark: SparkSession) {
+
+  private def dataPath(stage: String) = s"$root/$stage"
+
+  def isComplete(stage: String): Boolean = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&
+      fs.exists(new Path(dataPath(stage), "_graft_meta.json"))
+  }
+
+  /** run (or resume) a stage; the dataset is persisted as parquet with a
+    * meta sidecar carrying row count, partition/file lineage and the
+    * upstream stage names. */
+  def runStage[T: Encoder](stage: String, upstream: Seq[String] = Nil)
+                          (compute: => Dataset[T]): Dataset[T] = {
+    if (!isComplete(stage)) {
+      val ds = compute
+      ds.write.mode("overwrite").parquet(dataPath(stage))
+      writeMeta(stage, upstream)
+    }
+    spark.read.parquet(dataPath(stage)).as[T]
+  }
+
+  private def writeMeta(stage: String, upstream: Seq[String]): Unit = {
+    val df = spark.read.parquet(dataPath(stage))
+    // per-file lineage: row count per output file (parquet footer reads —
+    // no data scan)
+    import org.apache.spark.sql.functions._
+    val perFile = df.groupBy(input_file_name().as("file")).count().collect()
+      .map(r => s"""{"file":${jstr(new Path(r.getString(0)).getName)},"rows":${r.getLong(1)}}""")
+    val total = df.count()
+    val meta =
+      s"""{"stage":${jstr(stage)},"snapshot_id":${System.currentTimeMillis()},
+         |"rows":$total,"files":[${perFile.mkString(",")}],
+         |"upstream":[${upstream.map(jstr).mkString(",")}]}""".stripMargin
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dataPath(stage), "_graft_meta.json"), true)
+    out.write(meta.getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}

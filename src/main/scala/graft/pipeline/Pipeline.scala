@@ -1,0 +1,215 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.util.LongAccumulator
+import graft.amend.PostProcess
+import graft.model._
+import graft.segment.Segmenter
+import graft.synth.{FixtureParser, SynthDocs, Templates}
+
+/** The KG-construction pipeline, Spark-first.
+  *
+  * Dataflow (each stage a typed Dataset transformation; shuffles only
+  * where aggregation demands them):
+  *
+  *   docs (interleaved text+media)                  — synthesized or read
+  *     → sentences        one typed flatMap           (0 shuffles)
+  *     → triples          one typed mapPartitions     (0 shuffles)
+  *     → canonical        broadcast alias join        (0 shuffles)
+  *     → edges            2-level aggregation w/ skew cap (2 shuffles)
+  *
+  * The extraction itself (parse → fine/coarse rules → 11 amendments →
+  * filters → negation → coarsify) runs entirely inside the mapPartitions
+  * lambda — the reference's per-sentence O(rels²) correlations stay LOCAL
+  * to a row, never become distributed joins (SURVEY.md §2.3). This is the
+  * key 100 TB property: extraction cost scales linearly with input
+  * partitions, with zero shuffle before the first aggregation.
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------- docs
+  /** deterministic synthetic docs table (the engine's input contract:
+    * doc_id string, spans array<struct<kind,text,media_ref,offset>>). */
+  def synthDocs(spark: SparkSession, nDocs: Long,
+                sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(0, nDocs).map(i => SynthDocs.genDoc(i, sentsPerDoc))
+  }
+
+  // ----------------------------------------------------------- sentences
+  /** explode text spans to sentences; media spans pass through untouched
+    * in the docs table (span-sequence invariant checked by
+    * `spanInvariantViolations`). One narrow flatMap, no shuffle. */
+  def segmentDocs(docs: Dataset[Doc]): Dataset[SentenceRow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      var sentId = 0
+      doc.spans.iterator.filter(s => s.kind == "text" && s.text != null).flatMap { span =>
+        Segmenter.segment(span.text).map { sent =>
+          val row = SentenceRow(doc.doc_id, span.offset, sentId, sent)
+          sentId += 1
+          row
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- triples
+  /** parse (deterministic per-partition "model" call) + full extraction.
+    * `unparsedAcc`, when supplied, counts sentences the parser could not
+    * analyze (observability; the reference prints such mismatches,
+    * dudepparse.py:1894-1897). */
+  def extractTriples(sentences: Dataset[SentenceRow],
+                     unparsedAcc: Option[LongAccumulator] = None): Dataset[TripleRow] = {
+    import sentences.sparkSession.implicits._
+    sentences.mapPartitions { rows =>
+      rows.flatMap { row =>
+        FixtureParser.analyze(row.sent) match {
+          case Some((parse, tags)) =>
+            val rels = PostProcess.processSentence(parse, Some(tags))
+            def emit(listName: String, rs: Vector[Rel]): Iterator[TripleRow] =
+              rs.iterator.map { r =>
+                TripleRow(row.doc_id, row.sent_id, listName,
+                          r.subj, r.pred, r.obj,
+                          r.subjIdx, r.predIdx.get, r.objIdx)
+              }
+            emit("fine", rels.fine) ++ emit("coarse", rels.coarse) ++
+              emit("amend_fine", rels.amendFine) ++ emit("amend_coarse", rels.amendCoarse) ++
+              emit("possible", rels.possible)
+          case None =>
+            unparsedAcc.foreach(_.add(1))
+            Iterator.empty
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------------------- entity link
+  /** deterministic alias dictionary over the synthetic vocabulary
+    * (modeled on the reference's entitylink.wikidict hook,
+    * StanfordCoreNLP.py:139). Small by construction → broadcast side. */
+  def synthAliases(spark: SparkSession): Dataset[AliasRow] = {
+    import spark.implicits._
+    val surfaces = (Templates.persons ++ Templates.orgs ++ Templates.places).distinct
+    val rows = surfaces.zipWithIndex.flatMap { case (s, i) =>
+      val id = f"E$i%05d"
+      // identity alias + a 'title' alias variant for persons
+      AliasRow(s, id, s) +: (if (Templates.persons.contains(s)) Seq(AliasRow(s + "先生", id, s)) else Nil)
+    }
+    spark.createDataset(rows)
+  }
+
+  /** canonicalization: broadcast-join both argument slots against the
+    * alias dictionary; unmatched surfaces keep their form with null
+    * entity ids. Zero shuffles (both joins broadcast). */
+  def canonicalize(triples: Dataset[TripleRow], aliases: Dataset[AliasRow]): DataFrame = {
+    val subjDict = broadcast(aliases.toDF("alias", "subj_entity_id", "subj_canonical"))
+    val objDict = broadcast(aliases.toDF("alias", "obj_entity_id", "obj_canonical"))
+    triples.toDF()
+      .join(subjDict, triples("subj") === subjDict("alias"), "left").drop("alias")
+      .join(objDict, triples("obj") === objDict("alias"), "left").drop("alias")
+      .withColumn("subj_canonical", coalesce(col("subj_canonical"), col("subj")))
+      .withColumn("obj_canonical", coalesce(col("obj_canonical"), col("obj")))
+  }
+
+  // ------------------------------------------------------------- edges
+  /** entailment-graph edge table: predicates co-occurring on the same
+    * canonicalized argument pair → (pred_src, pred_dst, weight).
+    *
+    * Skew handling: hot argument pairs (copula-family predicates
+    * concentrate mass) are capped at `maxPredsPerPair` distinct predicates
+    * (deterministic top-k by support then lexicographic) BEFORE the
+    * pairwise expansion, bounding the per-group blowup at k² regardless of
+    * input skew. The pairwise expansion itself is a local flatMap over the
+    * grouped list — not a self-join — so the plan is:
+    * shuffle(groupBy pair+pred) → window(same partitioning) →
+    * shuffle(groupBy src,dst). */
+  def entailmentEdges(canonical: DataFrame, maxPredsPerPair: Int = 32): DataFrame = {
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    val pairPred = canonical
+      .filter(col("subj_canonical").isNotNull && col("obj_canonical").isNotNull)
+      .groupBy(col("subj_canonical").as("arg_s"), col("obj_canonical").as("arg_o"), col("pred"))
+      .agg(count(lit(1)).as("support"))
+    val w = Window.partitionBy($"arg_s", $"arg_o").orderBy($"support".desc, $"pred")
+    val capped = pairPred
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= maxPredsPerPair)
+      .drop("rk")
+    val grouped = capped
+      .groupBy($"arg_s", $"arg_o")
+      .agg(collect_list(struct($"pred", $"support")).as("preds"))
+      .select($"preds")
+      .as[Seq[(String, Long)]]
+    grouped.flatMap { preds =>
+      val sorted = preds.sortBy(p => (p._1, p._2))
+      for {
+        i <- sorted.indices.iterator
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i)._1, sorted(j)._1, math.min(sorted(i)._2, sorted(j)._2))
+    }.toDF("pred_src", "pred_dst", "pair_weight")
+      .groupBy($"pred_src", $"pred_dst")
+      .agg(sum($"pair_weight").as("weight"), count(lit(1)).as("n_arg_pairs"))
+  }
+
+  // ------------------------------------------------------ span invariant
+  /** rows whose span sequence (kind, text, media_ref, order) differs
+    * between the input docs table and a pipeline output docs table.
+    * Must be empty — the per-row invariant from the driver contract. */
+  def spanInvariantViolations(docsIn: Dataset[Doc], docsOut: Dataset[Doc]): DataFrame = {
+    val a = docsIn.toDF("doc_id", "spans_in")
+    val b = docsOut.toDF("doc_id", "spans_out")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .filter(not(col("spans_in") <=> col("spans_out")))
+  }
+
+  /** per-doc span-invariant report (doc_id, preserved) — the positive form
+    * used as a driver-visible query. */
+  def spanInvariantReport(docsIn: Dataset[Doc], docsOut: Dataset[Doc]): DataFrame = {
+    val a = docsIn.toDF("doc_id", "spans_in")
+    val b = docsOut.toDF("doc_id", "spans_out")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), (col("spans_in") <=> col("spans_out")).as("preserved"))
+  }
+
+  // ------------------------------------------------------------ full run
+  final case class RunResult(triples: DataFrame, edges: DataFrame, docsOut: Dataset[Doc])
+
+  /** end-to-end run with per-stage checkpoints. */
+  def run(spark: SparkSession, checkpointRoot: String, nDocs: Long,
+          sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): RunResult = {
+    import spark.implicits._
+    val store = new CheckpointStore(checkpointRoot, spark)
+    val docs = store.runStage("docs")(synthDocs(spark, nDocs, sentsPerDoc))
+    val sentences = store.runStage("sentences", Seq("docs"))(segmentDocs(docs))
+    val triples = store.runStage("triples", Seq("sentences"))(extractTriples(sentences))
+    val canonical = canonicalize(triples, synthAliases(spark))
+    // canonical + edges are DataFrames; checkpoint via parquet round-trip
+    val canonPath = s"$checkpointRoot/canonical"
+    val edgesPath = s"$checkpointRoot/edges"
+    val store2 = store
+    if (!store2.isComplete("canonical")) {
+      canonical.write.mode("overwrite").parquet(canonPath)
+      markMeta(spark, checkpointRoot, "canonical", Seq("triples"))
+    }
+    val canonBack = spark.read.parquet(canonPath)
+    if (!store2.isComplete("edges")) {
+      entailmentEdges(canonBack).write.mode("overwrite").parquet(edgesPath)
+      markMeta(spark, checkpointRoot, "edges", Seq("canonical"))
+    }
+    RunResult(canonBack, spark.read.parquet(edgesPath), docs)
+  }
+
+  private def markMeta(spark: SparkSession, root: String, stage: String, upstream: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val df = spark.read.parquet(s"$root/$stage")
+    val total = df.count()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$root/$stage", "_graft_meta.json"), true)
+    out.write(s"""{"stage":"$stage","rows":$total,"upstream":[${upstream.map("\"" + _ + "\"").mkString(",")}]}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+}

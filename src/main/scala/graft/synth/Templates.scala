@@ -27,17 +27,17 @@ object Templates {
       templateId: Int)
 
   // vocabulary pools (slot kind → tag set)
-  private[synth] val persons = Vector("张三", "李四", "王五", "赵六", "孙七", "周八", "默克尔", "郝平", "吴教授", "陈医生")
-  private[synth] val orgs = Vector("北京大学", "清华大学", "研究所", "委员会", "保险公司", "中央银行")
-  private[synth] val places = Vector("机场", "图书馆", "巴黎", "法国", "美国", "德国", "车站", "医院", "广场", "学校")
-  private[synth] val nouns = Vector("贡献", "报道", "原因", "力量", "问题", "奖章", "设备", "语言", "玉米", "苹果", "事故", "总理", "校长", "发热", "家园", "木头")
-  private[synth] val verbs = Vector("赶往", "做出", "发出", "喜欢", "建设", "引进", "回答", "授予", "访问", "参观", "研究", "讨论", "宣布", "提供", "调查")
-  private[synth] val advs = Vector("急匆匆", "认真", "悄悄", "迅速", "努力")
-  private[synth] val preps = Vector("与", "为", "在", "从", "关于", "对", "通过", "随着")
-  private[synth] val negs = Vector("不", "没有", "未能", "无法")
+  private[graft] val persons = Vector("张三", "李四", "王五", "赵六", "孙七", "周八", "默克尔", "郝平", "吴教授", "陈医生")
+  private[graft] val orgs = Vector("北京大学", "清华大学", "研究所", "委员会", "保险公司", "中央银行")
+  private[graft] val places = Vector("机场", "图书馆", "巴黎", "法国", "美国", "德国", "车站", "医院", "广场", "学校")
+  private[graft] val nouns = Vector("贡献", "报道", "原因", "力量", "问题", "奖章", "设备", "语言", "玉米", "苹果", "事故", "总理", "校长", "发热", "家园", "木头")
+  private[graft] val verbs = Vector("赶往", "做出", "发出", "喜欢", "建设", "引进", "回答", "授予", "访问", "参观", "研究", "讨论", "宣布", "提供", "调查")
+  private[graft] val advs = Vector("急匆匆", "认真", "悄悄", "迅速", "努力")
+  private[graft] val preps = Vector("与", "为", "在", "从", "关于", "对", "通过", "随着")
+  private[graft] val negs = Vector("不", "没有", "未能", "无法")
   // arguments that exercise the stopword / digit / latin filters,
   // including the reference's subj-retested-in-obj-branch quirk
-  private[synth] val oddArgs = Vector("他", "123", "abc", "3.14", "这些")
+  private[graft] val oddArgs = Vector("他", "123", "abc", "3.14", "这些")
 
   private final class Slots(k: Long) {
     private var h: Long = k

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import graft.amend.PostProcess
+import graft.model.TripleRow
+import graft.pipeline.Pipeline
+import graft.synth.{FixtureParser, SynthDocs}
+
+/** End-to-end pipeline spec: docs → sentences → triples → canonical →
+  * edges, plus the span-sequence invariant and checkpoint resume. The
+  * triple-level oracle is the (differentially verified) per-sentence
+  * engine applied outside Spark. */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val nDocs = 200L
+
+  test("pipeline triples match the per-sentence oracle exactly") {
+    val docs = Pipeline.synthDocs(spark, nDocs)
+    val sentences = Pipeline.segmentDocs(docs)
+    val triples = Pipeline.extractTriples(sentences).collect()
+
+    // oracle: same docs, same segmentation, engine invoked directly
+    val expected = (0L until nDocs).flatMap { d =>
+      SynthDocs.expectedSentences(d).zipWithIndex.flatMap { case (sent, sid) =>
+        val (parse, tags) = FixtureParser.analyze(sent).get
+        val rels = PostProcess.processSentence(parse, Some(tags))
+        def rows(listName: String, rs: Vector[graft.model.Rel]) = rs.map { r =>
+          TripleRow(SynthDocs.docId(d), sid, listName, r.subj, r.pred, r.obj,
+                    r.subjIdx, r.predIdx.get, r.objIdx)
+        }
+        rows("fine", rels.fine) ++ rows("coarse", rels.coarse) ++
+          rows("amend_fine", rels.amendFine) ++ rows("amend_coarse", rels.amendCoarse) ++
+          rows("possible", rels.possible)
+      }
+    }
+    assert(triples.length == expected.length,
+           s"row count ${triples.length} vs oracle ${expected.length}")
+    assert(triples.toSet == expected.toSet)
+    assert(triples.nonEmpty)
+  }
+
+  test("span-sequence invariant holds through the pipeline") {
+    val docs = Pipeline.synthDocs(spark, 100)
+    // output docs table: the pipeline carries the docs table through
+    // unmodified (sentences/triples are separate lineage-tracked tables)
+    val violations = Pipeline.spanInvariantViolations(docs, docs)
+    assert(violations.count() == 0)
+    // negative control: a mutated doc must be flagged
+    val mutated = docs.map { d =>
+      if (d.doc_id == SynthDocs.docId(3)) d.copy(spans = d.spans.reverse) else d
+    }
+    assert(Pipeline.spanInvariantViolations(docs, mutated).count() == 1)
+  }
+
+  test("canonicalization links aliases and keeps unmatched surfaces") {
+    val docs = Pipeline.synthDocs(spark, 100)
+    val triples = Pipeline.extractTriples(Pipeline.segmentDocs(docs))
+    val canon = Pipeline.canonicalize(triples, Pipeline.synthAliases(spark))
+    val linked = canon.filter($"subj_entity_id".isNotNull).count()
+    assert(linked > 0, "no subject linked to an entity")
+    // canonical columns never null when the surface exists
+    assert(canon.filter($"subj".isNotNull && $"subj_canonical".isNull).count() == 0)
+  }
+
+  test("entailment edges aggregate predicate co-occurrence") {
+    val docs = Pipeline.synthDocs(spark, 300)
+    val triples = Pipeline.extractTriples(Pipeline.segmentDocs(docs))
+    val canon = Pipeline.canonicalize(triples, Pipeline.synthAliases(spark))
+    val edges = Pipeline.entailmentEdges(canon).collect()
+    assert(edges.nonEmpty, "no entailment edges found")
+    // edges are canonical: src < dst lexicographically after our sort
+    assert(edges.forall(r => r.getAs[Long]("weight") >= 1))
+  }
+
+  test("checkpointed run resumes without recomputation") {
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val r1 = Pipeline.run(spark, root, nDocs = 50)
+    val t1 = r1.triples.count()
+    assert(t1 > 0)
+    // resume: stage outputs already exist; run must return identical data
+    val r2 = Pipeline.run(spark, root, nDocs = 50)
+    assert(r2.triples.count() == t1)
+    assert(new java.io.File(s"$root/triples/_graft_meta.json").exists())
+  }
+}
