@@ -1,13 +1,224 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.pipeline.Pipeline
+
+/** Driver contract: one flagship entry + one query per implemented
+  * operator (SURVEY.md §2 + the training-data ops), with ANSI-SQL DuckDB
+  * oracles for every SQL-expressible query. Numeric outputs are integer /
+  * fixed-point so hash comparison is exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** docs synthesized for the KG queries at verify scale. */
+  private val VerifyDocs = 400L
+
+  /** Flagship query on sf=0.001: the full KG pipeline — synth interleaved
+    * docs → sentences → triples (fine+coarse+amendments) — emitting the
+    * canonical triple table. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Pipeline.synthDocs(spark, 100)
+    val triples = Pipeline.extractTriples(Pipeline.segmentDocs(docs))
+    Pipeline.canonicalize(triples, Pipeline.synthAliases(spark))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG-construction pipeline (non-SQL-expressible → rows-only) ----
+    "kg_sentences" -> ((s, _) =>
+      Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)).toDF()),
+    "kg_triples" -> ((s, _) =>
+      Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))).toDF()),
+    "kg_canonical" -> ((s, _) => {
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      Pipeline.canonicalize(t, Pipeline.synthAliases(s))
+    }),
+    "kg_edges" -> ((s, _) => {
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      Pipeline.entailmentEdges(Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
+    }),
+    "kg_span_report" -> ((s, _) => {
+      val docs = Pipeline.synthDocs(s, VerifyDocs)
+      Pipeline.spanInvariantReport(docs, docs)
+    }),
+    "mm_media_features" -> ((s, _) =>
+      MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
+        .drop("payload").toDF()),
+    "mm_media_stats" -> ((s, _) =>
+      MultimodalOps.mediaStats(
+        MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs))))),
+
+    // ---- dedup family over documents --------------------------------
+    "dedup_exact" -> ((s, dir) => DedupOps.exact(read(s, dir, "documents"))),
+    "dedup_ngram" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(read(s, dir, "documents"), n = 3, thresholdX1000 = 500)),
+    "dedup_minhash_bands" -> ((s, dir) =>
+      DedupOps.minhashBands(read(s, dir, "documents"))),
+    "dedup_minhash_cand" -> ((s, dir) =>
+      DedupOps.minhashCandidates(read(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(read(s, dir, "documents"))),
+    "dedup_winnow" -> ((s, dir) => DedupOps.winnowing(read(s, dir, "documents"))),
+    "dedup_embed" -> ((s, dir) =>
+      DedupOps.embeddingNearDups(read(s, dir, "embeddings"), thresholdX10000 = 4000)),
+
+    // ---- similarity search over embeddings --------------------------
+    "ann_brute" -> ((s, dir) => SimilarityOps.bruteForceTopK(read(s, dir, "embeddings"))),
+    "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(read(s, dir, "embeddings"), nPlanes = 4)),
+
+    // ---- text analysis over documents --------------------------------
+    "text_lang_id" -> ((s, dir) => TextOps.langId(read(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextOps.quality(read(s, dir, "documents"))),
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(read(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(read(s, dir, "documents"))),
+
+    // ---- relational coverage (scan/filter/agg/join/window) ----------
+    "q1_agg" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("l_quantity").cast("long")).as("sum_qty"),
+             sum(floor(col("l_extendedprice")).cast("long")).as("sum_price_fl"))),
+    "q_join_agg" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+      val n = broadcast(read(s, dir, "nation"))
+      val o = read(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct(col("c_custkey")).as("n_customers"),
+             sum(floor(col("o_totalprice")).cast("long")).as("sum_price_fl"))
+    }),
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      read(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"))
+    }),
+    "q_events_agg" -> ((s, dir) =>
+      read(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"),
+             sum(floor(col("value") * 100).cast("long")).as("sum_value_x100"))),
+    "q_filter_scan" -> ((s, dir) =>
+      read(s, dir, "part")
+        .filter(col("p_size") >= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))))
+
+  /** DuckDB oracles — same column names, integer/fixed-point arithmetic,
+    * identical semantics. Non-SQL-expressible ops are intentionally absent
+    * (driver records rows-only checks for them). */
+  def oracleSql: Map[String, String] = {
+    val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+    Map(
+      "dedup_exact" ->
+        """SELECT md5(text) AS text_fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+          |FROM documents GROUP BY text""".stripMargin,
+      "dedup_ngram" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |grams AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(t) >= 3
+          |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          |    ELSE [array_to_string(t, ' ')] END) AS gs FROM toks),
+          |exploded AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams),
+          |small AS (SELECT * FROM (
+          |    SELECT doc_id, n_grams, gram, count(*) OVER (PARTITION BY gram) AS bucket_n FROM exploded)
+          |  WHERE bucket_n <= 200),
+          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_grams AS n_a, y.n_grams AS n_b, count(*) AS shared
+          |  FROM small x JOIN small y USING (gram) WHERE x.doc_id < y.doc_id GROUP BY 1,2,3,4)
+          |SELECT a, b, shared, (1000 * shared) // (n_a + n_b - shared) AS jaccard_x1000
+          |FROM pairs WHERE (1000 * shared) // (n_a + n_b - shared) >= 500""".stripMargin,
+      "dedup_embed" ->
+        """WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+          |SELECT x.vec_id AS a, y.vec_id AS b,
+          |  CAST(floor(10000.0 *
+          |    list_sum(list_transform(generate_series(1, len(x.embedding)), i ->
+          |      CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
+          |   AS BIGINT) AS cos_x10000
+          |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+          |WHERE CAST(floor(10000.0 *
+          |    list_sum(list_transform(generate_series(1, len(x.embedding)), i ->
+          |      CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
+          |   AS BIGINT) >= 4000""".stripMargin,
+      "ann_brute" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 8),
+          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    CAST(floor(10000.0 *
+          |      list_sum(list_transform(generate_series(1, len(qe)), i ->
+          |        CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
+          |     AS BIGINT) AS cos_x10000
+          |  FROM q, e WHERE e.vec_id <> q.query_id),
+          |r AS (SELECT query_id, neighbor_id, cos_x10000,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_x10000 DESC, neighbor_id) AS rank
+          |  FROM s)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_x10000 FROM r WHERE rank <= 5""".stripMargin,
+      "text_lang_id" ->
+        """SELECT doc_id,
+          |  CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 2
+          |            > length(regexp_replace(text, '[^A-Za-z]', '', 'g')) THEN 'zh'
+          |       WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0 THEN 'en'
+          |       ELSE 'other' END AS lang_pred,
+          |  length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+          |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin
+          |FROM documents""".stripMargin,
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |  length(text) AS n_chars_m,
+           |  len(string_split(text, ' ')) AS n_tokens,
+           |  len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS n_stopwords,
+           |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+           |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+           |  (1000 * len(list_filter(string_split(text, ' '), t -> t IN ($stop))))
+           |    // greatest(len(string_split(text, ' ')), 1) AS stop_ratio_x1000,
+           |  (1000 * length(regexp_replace(text, '[^0-9]', '', 'g')))
+           |    // greatest(length(text), 1) AS digit_ratio_x1000
+           |FROM documents""".stripMargin,
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  len(string_split(text, ' ')) AS n_ws_tokens,
+          |  length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk_chars,
+          |  CAST(list_sum(list_transform(string_split(text, ' '),
+          |    t -> greatest(1, (length(t) + 3) // 4))) AS BIGINT) AS n_subwords
+          |FROM documents""".stripMargin,
+      "text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_fp FROM documents",
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_fl
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "q_join_agg" ->
+        """SELECT n_name, count(*) AS n_orders,
+          |  count(DISTINCT c_custkey) AS n_customers,
+          |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_fl
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin,
+      "q_window_topk" ->
+        """SELECT o_custkey, rk, o_orderkey FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+          |  FROM orders) WHERE rk <= 3""".stripMargin,
+      "q_events_agg" ->
+        """SELECT event_type, count(*) AS n_events,
+          |  count(DISTINCT user_id) AS n_users,
+          |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+          |FROM events GROUP BY event_type""".stripMargin,
+      "q_filter_scan" ->
+        "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 25")
+  }
 }

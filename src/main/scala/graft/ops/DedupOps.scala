@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, Spark-first:
+  * exact (hash group), n-gram Jaccard (inverted-index join, NOT pairwise
+  * scan), MinHash+LSH (band-bucket join), SimHash, winnowing fingerprint,
+  * embedding-cosine near-dup. All deterministic; hash functions are fixed
+  * multiplicative/xxhash schemes, no RNG.
+  *
+  * Scale notes (100 TB): every candidate-pair generator here is
+  * blocking-based — pairs are only formed within a bucket (shared n-gram,
+  * LSH band bucket, simhash block), never by cross join. Bucket blowup is
+  * capped deterministically (`maxBucketSize`) the same way the reference
+  * caps its per-sentence combinatorics (dudepparse.py:16-38).
+  */
+object DedupOps {
+
+  /** exact dedup: one row per distinct text with keeper id + group size. */
+  def exact(documents: DataFrame): DataFrame =
+    documents.groupBy(md5(col("text")).as("text_fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** word n-grams of one text column as a distinct array (Catalyst only). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+                  i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** n-gram Jaccard near-dup candidate pairs via inverted index:
+    * explode distinct n-grams → self-join on n-gram (bucket) → count
+    * shared per pair → Jaccard = shared / (|A|+|B|-shared). Returns pairs
+    * with jaccard_x1000 ≥ threshold, a < b. Buckets over `maxBucketSize`
+    * docs are dropped (stopword-like shingles carry no signal and create
+    * quadratic blowup — deterministic skew guard). */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
+                        thresholdX1000: Int = 500,
+                        maxBucketSize: Int = 200): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+    val smallBuckets = grams
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val a = smallBuckets.toDF("a", "n_a", "gram")
+    val b = smallBuckets.toDF("b", "n_b", "gram")
+    a.join(b, Seq("gram"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard_x1000",
+        ((lit(1000L) * col("shared")) / (col("n_a") + col("n_b") - col("shared"))).cast("long"))
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+      .select(col("a"), col("b"), col("shared"), col("jaccard_x1000"))
+  }
+
+  /** deterministic 64-bit hash of a string with a seed (splitmix-style
+    * over xxhash64 — stable across executors). */
+  private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signatures: k minimums of seeded hashes over word shingles.
+    * One row per (doc, band) with the band's bucket key — the LSH
+    * pre-join shape. numHashes = bands * rowsPerBand. */
+  def minhashBands(documents: DataFrame, shingleN: Int = 3,
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val grams = documents.select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
+    val sigCols = (0 until bands * rowsPerBand).map(i => min(seededHash(col("gram"), i)).as(s"h$i"))
+    val sigs = grams.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandRows = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+                  xxhash64(rows: _*).as("bucket"))
+    }
+    bandRows.reduce(_ unionByName _)
+  }
+
+  /** LSH candidate duplicate pairs: docs sharing any band bucket. */
+  def minhashCandidates(documents: DataFrame, shingleN: Int = 3,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 200): DataFrame = {
+    val bandsDf = minhashBands(documents, shingleN, bands, rowsPerBand)
+    val pruned = bandsDf
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = pruned.select(col("doc_id").as("a"), col("band"), col("bucket"))
+    val b = pruned.select(col("doc_id").as("b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
+    * Computed per-partition with a typed transformation (bit loops are not
+    * expressible efficiently in Catalyst). */
+  def simhash(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val counts = new Array[Int](64)
+          for (tok <- text.split(' ') if tok.nonEmpty) {
+            val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c).toLong << 32 |
+              (scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b).toLong & 0xffffffffL)
+            var bit = 0
+            while (bit < 64) {
+              if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+              bit += 1
+            }
+          }
+          var sig = 0L
+          var bit = 0
+          while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash64")
+  }
+
+  /** simhash near-dup pairs: block on 4×16-bit sub-keys (any exact
+    * sub-key match is a candidate; Hamming ≤ 3 duplicates always share at
+    * least one of 4 blocks), then verify Hamming distance. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sigs = simhash(documents)
+    val blocks = (0 until 4).map { blk =>
+      sigs.select(col("doc_id"), col("simhash64"), lit(blk).as("blk"),
+                  shiftrightunsigned(col("simhash64"), blk * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }.reduce(_ unionByName _)
+    val a = blocks.toDF("a", "sig_a", "blk", "key")
+    val b = blocks.toDF("b", "sig_b", "blk", "key")
+    a.join(b, Seq("blk", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** winnowing-style document fingerprint: minimum seeded hash over char
+    * 8-gram shingles per window — k small integer fingerprints per doc. */
+  def winnowing(documents: DataFrame, k: Int = 8): DataFrame = {
+    val shingles = when(length(col("text")) >= 8,
+      transform(sequence(lit(0), length(col("text")) - 8),
+                i => col("text").substr(i + 1, lit(8))))
+      .otherwise(array(col("text")))
+    val exploded = documents.select(col("doc_id"), explode(shingles).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"fp$i"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** embedding-cosine near-duplicate pairs (brute force within label
+    * blocks — the deterministic blocking key; the IVF/LSH scale path is
+    * SimilarityOps.lshNeighbors). sims in x10000 fixed point. */
+  def embeddingNearDups(embeddings: DataFrame, thresholdX10000: Int = 9500): DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+                lit(0.0d), (acc, x) => acc + x)
+    val norm = (a: Column) =>
+      sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+                     lit(0.0d), (acc, x) => acc + x))
+    val l = embeddings.select(col("vec_id").as("a"), col("embedding").as("ea"), col("label"))
+    val r = embeddings.select(col("vec_id").as("b"), col("embedding").as("eb"), col("label"))
+    l.join(r, Seq("label")).filter(col("a") < col("b"))
+      .withColumn("cos_x10000",
+        floor(lit(10000.0d) * dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).cast("long"))
+      .filter(col("cos_x10000") >= thresholdX10000)
+      .select(col("a"), col("b"), col("cos_x10000"))
+  }
+}

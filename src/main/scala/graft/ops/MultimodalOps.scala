@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Doc
+
+/** Multimodal columns: media payloads ride as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in batched per-partition
+  * passes — the Spark-side plumbing (schema, batch shape, partitioning) is
+  * real and tested; the actual codec is a clearly-marked STUB seam
+  * (`decodeHeader`) because no image/audio libraries exist in this
+  * container. In production the stub body is replaced by the real decoder
+  * invoked over the same Iterator-of-batches shape.
+  */
+object MultimodalOps {
+
+  final case class MediaAsset(doc_id: String, media_ref: String, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: String, media_ref: String, kind: String,
+                                 width: Int, height: Int, n_frames: Int,
+                                 sample_rate: Int, byte_len: Long)
+
+  private val Magic = 0x47524654 // "GRFT"
+
+  /** deterministic fake payload for a media ref: 16-byte header + filler.
+    * Header: magic, width, height, n_frames, sample_rate (ints). */
+  def synthPayload(mediaRef: String, kind: String): Array[Byte] = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(mediaRef, 42)
+    val width = 160 + math.floorMod(h, 8) * 80
+    val height = 120 + math.floorMod(h >> 3, 8) * 60
+    val frames = kind match {
+      case "video" => 24 + math.floorMod(h >> 6, 240)
+      case "image" => 1
+      case _ => 0
+    }
+    val rate = if (kind == "audio") 8000 * (1 + math.floorMod(h >> 9, 5)) else 0
+    val filler = math.floorMod(h >> 12, 1024) + 64
+    val buf = ByteBuffer.allocate(20 + filler)
+    buf.putInt(Magic).putInt(width).putInt(height).putInt(frames).putInt(rate)
+    buf.array()
+  }
+
+  /** materialize the media-asset table from docs' media spans (binary
+    * payload column). One narrow flatMap. */
+  def mediaAssets(docs: Dataset[Doc]): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      doc.spans.iterator.filter(s => s.kind != "text" && s.media_ref != null).map { s =>
+        MediaAsset(doc.doc_id, s.media_ref, s.kind, synthPayload(s.media_ref, s.kind))
+      }
+    }
+  }
+
+  /** ==== STUB SEAM ====
+    * Real deployments replace this with an actual decoder (image decode /
+    * audio resample / video frame-sample) over the same batch iterator.
+    * Here: parse our deterministic 20-byte header. Throws on foreign
+    * payloads — decode failures must be visible, not silent. */
+  def decodeHeader(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    val buf = ByteBuffer.wrap(payload)
+    require(buf.getInt() == Magic, "not a GRFT synthetic payload (real codec goes here)")
+    (buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt())
+  }
+
+  /** batched decode / feature extraction: mapPartitions so a real codec
+    * could amortize per-batch init (model load, JNI handles) exactly like
+    * the reference amortizes its CoreNLP client per slice
+    * (main_ner.py:76-82). */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition init for the real codec would go here
+      batch.map { a =>
+        val (w, h, f, r) = decodeHeader(a.payload)
+        MediaFeatures(a.doc_id, a.media_ref, a.kind, w, h, f, r, a.payload.length.toLong)
+      }
+    }
+  }
+
+  /** media stats per kind — the driver-visible aggregate. */
+  def mediaStats(features: Dataset[MediaFeatures]): DataFrame =
+    features.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("byte_len")).as("total_bytes"),
+           max(col("width")).as("max_width"),
+           max(col("n_frames")).as("max_frames"))
+}

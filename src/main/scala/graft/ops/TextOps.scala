@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all
+  * pure Catalyst expressions (codegen'd, no UDFs): language ID heuristic,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Numeric outputs are INTEGER-valued (counts and x1000 fixed-point
+  * ratios via integer division) so results hash-compare exactly against
+  * the DuckDB oracle — no floating-point drift.
+  */
+object TextOps {
+
+  /** stopword list for quality scoring (English function words — the
+    * synthetic corpus is space-tokenized English-like text). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  def cjkCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^一-鿿]", ""))
+
+  def latinCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
+  def digitCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+
+  def punctCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
+
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** char-class language-ID heuristic: CJK-dominant → zh, latin-dominant
+    * → en, neither → other. */
+  def langIdExpr(text: Column): Column = {
+    val cjk = cjkCharCount(text)
+    val lat = latinCharCount(text)
+    when(cjk * 2 > lat, lit("zh"))
+      .when(lat > 0, lit("en"))
+      .otherwise(lit("other"))
+  }
+
+  /** BPE-ish subword estimate: whitespace tokens + an extra unit per
+    * 4 chars of any overlong token (a common len/4 proxy). Integer math. */
+  def subwordEstimate(text: Column): Column = {
+    val toks = wsTokens(text)
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ((length(t) + lit(3)) / lit(4)).cast("long")))
+  }
+
+  /** per-doc language ID over `documents(doc_id, text)`. */
+  def langId(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+                     langIdExpr(col("text")).as("lang_pred"),
+                     cjkCharCount(col("text")).cast("long").as("n_cjk"),
+                     latinCharCount(col("text")).cast("long").as("n_latin"))
+
+  /** per-doc quality features + fixed-point score. */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val nPunct = punctCharCount(col("text")).cast("long")
+    val nDigit = digitCharCount(col("text")).cast("long")
+    val len = length(col("text")).cast("long")
+    documents.select(
+      col("doc_id"),
+      len.as("n_chars_m"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      nDigit.as("n_digits"),
+      // fixed-point ratios (x1000, integer division)
+      expr(s"(1000 * size(filter(split(text, ' '), t -> t in (${stopwords.map("'" + _ + "'").mkString(",")}))) ) div greatest(size(split(text, ' ')), 1)").as("stop_ratio_x1000"),
+      ((lit(1000L) * nDigit) / greatest(len, lit(1L))).cast("long").as("digit_ratio_x1000"))
+  }
+
+  /** token counting: whitespace tokens, CJK chars, subword estimate. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+      cjkCharCount(col("text")).cast("long").as("n_cjk_chars"),
+      subwordEstimate(col("text")).as("n_subwords"))
+
+  /** document fingerprints: md5 content hash (oracle-parity with DuckDB).
+    * The shingled rolling-hash fingerprint lives in DedupOps.winnowing. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(col("text")).as("md5_fp"))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.pipeline.Pipeline
+
+/** Unit tests for the training-data ops whose semantics are not
+  * SQL-oracle-able: planted near-duplicates must be found by MinHash-LSH /
+  * SimHash, LSH ANN must agree with brute force on shared candidates, and
+  * the multimodal decode plumbing must round-trip its metadata. */
+class OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def plantedDocs = {
+    val base = (0L until 60L).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      (i, words)
+    }
+    // plant near-dups: docs 100+i = copy of doc i with one word changed
+    val dups = (0L until 10L).map { i =>
+      val orig = base(i.toInt)._2.split(' ')
+      (100L + i, (orig.take(orig.length - 1) :+ "CHANGED").mkString(" "))
+    }
+    // plant one exact dup
+    val exact = Seq((200L, base(0)._2))
+    (base ++ dups ++ exact).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val cands = DedupOps.minhashCandidates(plantedDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 10L)
+      assert(cands.contains((i, 100L + i)), s"planted pair ($i, ${100 + i}) not found")
+    assert(cands.contains((0L, 200L)), "exact dup not found")
+    // sanity: not everything is a candidate
+    assert(cands.size < 71 * 70 / 4, s"too many candidates: ${cands.size}")
+  }
+
+  test("simhash pairs find planted near-duplicates at small hamming") {
+    val pairs = DedupOps.simhashPairs(plantedDocs, maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 10L).count(i => pairs.contains((i, 100L + i)))
+    assert(found >= 8, s"only $found/10 planted pairs found by simhash")
+    assert(pairs.contains((0L, 200L)), "exact dup must have hamming 0")
+  }
+
+  test("ngram jaccard scores planted dups near 1000 and exact at 1000") {
+    val pairs = DedupOps.ngramJaccardPairs(plantedDocs, thresholdX1000 = 800).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(pairs((0L, 200L)) == 1000L)
+    for (i <- 1L until 10L) assert(pairs.get((i, 100L + i)).exists(_ >= 800L))
+  }
+
+  test("LSH ANN agrees with brute force on returned candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = SimilarityOps.bruteForceTopK(emb, nQueries = 4, k = 200).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val lsh = SimilarityOps.lshTopK(emb, nQueries = 4, k = 10, nPlanes = 4).collect()
+    assert(lsh.nonEmpty)
+    // every LSH result's similarity equals the brute-force similarity
+    for (r <- lsh) {
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.get(key).forall(_ == r.getLong(3)),
+             s"sim mismatch for $key: lsh=${r.getLong(3)} brute=${brute.get(key)}")
+    }
+  }
+
+  test("multimodal decode round-trips metadata through binary payloads") {
+    val docs = Pipeline.synthDocs(spark, 50)
+    val assets = MultimodalOps.mediaAssets(docs)
+    val feats = MultimodalOps.extractFeatures(assets).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.width >= 160 && f.height >= 120))
+    assert(feats.filter(_.kind == "image").forall(_.n_frames == 1))
+    assert(feats.filter(_.kind == "video").forall(_.n_frames >= 24))
+    assert(feats.filter(_.kind == "audio").forall(_.sample_rate >= 8000))
+    val stats = MultimodalOps.mediaStats(MultimodalOps.extractFeatures(assets)).collect()
+    assert(stats.map(_.getString(0)).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("winnowing fingerprints are stable and text-sensitive") {
+    val fp = DedupOps.winnowing(plantedDocs).collect()
+    assert(fp.length == plantedDocs.count())
+    val byId = fp.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(byId(0L) == byId(200L), "identical texts must share fingerprints")
+    assert(byId(0L) != byId(1L), "different texts should differ")
+  }
+
+  test("language id separates cjk from latin") {
+    val df = Seq((1L, "这是一个中文句子"), (2L, "this is english text"), (3L, "12345 !!!"))
+      .toDF("doc_id", "text")
+    val out = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "zh", 2L -> "en", 3L -> "other"))
+  }
+}
