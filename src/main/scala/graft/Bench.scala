@@ -1,24 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline = the KG-construction pipeline's
+  * throughput (docs/sec, triples/sec) on the synthetic interleaved corpus,
+  * plus per-query wall times for every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR. Prints ONE JSON line. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def buildSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** one timed KG pipeline pass: synth docs → sentences → triples count.
+    * Returns (docs, triples, seconds). */
+  def kgRun(spark: SparkSession, nDocs: Long): (Long, Long, Double) = {
+    val t0 = System.nanoTime()
+    // shuffle-free measured path: generate → segment → extract → count.
+    // spark.range already spreads nDocs across defaultParallelism
+    // partitions; the extraction pipeline itself never shuffles.
+    val docs = pipeline.Pipeline.synthDocs(spark, nDocs)
+    val triples = pipeline.Pipeline.extractTriples(pipeline.Pipeline.segmentDocs(docs))
+    val n = triples.count()
+    (nDocs, n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val spark = buildSession(cpus)
+
+    // headline: KG extraction throughput (warmup then measured)
+    kgRun(spark, 500)
+    val (nd, nt, kgSec) = kgRun(spark, benchDocs)
+    val docsPerSec = nd / kgSec
+    val triplesPerSec = nt / kgSec
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + kgSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -46,6 +46,10 @@ object SparkEntry {
       val docs = Pipeline.synthDocs(s, VerifyDocs)
       Pipeline.spanInvariantReport(docs, docs)
     }),
+    "kg_coref" -> ((s, _) =>
+      Pipeline.corefTriples(Pipeline.synthDocs(s, VerifyDocs)).toDF()),
+    "kg_metrics" -> ((s, _) =>
+      Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
     "mm_media_features" -> ((s, _) =>
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),

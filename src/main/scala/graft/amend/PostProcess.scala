@@ -156,24 +156,48 @@ object PostProcess {
     }
   }
 
+  /** processSentence + the reference's per-rule amendment counters and
+    * V_CMP complement bucket (dudepparse.py:425-426,449) for the metrics
+    * aggregation. */
+  def processSentenceWithMetrics(parse: DepParse,
+                                 posTags: Option[Map[String, Seq[String]]],
+                                 ignorePostag: Boolean = false)
+      : (SentenceRels, Map[String, Int], Map[String, Int]) = {
+    val tree = new DepTree(parse)
+    val fineRaw = new Extractor(tree, coarse = false).parse()
+    val coarseExtractor = new Extractor(tree, coarse = true)
+    val coarseRaw = coarseExtractor.parse()
+    val fine0 = tokenNormalize(translateNaryToBinaries(reformat(fineRaw)))
+    val coarse0 = tokenNormalize(translateNaryToBinaries(reformat(coarseRaw)))
+    val am = Amender.amendSentence(parse, fine0, coarse0, posTags, ignorePostag)
+    (finishSentence(parse, coarseExtractor, am), am.amendCounts, am.vcmpCounts)
+  }
+
   /** Full per-sentence post-processing (reference post_processing,
     * dudepparse.py:1718-1786, live flags: KEEP_ONLY_SVO=True,
     * MUST_INCLUDE_CHINESE=True, ADD_HALF_COARSE=False). */
   def processSentence(parse: DepParse,
                       posTags: Option[Map[String, Seq[String]]],
                       ignorePostag: Boolean = false): SentenceRels = {
+    // one tree, two read-only extractors over it (the reference builds two
+    // identical trees, extract.py:71-73/:387-391 — pure duplication)
     val tree = new DepTree(parse)
-    val coarseTree = new DepTree(parse)
     val fineRaw = new Extractor(tree, coarse = false).parse()
-    val coarseExtractor = new Extractor(coarseTree, coarse = true)
+    val coarseExtractor = new Extractor(tree, coarse = true)
     val coarseRaw = coarseExtractor.parse()
 
-    var fine = tokenNormalize(translateNaryToBinaries(reformat(fineRaw)))
-    var coarse = tokenNormalize(translateNaryToBinaries(reformat(coarseRaw)))
+    val fine0 = tokenNormalize(translateNaryToBinaries(reformat(fineRaw)))
+    val coarse0 = tokenNormalize(translateNaryToBinaries(reformat(coarseRaw)))
 
-    val am = Amender.amendSentence(parse, fine, coarse, posTags, ignorePostag)
-    fine = am.prunedFine
-    coarse = am.prunedCoarse
+    val am = Amender.amendSentence(parse, fine0, coarse0, posTags, ignorePostag)
+    finishSentence(parse, coarseExtractor, am)
+  }
+
+  /** shared tail of post_processing after the amendment stage. */
+  private def finishSentence(parse: DepParse, coarseExtractor: Extractor,
+                             am: Amender.AmendResult): SentenceRels = {
+    var fine = am.prunedFine
+    var coarse = am.prunedCoarse
     var amendFine = am.amendFine
     var amendCoarse = am.amendCoarse
     var possible = am.possibleFine

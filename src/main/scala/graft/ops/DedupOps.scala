@@ -74,12 +74,15 @@ object DedupOps {
     val grams = documents.select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
     val sigCols = (0 until bands * rowsPerBand).map(i => min(seededHash(col("gram"), i)).as(s"h$i"))
     val sigs = grams.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandRows = (0 until bands).map { b =>
+    // one aggregation, then a narrow explode into (band, bucket) rows —
+    // NOT a per-band union (which would re-shuffle the aggregation once
+    // per band)
+    val bandStructs = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-                  xxhash64(rows: _*).as("bucket"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
     }
-    bandRows.reduce(_ unionByName _)
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** LSH candidate duplicate pairs: docs sharing any band bucket. */
@@ -132,10 +135,13 @@ object DedupOps {
     val spark = documents.sparkSession
     import spark.implicits._
     val sigs = simhash(documents)
-    val blocks = (0 until 4).map { blk =>
-      sigs.select(col("doc_id"), col("simhash64"), lit(blk).as("blk"),
-                  shiftrightunsigned(col("simhash64"), blk * 16).bitwiseAND(lit(0xffffL)).as("key"))
-    }.reduce(_ unionByName _)
+    val blockStructs = (0 until 4).map { blk =>
+      struct(lit(blk).as("blk"),
+             shiftrightunsigned(col("simhash64"), blk * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    val blocks = sigs
+      .select(col("doc_id"), col("simhash64"), explode(array(blockStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash64"), col("bb.blk").as("blk"), col("bb.key").as("key"))
     val a = blocks.toDF("a", "sig_a", "blk", "key")
     val b = blocks.toDF("b", "sig_b", "blk", "key")
     a.join(b, Seq("blk", "key")).filter(col("a") < col("b"))

@@ -154,6 +154,71 @@ object Pipeline {
       .agg(sum($"pair_weight").as("weight"), count(lit(1)).as("n_arg_pairs"))
   }
 
+  // ------------------------------------------------------------- metrics
+  /** the reference's global stat dicts re-expressed as aggregations
+    * (SURVEY.md §2.4): per-rule amendment counts + V_CMP complement bucket
+    * (dudepparse.py:425-449, merge_dict :205-211 → partial/final agg is
+    * free under Spark's map-side combine). */
+  def extractionMetrics(sentences: Dataset[SentenceRow]): DataFrame = {
+    import sentences.sparkSession.implicits._
+    sentences.mapPartitions { rows =>
+      rows.flatMap { row =>
+        FixtureParser.analyze(row.sent) match {
+          case Some((parse, tags)) =>
+            val (_, amendCounts, vcmpCounts) =
+              PostProcess.processSentenceWithMetrics(parse, Some(tags))
+            amendCounts.iterator.map { case (k, v) => ("amend_" + k, v.toLong) } ++
+              vcmpCounts.iterator.map { case (k, v) => ("vcmp_" + k, v.toLong) }
+          case None => Iterator(("unparsed_sentences", 1L))
+        }
+      }
+    }.toDF("metric", "n")
+      .groupBy($"metric").agg(sum($"n").as("total"))
+  }
+
+  // --------------------------------------------------------------- coref
+  /** coref second pass (reference parse_coref, dudepparse.py:2005-2197):
+    * substitute coref chains into sentences, re-extract, and keep ONLY
+    * relations absent from the base pass (serialize_rel set difference).
+    * Chains are deterministic fixtures (Coref.synthChains) exactly like
+    * the parses; doc-local flatMap, zero shuffles. */
+  def corefTriples(docs: Dataset[Doc]): Dataset[TripleRow] = {
+    import docs.sparkSession.implicits._
+    import graft.segment.Coref
+    docs.mapPartitions { docIter =>
+      docIter.flatMap { doc =>
+        val sents = doc.spans.iterator.filter(s => s.kind == "text" && s.text != null)
+          .flatMap(s => Segmenter.segment(s.text)).toVector
+        val chains = Coref.synthChains(sents)
+        sents.zip(chains).zipWithIndex.iterator.flatMap { case ((sent, reps), sid) =>
+          if (reps.isEmpty) Iterator.empty
+          else {
+            val corefed = Coref.substitute(sent, reps)
+            if (corefed == sent) Iterator.empty // reference skips unchanged docs
+            else {
+              (FixtureParser.analyze(sent), FixtureParser.analyze(corefed)) match {
+                case (Some((bp, bt)), Some((cp, ct))) =>
+                  val base = PostProcess.processSentence(bp, Some(bt))
+                  val cor = PostProcess.processSentence(cp, Some(ct))
+                  def emit(name: String, b: Vector[Rel], c: Vector[Rel]) =
+                    Coref.newRels(b, c).iterator.map { r =>
+                      TripleRow(doc.doc_id, sid, name, r.subj, r.pred, r.obj,
+                                r.subjIdx, r.predIdx.get, r.objIdx)
+                    }
+                  emit("fine_corefed", base.fine, cor.fine) ++
+                    emit("coarse_corefed", base.coarse, cor.coarse) ++
+                    emit("amend_fine_corefed", base.amendFine, cor.amendFine) ++
+                    emit("amend_coarse_corefed", base.amendCoarse, cor.amendCoarse) ++
+                    emit("possible_corefed", base.possible, cor.possible)
+                case _ => Iterator.empty
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------ span invariant
   /** rows whose span sequence (kind, text, media_ref, order) differs
     * between the input docs table and a pipeline output docs table.

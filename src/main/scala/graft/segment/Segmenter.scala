@@ -33,17 +33,20 @@ object Segmenter {
 
   def countZhChars(s: String): Int = s.count(c => c >= '一' && c <= '鿿')
 
-  /** Python str.split(sep) semantics (all occurrences, keeps empties). */
-  private def pySplit(s: String, sep: String): Vector[String] = {
+  /** Python str.split(sep) semantics (all occurrences, keeps empties).
+    * Fast path: no separator present → single-element wrap. */
+  private def pySplit(s: String, sep: String): IndexedSeq[String] = {
+    var i = s.indexOf(sep)
+    if (i < 0) return scala.collection.immutable.ArraySeq(s)
     val out = ListBuffer.empty[String]
-    var i = 0
     var start = 0
-    while ({ i = s.indexOf(sep, start); i >= 0 }) {
+    while (i >= 0) {
       out += s.substring(start, i)
       start = i + sep.length
+      i = s.indexOf(sep, start)
     }
     out += s.substring(start)
-    out.toVector
+    out.toIndexedSeq
   }
 
   /** greedy re-split of an over-long sentence at the weak boundary nearest

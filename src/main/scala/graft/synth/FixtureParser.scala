@@ -109,23 +109,47 @@ object FixtureParser {
   private val vocab: Set[String] =
     personsS ++ orgsS ++ placesS ++ nounsS ++ verbsS ++ advsS ++ prepsS ++ negsS ++ oddS ++
       templates.flatMap(_.pats.collect { case Lit(w) => w })
-  private val maxWordLen: Int = vocab.iterator.map(_.length).max
+
+  /** character trie over the vocabulary — longest-match walks allocate
+    * nothing until a token is emitted (interned from the trie). */
+  private final class TrieNode {
+    var word: String = null
+    var children: java.util.HashMap[Char, TrieNode] = null
+    def child(c: Char): TrieNode = if (children == null) null else children.get(c)
+    def addChild(c: Char): TrieNode = {
+      if (children == null) children = new java.util.HashMap[Char, TrieNode](4)
+      var n = children.get(c)
+      if (n == null) { n = new TrieNode; children.put(c, n) }
+      n
+    }
+  }
+  private val trieRoot: TrieNode = {
+    val root = new TrieNode
+    for (w <- vocab) {
+      var n = root
+      for (c <- w) n = n.addChild(c)
+      n.word = w
+    }
+    root
+  }
 
   /** longest-match tokenization; None if any position fails to match. */
   def tokenize(sentence: String): Option[Vector[String]] = {
     val out = Vector.newBuilder[String]
     var i = 0
-    while (i < sentence.length) {
-      var len = math.min(maxWordLen, sentence.length - i)
-      var matched: String = null
-      while (len > 0 && matched == null) {
-        val cand = sentence.substring(i, i + len)
-        if (vocab.contains(cand)) matched = cand
-        len -= 1
+    val len = sentence.length
+    while (i < len) {
+      var node = trieRoot
+      var j = i
+      var best: String = null
+      while (node != null && j < len) {
+        node = node.child(sentence.charAt(j))
+        j += 1
+        if (node != null && node.word != null) best = node.word
       }
-      if (matched == null) return None
-      out += matched
-      i += matched.length
+      if (best == null) return None
+      out += best
+      i += best.length
     }
     Some(out.result())
   }
@@ -143,7 +167,7 @@ object FixtureParser {
       }.map { t =>
         val parse = DepParse(toks, t.heads, t.deprels)
         val tagPairs = toks.indices.flatMap(i => t.tags(i).map(tag => toks(i) -> Seq(tag)))
-        (parse, Templates.posTagsFor(toks, tagPairs))
+        (parse, Templates.posTagsFor(sentence, tagPairs))
       }
     }
   }

@@ -23,8 +23,12 @@ object Templates {
       id: String,
       sentence: String,
       parse: DepParse,
-      posTags: Map[String, Seq[String]],
-      templateId: Int)
+      tagsSpec: Seq[(String, Seq[String])],
+      templateId: Int) {
+    /** computed lazily — the throughput path (sentence generation) never
+      * needs the tag map; consumers that do (oracle dump, specs) pay once. */
+    lazy val posTags: Map[String, Seq[String]] = Templates.posTagsFor(sentence, tagsSpec)
+  }
 
   // vocabulary pools (slot kind → tag set)
   private[graft] val persons = Vector("张三", "李四", "王五", "赵六", "孙七", "周八", "默克尔", "郝平", "吴教授", "陈医生")
@@ -63,13 +67,23 @@ object Templates {
     sentence.map(_.toInt.toLong).sum % 7 == 0
 
   /** slot-kind tags with degrade applied; duplicate words merge tag lists
-    * (the reference builds word→set-of-tags, main_ner.py:36-40). */
-  def posTagsFor(words: Seq[String], tags: Seq[(String, Seq[String])]): Map[String, Seq[String]] = {
-    val deg = degraded(words.mkString)
-    val adjusted =
-      if (deg) tags.map { case (w, ts) => (w, ts.map(t => if (t == "NN" || t == "NR") "JJ" else t)) }
-      else tags
-    adjusted.groupBy(_._1).map { case (w, ts) => w -> ts.flatMap(_._2).distinct }
+    * (the reference builds word→set-of-tags, main_ner.py:36-40).
+    * Single-pass build — this runs once per sentence in the hot path. */
+  def posTagsFor(sentence: String, tags: Seq[(String, Seq[String])]): Map[String, Seq[String]] = {
+    val deg = degraded(sentence)
+    var out = Map.empty[String, Seq[String]]
+    val it = tags.iterator
+    while (it.hasNext) {
+      val (w, ts0) = it.next()
+      val ts = if (deg) ts0.map(t => if (t == "NN" || t == "NR") "JJ" else t) else ts0
+      out.get(w) match {
+        case None => out = out.updated(w, ts)
+        case Some(prev) =>
+          val add = ts.filterNot(prev.contains)
+          if (add.nonEmpty) out = out.updated(w, prev ++ add)
+      }
+    }
+    out
   }
 
   /** Number of templates. */
@@ -81,10 +95,8 @@ object Templates {
     val s = new Slots(k / templateCount)
 
     def fx(words: Seq[String], heads: Seq[Int], deprels: Seq[String],
-           tags: Seq[(String, Seq[String])]): Fixture = {
-      val posTags = posTagsFor(words, tags)
-      Fixture(s"t$t-$k", words.mkString, dp(words, heads, deprels), posTags, t)
-    }
+           tags: Seq[(String, Seq[String])]): Fixture =
+      Fixture(s"t$t-$k", words.mkString, dp(words, heads, deprels), tags, t)
 
     t match {
       case 0 => // g01: S ADV-MT V O (dudepparse.py:459-460 verbatim shape)
