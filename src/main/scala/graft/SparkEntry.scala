@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
-import graft.pipeline.Pipeline
+import graft.pipeline.{Mentions, Pipeline}
 
 /** Driver contract: one flagship entry + one query per implemented
   * operator (SURVEY.md §2 + the training-data ops), with ANSI-SQL DuckDB
@@ -23,6 +23,7 @@ object SparkEntry {
     * docs → sentences → triples (fine+coarse+amendments) — emitting the
     * canonical triple table. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
+    graft.functions.ZhFunctions.register(spark)
     val docs = Pipeline.synthDocs(spark, 100)
     val triples = Pipeline.extractTriples(Pipeline.segmentDocs(docs))
     Pipeline.canonicalize(triples, Pipeline.synthAliases(spark))
@@ -46,6 +47,13 @@ object SparkEntry {
       val docs = Pipeline.synthDocs(s, VerifyDocs)
       Pipeline.spanInvariantReport(docs, docs)
     }),
+    "kg_mentions" -> ((s, _) =>
+      Mentions.detect(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)),
+                      Pipeline.synthAliases(s)).toDF()),
+    "kg_mention_stats" -> ((s, _) =>
+      Mentions.mentionStats(
+        Mentions.detect(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)),
+                        Pipeline.synthAliases(s)))),
     "kg_coref" -> ((s, _) =>
       Pipeline.corefTriples(Pipeline.synthDocs(s, VerifyDocs)).toDF()),
     "kg_metrics" -> ((s, _) =>

@@ -17,8 +17,11 @@ object TextOps {
     * synthetic corpus is space-tokenized English-like text). */
   val stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
+  /** native codegen'd expression (graft.functions.ZhCharCount) — equal
+    * semantics to length(regexp_replace(text, "[^一-鿿]", "")), verified in
+    * ZhFunctionsSpec; requires ZhFunctions.register(session) once. */
   def cjkCharCount(text: Column): Column =
-    length(regexp_replace(text, "[^一-鿿]", ""))
+    graft.functions.ZhFunctions.zh_char_count(text)
 
   def latinCharCount(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", ""))

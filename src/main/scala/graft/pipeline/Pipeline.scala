@@ -126,15 +126,33 @@ object Pipeline {
     * grouped list — not a self-join — so the plan is:
     * shuffle(groupBy pair+pred) → window(same partitioning) →
     * shuffle(groupBy src,dst). */
-  def entailmentEdges(canonical: DataFrame, maxPredsPerPair: Int = 32): DataFrame = {
+  def entailmentEdges(canonical: DataFrame, maxPredsPerPair: Int = 32,
+                      saltBuckets: Int = 1): DataFrame = {
     val spark = canonical.sparkSession
     import spark.implicits._
     val pairPred = canonical
       .filter(col("subj_canonical").isNotNull && col("obj_canonical").isNotNull)
       .groupBy(col("subj_canonical").as("arg_s"), col("obj_canonical").as("arg_o"), col("pred"))
       .agg(count(lit(1)).as("support"))
+    // top-k predicates per argument pair. saltBuckets > 1 selects the
+    // salted two-phase variant for skewed corpora: phase 1 takes top-k
+    // within (pair, hash(pred) % S) — bounding any single window
+    // partition to ~1/S of a hot pair's predicates — phase 2 merges the
+    // ≤ k·S survivors. Result is identical to the unsalted plan
+    // (row_number ordering is total: support desc, pred asc).
+    val preCapped =
+      if (saltBuckets <= 1) pairPred
+      else {
+        val wSalt = Window.partitionBy($"arg_s", $"arg_o", $"salt")
+          .orderBy($"support".desc, $"pred")
+        pairPred
+          .withColumn("salt", pmod(xxhash64($"pred"), lit(saltBuckets.toLong)))
+          .withColumn("rk", row_number().over(wSalt))
+          .filter($"rk" <= maxPredsPerPair)
+          .drop("rk", "salt")
+      }
     val w = Window.partitionBy($"arg_s", $"arg_o").orderBy($"support".desc, $"pred")
-    val capped = pairPred
+    val capped = preCapped
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= maxPredsPerPair)
       .drop("rk")

@@ -73,6 +73,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(edges.forall(r => r.getAs[Long]("weight") >= 1))
   }
 
+  test("salted edge aggregation equals the unsalted plan") {
+    val docs = Pipeline.synthDocs(spark, 300)
+    val canon = Pipeline.canonicalize(
+      Pipeline.extractTriples(Pipeline.segmentDocs(docs)), Pipeline.synthAliases(spark))
+    val plain = Pipeline.entailmentEdges(canon, maxPredsPerPair = 8).collect()
+      .map(_.toSeq).toSet
+    val salted = Pipeline.entailmentEdges(canon, maxPredsPerPair = 8, saltBuckets = 4).collect()
+      .map(_.toSeq).toSet
+    assert(plain == salted)
+    assert(plain.nonEmpty)
+  }
+
   test("checkpointed run resumes without recomputation") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val r1 = Pipeline.run(spark, root, nDocs = 50)

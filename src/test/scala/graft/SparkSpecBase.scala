@@ -22,6 +22,7 @@ object SparkSpecBase {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.ZhFunctions.register(s)
     s
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed counts run as a real stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamingOps.windowedCounts(events)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    input.addData((ts(0), 1L, "click"), (ts(0), 2L, "click"), (ts(1), 1L, "view"))
+    q.processAllAvailable()
+    // second micro-batch advances the watermark past the first windows,
+    // which makes append mode emit them
+    input.addData((ts(10), 3L, "click"))
+    q.processAllAvailable()
+    input.addData((ts(20), 3L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    def winStart(t: Timestamp) = t.getTime / 60000 * 60000
+    assert(rows.contains((winStart(ts(0)), "click", 2L)), rows.toString)
+    assert(rows.contains((winStart(ts(1)), "view", 1L)), rows.toString)
+  }
+
+  test("sessionization groups events by inactivity gap") {
+    val evs = Seq(
+      Ev(1, ts(0), "a"), Ev(1, ts(5), "b"), Ev(1, ts(50), "c"), // gap 45min → 2 sessions
+      Ev(2, ts(1), "a")).toDS()
+    val sessions = StreamingOps.sessionize(evs).collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length == 3)
+    assert(sessions(0).user_id == 1 && sessions(0).n_events == 2 &&
+           sessions(0).session_end.getTime == ts(5).getTime)
+    assert(sessions(1).user_id == 1 && sessions(1).n_events == 1)
+    assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
+  }
+
+  test("sessionization over the events table finds plausible sessions") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id", "ts", "event_type").as[Ev]
+    val sessions = StreamingOps.sessionize(events)
+    val n = sessions.count()
+    assert(n > 0)
+    val total = sessions.agg(org.apache.spark.sql.functions.sum($"n_events")).head.getLong(0)
+    assert(total == events.count(), "every event must land in exactly one session")
+  }
+}
