@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 import com.fasterxml.jackson.databind.ObjectMapper
-import graft.synth.Templates
+import graft.synth.{RandomTrees, Templates}
 
 /** Dumps the first N deterministic fixture sentences as JSON for the
   * differential-test oracle harness (which replays them through the
@@ -11,10 +11,11 @@ object DumpFixtures {
   def main(args: Array[String]): Unit = {
     val count = if (args.nonEmpty) args(0).toInt else 2000
     val out = if (args.length > 1) args(1) else "/tmp/fixtures.json"
+    val mode = if (args.length > 2) args(2) else "templates"
     val mapper = new ObjectMapper()
     val arr = mapper.createArrayNode()
     for (k <- 0L until count.toLong) {
-      val fx = Templates.generate(k)
+      val fx = if (mode == "random") RandomTrees.generate(k) else Templates.generate(k)
       val node = mapper.createObjectNode()
       node.put("id", fx.id)
       node.put("k", k)

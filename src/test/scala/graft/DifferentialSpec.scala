@@ -25,17 +25,27 @@ class DifferentialSpec extends AnyFunSuite {
   }
 
   test("engine output exactly matches the reference on 2000 fixture sentences") {
+    runDifferential("/golden_rels.json", 2000,
+      id => Templates.generate(id.split("-")(1).toLong))
+  }
+
+  test("engine output exactly matches the reference on 4000 adversarial random trees") {
+    runDifferential("/golden_random.json", 4000,
+      id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
+  }
+
+  private def runDifferential(resource: String, expectedCount: Int,
+                              regen: String => Templates.Fixture): Unit = {
     val mapper = new ObjectMapper()
-    val stream = getClass.getResourceAsStream("/golden_rels.json")
-    assert(stream != null, "golden_rels.json missing from test resources")
+    val stream = getClass.getResourceAsStream(resource)
+    assert(stream != null, s"$resource missing from test resources")
     val golden = mapper.readTree(stream)
     var checked = 0
     val mismatches = scala.collection.mutable.ListBuffer.empty[String]
     golden.forEach { g =>
       if (g.get("ok").asBoolean()) {
         val id = g.get("id").asText()
-        val k = id.split("-")(1).toLong
-        val fx = Templates.generate(k)
+        val fx = regen(id)
         assert(fx.id == id, s"fixture regeneration drifted for $id")
         val rels = PostProcess.processSentence(fx.parse, Some(fx.posTags))
         val pairs = Seq(
@@ -53,7 +63,7 @@ class DifferentialSpec extends AnyFunSuite {
         checked += 1
       }
     }
-    assert(checked >= 2000 - 5, s"only $checked fixtures checked")
+    assert(checked >= expectedCount - 5, s"only $checked fixtures checked")
     if (mismatches.nonEmpty) {
       val sample = mismatches.take(10).mkString("\n\n")
       fail(s"${mismatches.size} list mismatches out of ${checked * 5}; first 10:\n$sample")
