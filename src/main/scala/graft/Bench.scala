@@ -41,9 +41,11 @@ object Bench {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val spark = buildSession(cpus)
 
-    // headline: KG extraction throughput (warmup then measured)
-    kgRun(spark, 500)
-    val (nd, nt, kgSec) = kgRun(spark, benchDocs)
+    // headline: KG extraction throughput. Several warmup passes (C2 needs
+    // multiple runs over the rule engine), then median of 3.
+    kgRun(spark, 2000); kgRun(spark, 2000); kgRun(spark, benchDocs)
+    val runs = (1 to 3).map(_ => kgRun(spark, benchDocs))
+    val (nd, nt, kgSec) = runs.sortBy(_._3).apply(1)
     val docsPerSec = nd / kgSec
     val triplesPerSec = nt / kgSec
 

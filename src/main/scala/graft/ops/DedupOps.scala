@@ -85,20 +85,25 @@ object DedupOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** LSH candidate duplicate pairs: docs sharing any band bucket. */
+  /** LSH candidate duplicate pairs: docs sharing any band bucket.
+    * Group-collect + local pairwise emission — one shuffle, no self-join
+    * (the signature subtree is evaluated once, not per join side); bucket
+    * membership lists are bounded by `maxBucketSize` before expansion. */
   def minhashCandidates(documents: DataFrame, shingleN: Int = 3,
                         bands: Int = 16, rowsPerBand: Int = 4,
                         maxBucketSize: Int = 200): DataFrame = {
-    val bandsDf = minhashBands(documents, shingleN, bands, rowsPerBand)
-    val pruned = bandsDf
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val a = pruned.select(col("doc_id").as("a"), col("band"), col("bucket"))
-    val b = pruned.select(col("doc_id").as("b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val spark = documents.sparkSession
+    import spark.implicits._
+    minhashBands(documents, shingleN, bands, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted
+        for { i <- sorted.indices.iterator; j <- (i + 1) until sorted.length }
+          yield (sorted(i), sorted(j))
+      }.toDF("a", "b").distinct()
   }
 
   /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
@@ -139,16 +144,21 @@ object DedupOps {
       struct(lit(blk).as("blk"),
              shiftrightunsigned(col("simhash64"), blk * 16).bitwiseAND(lit(0xffffL)).as("key"))
     }
-    val blocks = sigs
+    sigs
       .select(col("doc_id"), col("simhash64"), explode(array(blockStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash64"), col("bb.blk").as("blk"), col("bb.key").as("key"))
-    val a = blocks.toDF("a", "sig_a", "blk", "key")
-    val b = blocks.toDF("b", "sig_b", "blk", "key")
-    a.join(b, Seq("blk", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .groupBy(col("bb.blk").as("blk"), col("bb.key").as("key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash64"))).as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val sorted = members.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+          ham = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
+          if ham <= maxHamming
+        } yield (sorted(i)._1, sorted(j)._1, ham)
+      }.toDF("a", "b", "hamming").distinct()
   }
 
   /** winnowing-style document fingerprint: minimum seeded hash over char
