@@ -73,6 +73,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(edges.forall(r => r.getAs[Long]("weight") >= 1))
   }
 
+  test("triple P/R vs the reference-verified oracle is >= 0.95 (driver gate)") {
+    // the per-sentence engine is differential-verified against the
+    // reference (DifferentialSpec); here we compute the explicit P/R of
+    // the distributed pipeline against that engine, over final SVO keys
+    val docs = Pipeline.synthDocs(spark, 500)
+    val got = Pipeline.extractTriples(Pipeline.segmentDocs(docs)).collect()
+      .map(t => (t.doc_id, t.sent_id, t.rel_list, t.subj, t.pred, t.obj)).toSet
+    val expected = (0L until 500L).flatMap { d =>
+      SynthDocs.expectedSentences(d).zipWithIndex.flatMap { case (sent, sid) =>
+        val (parse, tags) = FixtureParser.analyze(sent).get
+        val rels = PostProcess.processSentence(parse, Some(tags))
+        Seq("fine" -> rels.fine, "coarse" -> rels.coarse, "amend_fine" -> rels.amendFine,
+            "amend_coarse" -> rels.amendCoarse, "possible" -> rels.possible).flatMap {
+          case (ln, rs) => rs.map(r => (SynthDocs.docId(d), sid, ln, r.subj, r.pred, r.obj))
+        }
+      }
+    }.toSet
+    val tp = (got & expected).size.toDouble
+    val precision = tp / got.size
+    val recall = tp / expected.size
+    info(f"precision=$precision%.4f recall=$recall%.4f (${got.size} emitted, ${expected.size} expected)")
+    assert(precision >= 0.95 && recall >= 0.95)
+    assert(precision == 1.0 && recall == 1.0) // and in fact exact
+  }
+
   test("salted edge aggregation equals the unsalted plan") {
     val docs = Pipeline.synthDocs(spark, 300)
     val canon = Pipeline.canonicalize(
