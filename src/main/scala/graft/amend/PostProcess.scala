@@ -95,24 +95,54 @@ object PostProcess {
     * dudepparse.py:1550-1594; the tense/modal/copular conversions are
     * disabled there and omitted here). */
   def checkNct(rels: Vector[Rel], r: DepParse): Vector[Rel] = {
-    import Amender.{negAdvList, negCmpList, traceAntecedent}
+    if (rels.isEmpty) return rels
+    import Amender.{negAdvList, negCmpList}
+    val n = r.length
+    // ancestors-including-self per token as a bitmask (sentences are
+    // short; >64 tokens falls back to the direct walk) — replaces the
+    // reference's per-(rel, token) head-path walk (dudepparse.py:1538-47)
+    val masks: Array[Long] =
+      if (n <= 64) {
+        val m = new Array[Long](n)
+        def maskOf(i: Int): Long = {
+          if (m(i) != 0L) m(i)
+          else {
+            val h = r.heads(i)
+            val v = (1L << i) | (if (h == 0) 0L else maskOf(h - 1))
+            m(i) = v
+            v
+          }
+        }
+        (0 until n).foreach(maskOf)
+        m
+      } else null
+    def onPath(desc: Int, ante: Int): Boolean =
+      if (masks != null) ((masks(desc) >>> ante) & 1L) == 1L
+      else Amender.traceAntecedent(desc, ante, r)
+
     rels.map { rel =>
       if (rel.tag != "SVO") rel
       else {
         val hedIdx = rel.idxs(1).get
         val vbToks = rel.pred.split("·", -1).toSet
         val hedWord = r.words(hedIdx)
-        val vbIdxsFrom1 = r.words.indices.flatMap { tokId =>
-          if (traceAntecedent(tokId, hedIdx, r)) {
-            if (vbToks.contains(r.words(tokId)) && r.words(tokId) != hedWord) Some(tokId + 1)
-            else if (tokId == hedIdx) Some(tokId + 1)
-            else None
-          } else None
-        }.toSet
-        val negCount = r.words.indices.count { tokId =>
-          vbIdxsFrom1.contains(r.heads(tokId)) &&
-            ((r.deprels(tokId) == "ADV" && negAdvList.contains(r.words(tokId))) ||
-             (r.deprels(tokId) == "CMP" && negCmpList.contains(r.words(tokId))))
+        val vbIdxsFrom1 = scala.collection.mutable.BitSet.empty
+        var tokId = 0
+        while (tokId < n) {
+          if (onPath(tokId, hedIdx)) {
+            if ((vbToks.contains(r.words(tokId)) && r.words(tokId) != hedWord) || tokId == hedIdx)
+              vbIdxsFrom1 += (tokId + 1)
+          }
+          tokId += 1
+        }
+        var negCount = 0
+        tokId = 0
+        while (tokId < n) {
+          if (vbIdxsFrom1.contains(r.heads(tokId)) &&
+              ((r.deprels(tokId) == "ADV" && negAdvList.contains(r.words(tokId))) ||
+               (r.deprels(tokId) == "CMP" && negCmpList.contains(r.words(tokId)))))
+            negCount += 1
+          tokId += 1
         }
         if (negCount % 2 == 1)
           rel.copy(names = rel.names.updated(1, Some("否·" + rel.pred)))

@@ -50,20 +50,36 @@ final class Extractor(val tree: DepTree, val coarse: Boolean) {
   }
 
   /** Inorder traversal of a subtree, skipping COO children
-    * (extract.py:720-731). Returns (word, deprel) pairs. */
-  private def inorderTraversal(node: Node): List[(String, String)] = {
-    val lf = node.lefts.filter(i => nodes(i).deprel != "COO").flatMap(i => inorderTraversal(nodes(i)))
-    val rf = node.rights.filter(i => nodes(i).deprel != "COO").flatMap(i => inorderTraversal(nodes(i)))
-    lf ++ List((node.word, node.deprel)) ++ rf
+    * (extract.py:720-731). Appends node ids into `buf`. */
+  private def inorderInto(node: Node, buf: ListBuffer[Int]): Unit = {
+    for (i <- node.lefts if nodes(i).deprel != "COO") inorderInto(nodes(i), buf)
+    buf += node.id
+    for (i <- node.rights if nodes(i).deprel != "COO") inorderInto(nodes(i), buf)
   }
+
+  // processSubTerm is pure per node and called repeatedly (coarse
+  // argument projection + coarsify re-projection) — memoized per tree.
+  private val subTermCache = new Array[String](tree.n)
 
   /** Full subtree surface span with single leading/trailing MT trimmed
     * (extract.py:706-718). */
   def processSubTerm(node: Node): String = {
-    var toks = inorderTraversal(node)
-    if (toks.head._2 == "MT" && toks.length > 1) toks = toks.tail
-    if (toks.last._2 == "MT" && toks.length > 1) toks = toks.init
-    if (toks.length == 1) toks.head._1 else toks.map(_._1).mkString
+    val cached = subTermCache(node.id)
+    if (cached != null) return cached
+    val buf = ListBuffer.empty[Int]
+    inorderInto(node, buf)
+    var toks = buf.toList
+    if (nodes(toks.head).deprel == "MT" && toks.length > 1) toks = toks.tail
+    if (nodes(toks.last).deprel == "MT" && toks.length > 1) toks = toks.init
+    val res =
+      if (toks.length == 1) nodes(toks.head).word
+      else {
+        val sb = new java.lang.StringBuilder
+        toks.foreach(i => sb.append(nodes(i).word))
+        sb.toString
+      }
+    subTermCache(node.id) = res
+    res
   }
 
   /** COO fan-out of a node (extract.py:251-258 fine / :569-581 coarse). */
