@@ -35,6 +35,15 @@ object Bench {
     (nDocs, n, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** the real-I/O variant: parquet scan → segment → extract → count. */
+  def kgRunFromParquet(spark: SparkSession, path: String, nDocs: Long): (Long, Long, Double) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val docs = spark.read.parquet(path).as[graft.model.Doc]
+    val n = pipeline.Pipeline.extractTriples(pipeline.Pipeline.segmentDocs(docs)).count()
+    (nDocs, n, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,6 +58,15 @@ object Bench {
     val docsPerSec = nd / kgSec
     val triplesPerSec = nt / kgSec
 
+    // real-I/O variant: docs materialized to parquet once, then scanned
+    val docsPath = s"/tmp/graft_bench_docs_$benchDocs"
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
+      pipeline.Pipeline.synthDocs(spark, benchDocs).write.mode("overwrite").parquet(docsPath)
+    }
+    kgRunFromParquet(spark, docsPath, benchDocs)
+    val scanRuns = (1 to 3).map(_ => kgRunFromParquet(spark, docsPath, benchDocs))
+    val (_, _, scanSec) = scanRuns.sortBy(_._3).apply(1)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -57,7 +75,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + kgSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"cpus":"$cpus"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_scan_sec":$scanSec%.3f,"kg_scan_docs_per_sec":${nd / scanSec}%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,20 @@ object Pipeline {
     spark.range(0, nDocs).map(i => SynthDocs.genDoc(i, sentsPerDoc))
   }
 
+  /** schema-first JSONL docs reader (the reference's corpus readers,
+    * preprocess_corpus.py:166-340, consume JSON lines; dynamic-schema
+    * inference is deliberately avoided — SURVEY.md §1.4). */
+  def readDocsJson(spark: SparkSession, path: String): Dataset[Doc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType, nullable = false),
+      StructField("spans", ArrayType(StructType(Seq(
+        StructField("kind", StringType), StructField("text", StringType),
+        StructField("media_ref", StringType), StructField("offset", IntegerType)))))))
+    spark.read.schema(schema).json(path).as[Doc]
+  }
+
   // ----------------------------------------------------------- sentences
   /** explode text spans to sentences; media spans pass through untouched
     * in the docs table (span-sequence invariant checked by

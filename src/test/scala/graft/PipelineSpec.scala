@@ -110,6 +110,15 @@ class PipelineSpec extends SparkSpecBase {
     assert(plain.nonEmpty)
   }
 
+  test("JSONL docs source round-trips the docs table (schema-first)") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val docs = Pipeline.synthDocs(spark, 50)
+    docs.toDF().write.mode("overwrite").json(dir)
+    val back = Pipeline.readDocsJson(spark, dir)
+    assert(Pipeline.spanInvariantViolations(docs, back).count() == 0)
+    assert(back.count() == 50)
+  }
+
   test("checkpointed run resumes without recomputation") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val r1 = Pipeline.run(spark, root, nDocs = 50)

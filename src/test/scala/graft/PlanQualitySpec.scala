@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+/** Plan-quality regression tests — the 100 TB design properties must be
+  * visible in the physical plan, not just claimed:
+  *  - ingest → triples has ZERO exchanges (narrow end to end);
+  *  - canonicalization joins are broadcast, never shuffled;
+  *  - filters reach the parquet scan (PushedFilters) and scans are
+  *    column-pruned (ReadSchema);
+  *  - whole-stage codegen covers the relational queries. */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private def executed(df: DataFrame): String = df.queryExecution.executedPlan.toString()
+  private def shuffles(df: DataFrame): Int =
+    "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(executed(df)).length
+
+  test("docs → sentences → triples is shuffle-free") {
+    val triples = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(spark, 10)))
+    assert(shuffles(triples.toDF()) == 0, executed(triples.toDF()))
+  }
+
+  test("canonicalization uses broadcast joins only") {
+    val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(spark, 10)))
+    val canon = Pipeline.canonicalize(t, Pipeline.synthAliases(spark))
+    val plan = executed(canon)
+    assert(shuffles(canon) == 0, plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("filters and projections are pushed to the parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .filter(col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_size"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(p_size,25)"), plan)
+    assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_size:int>"), plan)
+  }
+
+  test("relational aggregation is whole-stage codegen'd") {
+    val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val gen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("WholeStageCodegen"), gen.take(500))
+  }
+}
