@@ -29,8 +29,8 @@ class DifferentialSpec extends AnyFunSuite {
       id => Templates.generate(id.split("-")(1).toLong))
   }
 
-  test("engine output exactly matches the reference on 4000 adversarial random trees") {
-    runDifferential("/golden_random.json", 4000,
+  test("engine output exactly matches the reference on 20000 adversarial random trees") {
+    runDifferential("/golden_random.json", 20000,
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
