@@ -1,0 +1,19 @@
+# Oracle for the sentence splitter: replay texts through the reference
+# split_str and dump results.
+import sys, json, io
+sys.path.insert(0, '/tmp/refh')
+sys.path.insert(1, '/root/reference')
+real_stdout = sys.stdout
+sys.stdout = io.StringIO()
+import preprocess_corpus as pc
+sys.stdout = real_stdout
+
+texts = json.load(open(sys.argv[1], encoding='utf8'))
+results = []
+sys.stdout = io.StringIO()
+for t in texts:
+    splitted, idxs = pc.split_str([t])
+    results.append({'sentences': splitted, 'idxs': idxs})
+sys.stdout = real_stdout
+json.dump(results, open(sys.argv[2], 'w', encoding='utf8'), ensure_ascii=False)
+print(f"wrote {len(results)}")
