@@ -28,15 +28,26 @@ final class CheckpointStore(root: String, spark: SparkSession) {
 
   /** run (or resume) a stage; the dataset is persisted as parquet with a
     * meta sidecar carrying row count, partition/file lineage and the
-    * upstream stage names. */
-  def runStage[T: Encoder](stage: String, upstream: Seq[String] = Nil)
+    * upstream stage names. `bucketCol` adds an explicit hash-bucket
+    * directory layout (`_bucket=pmod(xxhash64(col), nBuckets)`) — the
+    * plain-parquet analogue of Iceberg's `bucket(N, col)` partition
+    * transform: co-locates rows by key and prunes on bucket predicates. */
+  def runStage[T: Encoder](stage: String, upstream: Seq[String] = Nil,
+                           bucketCol: Option[String] = None, nBuckets: Int = 64)
                           (compute: => Dataset[T]): Dataset[T] = {
     if (!isComplete(stage)) {
       val ds = compute
-      ds.write.mode("overwrite").parquet(dataPath(stage))
+      bucketCol match {
+        case Some(c) =>
+          import org.apache.spark.sql.functions._
+          ds.withColumn("_bucket", pmod(xxhash64(org.apache.spark.sql.functions.col(c)), lit(nBuckets.toLong)))
+            .write.mode("overwrite").partitionBy("_bucket").parquet(dataPath(stage))
+        case None =>
+          ds.write.mode("overwrite").parquet(dataPath(stage))
+      }
       writeMeta(stage, upstream)
     }
-    spark.read.parquet(dataPath(stage)).as[T]
+    spark.read.parquet(dataPath(stage)).drop("_bucket").as[T]
   }
 
   private def writeMeta(stage: String, upstream: Seq[String]): Unit = {

@@ -279,9 +279,10 @@ object Pipeline {
           sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): RunResult = {
     import spark.implicits._
     val store = new CheckpointStore(checkpointRoot, spark)
-    val docs = store.runStage("docs")(synthDocs(spark, nDocs, sentsPerDoc))
+    val docs = store.runStage("docs", bucketCol = Some("doc_id"))(synthDocs(spark, nDocs, sentsPerDoc))
     val sentences = store.runStage("sentences", Seq("docs"))(segmentDocs(docs))
-    val triples = store.runStage("triples", Seq("sentences"))(extractTriples(sentences))
+    val triples = store.runStage("triples", Seq("sentences"), bucketCol = Some("doc_id"))(
+      extractTriples(sentences))
     val canonical = canonicalize(triples, synthAliases(spark))
     // canonical + edges are DataFrames; checkpoint via parquet round-trip
     val canonPath = s"$checkpointRoot/canonical"

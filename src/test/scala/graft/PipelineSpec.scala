@@ -128,5 +128,9 @@ class PipelineSpec extends SparkSpecBase {
     val r2 = Pipeline.run(spark, root, nDocs = 50)
     assert(r2.triples.count() == t1)
     assert(new java.io.File(s"$root/triples/_graft_meta.json").exists())
+    // explicit bucketed layout on the keyed stages
+    val bucketDirs = new java.io.File(s"$root/triples").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_bucket="))
+    assert(bucketDirs > 1, s"expected hash-bucket directories, found $bucketDirs")
   }
 }
