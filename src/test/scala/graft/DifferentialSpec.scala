@@ -34,6 +34,39 @@ class DifferentialSpec extends AnyFunSuite {
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
+  test("per-sentence decomposition equals the reference's per-document processing") {
+    // the reference processes documents (lists of sentences) through one
+    // post_processing call; the engine processes sentences independently.
+    // golden_docs.json holds reference outputs for 400 five-sentence docs.
+    val mapper = new ObjectMapper()
+    val stream = getClass.getResourceAsStream("/golden_docs.json")
+    assert(stream != null)
+    val golden = mapper.readTree(stream)
+    var checked = 0
+    val mismatches = scala.collection.mutable.ListBuffer.empty[String]
+    golden.forEach { g =>
+      if (g.get("ok").asBoolean()) {
+        val ids = (0 until g.get("ids").size()).map(i => g.get("ids").get(i).asText())
+        for ((id, sentIdx) <- ids.zipWithIndex) {
+          val fx = Templates.generate(id.split("-")(1).toLong)
+          val rels = PostProcess.processSentence(fx.parse, Some(fx.posTags))
+          val pairs = Seq("fine" -> rels.fine, "coarse" -> rels.coarse,
+                          "amend_fine" -> rels.amendFine, "amend_coarse" -> rels.amendCoarse,
+                          "possible" -> rels.possible)
+          for ((listName, ours) <- pairs) {
+            val goldList = g.get(listName).get(sentIdx)
+            val goldKeys = (0 until goldList.size()).map(i => goldenKey(goldList.get(i)))
+            if (goldKeys != ours.map(relKey))
+              mismatches += s"$id/$listName (doc-level)"
+          }
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 395, s"only $checked docs checked")
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("\n"))
+  }
+
   private def runDifferential(resource: String, expectedCount: Int,
                               regen: String => Templates.Fixture): Unit = {
     val mapper = new ObjectMapper()
