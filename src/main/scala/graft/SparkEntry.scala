@@ -123,7 +123,24 @@ object SparkEntry {
     "q_filter_scan" -> ((s, dir) =>
       read(s, dir, "part")
         .filter(col("p_size") >= 25)
-        .select(col("p_partkey"), col("p_brand"), col("p_size"))))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+    "q_semi_join" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+      val o = read(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+      val o = read(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+    "q_rollup" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("l_quantity").cast("long")).as("sum_qty"))))
 
   /** DuckDB oracles — same column names, integer/fixed-point arithmetic,
     * identical semantics. Non-SQL-expressible ops are intentionally absent
@@ -231,6 +248,18 @@ object SparkEntry {
           |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
           |FROM events GROUP BY event_type""".stripMargin,
       "q_filter_scan" ->
-        "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 25")
+        "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 25",
+      "q_semi_join" ->
+        """SELECT c_custkey, c_mktsegment FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+      "q_anti_join" ->
+        """SELECT c_custkey, c_mktsegment FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
   }
 }
