@@ -151,6 +151,76 @@ object PostProcess {
     }
   }
 
+  /** ---- dormant reference capabilities, flag-gated (the reference ships
+    * these conversions disabled: CONVERT_COPULAR/TENSE/MODAL = False,
+    * dudepparse.py:1551-1553; ported faithfully for completeness and
+    * switched off by default to match live output). ---- */
+
+  private val pastMts = Set("了", "过")
+  private val pastAdvs = Set("曾经", "曾", "从前", "以前", "昨天", "上周", "近日", "去年")
+  private val futureAdvs = Set("将", "将要", "将会", "必将", "明天", "下周", "明年", "后天")
+  private val modalMap = Map(
+    "能" -> "能", "能够" -> "能", "该" -> "该", "应该" -> "该", "会" -> "会", "要" -> "要",
+    "需要" -> "要", "敢" -> "敢", "敢于" -> "敢", "可以" -> "能", "必须" -> "要", "肯" -> "会")
+  private val copPredSetNct = Set(
+    "是", "也是", "就是", "而是", "正是", "才是", "都是", "仍是", "既是", "又是", "却是", "只是",
+    "算是", "竟是", "便是", "无疑是", "乃是", "并且是")
+
+  /** tense detection over the predicate head's ADV/MT dependents
+    * (reference check_rel_pred_tense, dudepparse.py:1489-1516). */
+  def predTense(rel: Rel, r: DepParse): String = {
+    val headFrom1 = rel.idxs(1).get + 1
+    var past = false; var future = false
+    for (tok <- r.words.indices if r.heads(tok) == headFrom1) {
+      if (r.deprels(tok) == "ADV") {
+        if (futureAdvs.contains(r.words(tok))) future = true
+        if (pastAdvs.contains(r.words(tok))) past = true
+      } else if (r.deprels(tok) == "MT" && pastMts.contains(r.words(tok))) past = true
+    }
+    if (future) "future" else if (past) "past" else "present"
+  }
+
+  /** modal markers over the predicate head's ADV dependents
+    * (reference check_rel_pred_modal, dudepparse.py:1519-1535). */
+  def predModal(rel: Rel, r: DepParse): Option[String] = {
+    val headFrom1 = rel.idxs(1).get + 1
+    val modals = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (tok <- r.words.indices
+         if r.heads(tok) == headFrom1 && r.deprels(tok) == "ADV")
+      modalMap.get(r.words(tok)).foreach(modals += _)
+    if (modals.isEmpty) None else Some(modals.map(m => s"【$m】").mkString)
+  }
+
+  /** the conversions the reference gates off: copular fold
+    * (obj absorbed into pred), tense prefix 【过去式】/【将来式】, modal
+    * prefix (dudepparse.py:1598-1653). Apply AFTER negation marking. */
+  def convertNct(rels: Vector[Rel], r: DepParse,
+                 copular: Boolean = false, tense: Boolean = false,
+                 modal: Boolean = false): Vector[Rel] = {
+    var out = rels
+    if (copular) out = out.map { rel =>
+      if (rel.tag == "SVO" && copPredSetNct.contains(rel.pred) && rel.names(2).nonEmpty)
+        Rel(Vector(rel.names(0), Some(rel.pred + "·" + rel.names(2).get), None), rel.tag, rel.idxs)
+      else rel
+    }
+    if (tense) out = out.map { rel =>
+      if (rel.tag != "SVO") rel
+      else predTense(rel, r) match {
+        case "past" => rel.copy(names = rel.names.updated(1, Some("【过去式】·" + rel.pred)))
+        case "future" => rel.copy(names = rel.names.updated(1, Some("【将来式】·" + rel.pred)))
+        case _ => rel
+      }
+    }
+    if (modal) out = out.map { rel =>
+      if (rel.tag != "SVO") rel
+      else predModal(rel, r) match {
+        case Some(m) => rel.copy(names = rel.names.updated(1, Some(m + "·" + rel.pred)))
+        case None => rel
+      }
+    }
+    out
+  }
+
   /** keep SVO triples only, deterministically capped (reference
     * only_keep_svo, dudepparse.py:215-231; random.sample pinned to
     * first-k). */

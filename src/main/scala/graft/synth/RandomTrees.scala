@@ -19,6 +19,7 @@ object RandomTrees {
     // construction triggers
     "把", "将", "被", "的", "是", "了", "地", "在", "与", "为", "从", "关于", "对", "不", "没有",
     "未能", "失败", "成为", "也是", "就是", "达",
+    "能", "会", "要", "应该", "必须", "将要", "昨天", "明天", "曾经", "过",
     // regular content words
     "张三", "李四", "默克尔", "北京大学", "机场", "法国", "贡献", "报道", "原因", "力量",
     "设备", "总理", "校长", "赶往", "做出", "建设", "引进", "回答", "研究", "讨论",
