@@ -135,8 +135,8 @@ object Amender {
   def amendSentence(r: DepParse, f: Vector[Rel], c: Vector[Rel],
                     posTags: Option[Map[String, Seq[String]]],
                     ignorePostag: Boolean = false): AmendResult = {
-    val aF = ListBuffer.empty[Rel]
-    val aC = ListBuffer.empty[Rel]
+    val aF = new scala.collection.mutable.ArrayBuffer[Rel](8)
+    val aC = new scala.collection.mutable.ArrayBuffer[Rel](8)
     val possibleF = ListBuffer.empty[Rel]
     val fResidue = mutable.Set.empty[Int]
     val cResidue = mutable.Set.empty[Int]
@@ -144,8 +144,24 @@ object Amender {
     val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
     val posGate = posTags.isDefined || ignorePostag
 
-    def jF: Vector[Rel] = f ++ aF
-    def jC: Vector[Rel] = c ++ aC
+    // working sets j_f/j_c = originals + all amendments so far. Grown
+    // incrementally instead of re-concatenated per rule: rules append to
+    // aF/aC only, so the buffers are stable snapshots inside each rule
+    // block and are synced between blocks (the reference's progressive
+    // merge points, dudepparse.py:636-637 etc.).
+    val jfBuf = new scala.collection.mutable.ArrayBuffer[Rel](f.length + 8)
+    val jcBuf = new scala.collection.mutable.ArrayBuffer[Rel](c.length + 8)
+    jfBuf ++= f; jcBuf ++= c
+    var jfSynced = 0
+    var jcSynced = 0
+    def jF: IndexedSeq[Rel] = {
+      while (jfSynced < aF.length) { jfBuf += aF(jfSynced); jfSynced += 1 }
+      jfBuf
+    }
+    def jC: IndexedSeq[Rel] = {
+      while (jcSynced < aC.length) { jcBuf += aC(jcSynced); jcSynced += 1 }
+      jcBuf
+    }
 
     // ---- POB (dudepparse.py:486-634) --------------------------------
     locally {
