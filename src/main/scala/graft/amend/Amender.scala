@@ -113,7 +113,7 @@ object Amender {
 
   /** filter to one tag with a deterministic cap (reference
     * filter_rel_list, dudepparse.py:16-38; cap pinned deterministic). */
-  def filterRelList(rels: IndexedSeq[Rel], tag: String, threshold: Int = 2000): IndexedSeq[(Int, Rel)] = {
+  def filterRelList(rels: scala.collection.IndexedSeq[Rel], tag: String, threshold: Int = 2000): scala.collection.IndexedSeq[(Int, Rel)] = {
     val kept = rels.zipWithIndex.collect { case (rel, i) if rel.tag == tag => (i, rel) }
     if (kept.length > threshold) kept.take(threshold) else kept
   }
@@ -154,11 +154,11 @@ object Amender {
     jfBuf ++= f; jcBuf ++= c
     var jfSynced = 0
     var jcSynced = 0
-    def jF: IndexedSeq[Rel] = {
+    def jF: scala.collection.IndexedSeq[Rel] = {
       while (jfSynced < aF.length) { jfBuf += aF(jfSynced); jfSynced += 1 }
       jfBuf
     }
-    def jC: IndexedSeq[Rel] = {
+    def jC: scala.collection.IndexedSeq[Rel] = {
       while (jcSynced < aC.length) { jcBuf += aC(jcSynced); jcSynced += 1 }
       jcBuf
     }
