@@ -23,7 +23,29 @@ object DumpSplitTexts {
       zhLong, zhWeak,
       "空  格 与\t制表符。还有#井号::双冒号的句子呀。",
       "纯粹换行\n分割的两个句子呀\n第三个句子也在这里呀")
-    docTexts ++ edge
+    // admission-boundary lengths: exactly 430/431 zh chars, 499/500 total
+    val zh430 = "这是汉字内容" * 71 + "汉字汉字" // 426+4 = 430 zh chars
+    val zh431 = zh430 + "字"
+    val len499 = "中" * 430 + "x" * 69 // 430 zh + latin padding → len 499
+    val len500 = len499 + "y"
+    // delimiter soups + empties between delimiters
+    val soups = Vector(
+      "。。。只有句号之间的内容呀。。。",
+      "！？；轮流出现的句子呀！结尾句子呀？最后的句子呀；",
+      "……省略号开头的句子呀……结尾也是省略号的句子呀……",
+      "中间有：\"引用嵌套。引用里另一句呀！\"引用之后的句子呀。",
+      "半角分号;分割的句子呀;再一个句子呀",
+      "。"  // delimiter only
+    )
+    // pseudo-random delimiter placement over a fixed word pool
+    val rndTexts = (0 until 100).map { i =>
+      var h = i.toLong * 2654435761L
+      def next(n: Int) = { h = h * 6364136223846793005L + 1442695040888963407L; math.floorMod(h >> 16, n).toInt }
+      val words = Vector("今天", "天气", "非常", "晴朗", "大家", "出门", "散步", "公园", "abc", "123", " ")
+      val delims = Vector("。", "！", "？", "；", "……", ";", "\n", "，", "")
+      (0 until (5 + next(30))).map(_ => words(next(words.length)) + delims(next(delims.length))).mkString
+    }
+    docTexts ++ edge ++ Vector(zh430, zh431, len499, len500) ++ soups ++ rndTexts
   }
 
   def main(args: Array[String]): Unit = {

@@ -132,5 +132,22 @@ class PipelineSpec extends SparkSpecBase {
     val bucketDirs = new java.io.File(s"$root/triples").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("_bucket="))
     assert(bucketDirs > 1, s"expected hash-bucket directories, found $bucketDirs")
+    // lineage metadata carries rows + upstream refs
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/triples/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"rows\":") && meta.contains("\"upstream\":[\"sentences\"]")
+           && meta.contains("\"files\":"), meta)
+  }
+
+  test("a corrupted (incomplete) checkpoint stage is recomputed, not trusted") {
+    val root = Files.createTempDirectory("graft-ckpt-corrupt").toString
+    val r1 = Pipeline.run(spark, root, nDocs = 30)
+    val t1 = r1.triples.count()
+    // simulate a killed writer: completeness marker gone mid-stage
+    new java.io.File(s"$root/triples/_graft_meta.json").delete()
+    val r2 = Pipeline.run(spark, root, nDocs = 30)
+    assert(r2.triples.count() == t1)
+    assert(new java.io.File(s"$root/triples/_graft_meta.json").exists(),
+           "recomputed stage must re-write its lineage meta")
   }
 }
