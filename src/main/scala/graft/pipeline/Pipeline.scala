@@ -251,6 +251,72 @@ object Pipeline {
     }
   }
 
+  /** deterministic mock annotator for the synthetic corpus: tokenizes the
+    * chunk's sentences and emits person↔pronoun chains (the fixture
+    * stand-in for a CoreNLP coref call, like the parses). */
+  def synthAnnotate(chunkSents: Vector[String]): graft.segment.CorefFetch.Ann = {
+    import graft.segment.CorefFetch.{Ann, Chain, Mention}
+    val persons = graft.synth.Templates.persons.toSet
+    val toks = chunkSents.map(s => FixtureParser.tokenize(s).getOrElse(Vector(s)))
+    val chains = Vector.newBuilder[Chain]
+    var lastPerson = -1
+    for (si <- chunkSents.indices) {
+      val s = chunkSents(si)
+      if (persons.exists(p => s.startsWith(p))) lastPerson = si
+      else if (s.startsWith("他") && !s.startsWith("他们") && lastPerson >= 0)
+        chains += Chain(Vector(Mention(lastPerson, 0, 1), Mention(si, 0, 1)), 0)
+    }
+    Ann(toks, chains.result())
+  }
+
+  /** coref second pass through the FULL front-end (chunk merge →
+    * mock-annotate → fetch_coref alignment/substitution → re-extract →
+    * set-diff) — the production-shaped path; `corefTriples` is the
+    * direct-substitution fast path (equivalence tested). */
+  def corefTriplesViaFetch(docs: Dataset[Doc], chunkThreshold: Int = 1536): Dataset[TripleRow] = {
+    import docs.sparkSession.implicits._
+    import graft.segment.{Coref, CorefFetch}
+    docs.mapPartitions { docIter =>
+      docIter.flatMap { doc =>
+        val sents = doc.spans.iterator.filter(s => s.kind == "text" && s.text != null)
+          .flatMap(s => Segmenter.segment(s.text)).toVector
+        val (merged, offsets) = CorefFetch.mergeTexts(sents, chunkThreshold)
+        val res = CorefFetch.fetchCoref(merged, offsets, sents,
+          text => synthAnnotate(sents.slice(
+            offsets(merged.indexOf(text))._1, offsets(merged.indexOf(text))._2)))
+        if (res.corefFailed || res.corefed.isEmpty) Iterator.empty
+        else {
+          val corefedSents: Vector[Option[String]] = res.corefed.get.zip(offsets).flatMap {
+            case (None, (st, en)) => (st until en).map(_ => None: Option[String])
+            case (Some(cs), _) => cs.map(Some(_))
+          }
+          corefedSents.zipWithIndex.iterator.flatMap { case (corefedOpt, sid) =>
+            corefedOpt match {
+              case Some(corefed) if corefed != sents(sid) =>
+                (FixtureParser.analyze(sents(sid)), FixtureParser.analyze(corefed)) match {
+                  case (Some((bp, bt)), Some((cp, ct))) =>
+                    val base = PostProcess.processSentence(bp, Some(bt))
+                    val cor = PostProcess.processSentence(cp, Some(ct))
+                    def emit(name: String, b: Vector[Rel], c: Vector[Rel]) =
+                      Coref.newRels(b, c).iterator.map { r =>
+                        TripleRow(doc.doc_id, sid, name, r.subj, r.pred, r.obj,
+                                  r.subjIdx, r.predIdx.get, r.objIdx)
+                      }
+                    emit("fine_corefed", base.fine, cor.fine) ++
+                      emit("coarse_corefed", base.coarse, cor.coarse) ++
+                      emit("amend_fine_corefed", base.amendFine, cor.amendFine) ++
+                      emit("amend_coarse_corefed", base.amendCoarse, cor.amendCoarse) ++
+                      emit("possible_corefed", base.possible, cor.possible)
+                  case _ => Iterator.empty
+                }
+              case _ => Iterator.empty
+            }
+          }
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------ span invariant
   /** rows whose span sequence (kind, text, media_ref, order) differs
     * between the input docs table and a pipeline output docs table.

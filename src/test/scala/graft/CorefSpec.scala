@@ -52,4 +52,13 @@ class CorefPipelineSpec extends SparkSpecBase {
       Set("fine_corefed", "coarse_corefed", "amend_fine_corefed",
           "amend_coarse_corefed", "possible_corefed")))
   }
+
+  test("full-front-end coref path equals the direct-substitution path") {
+    val docs = Pipeline.synthDocs(spark, 400)
+    val direct = Pipeline.corefTriples(docs).collect().toSet
+    val viaFetch = Pipeline.corefTriplesViaFetch(docs).collect().toSet
+    assert(direct == viaFetch,
+           s"direct=${direct.size} viaFetch=${viaFetch.size}, diff=${(direct diff viaFetch).take(3)} / ${(viaFetch diff direct).take(3)}")
+    assert(direct.nonEmpty)
+  }
 }
