@@ -58,6 +58,18 @@ object SparkEntry {
       Pipeline.corefTriples(Pipeline.synthDocs(s, VerifyDocs)).toDF()),
     "kg_metrics" -> ((s, _) =>
       Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
+    "kg_rel_totals" -> ((s, _) =>
+      // the merge-stage global stats (reference merge_parsed_results.py:60-74)
+      Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+        .groupBy(col("rel_list"))
+        .agg(count(lit(1)).as("n_rels"),
+             countDistinct(col("doc_id")).as("n_docs"),
+             countDistinct(col("pred")).as("n_distinct_preds"))),
+    "kg_toy_sample" -> ((s, _) =>
+      // deterministic-seed Bernoulli sample (reference toy sample sink,
+      // merge_parsed_results.py:76-78, which used a wall-clock seed)
+      Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+        .toDF().sample(withReplacement = false, 0.01, seed = 42)),
     "mm_media_features" -> ((s, _) =>
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),
