@@ -24,8 +24,8 @@ class DifferentialSpec extends AnyFunSuite {
     s"${n(0)}::${n(1)}::${n(2)}::::${relNode.get(1).asText()}::::${x(0)}::${x(1)}::${x(2)}"
   }
 
-  test("engine output exactly matches the reference on 2000 fixture sentences") {
-    runDifferential("/golden_rels.json", 2000,
+  test("engine output exactly matches the reference on 6000 fixture sentences") {
+    runDifferential("/golden_rels.json", 6000,
       id => Templates.generate(id.split("-")(1).toLong))
   }
 
