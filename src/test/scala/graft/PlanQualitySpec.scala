@@ -41,6 +41,24 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_size:int>"), plan)
   }
 
+  test("hash-bucket layout prunes partitions on bucket predicates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark)
+    store.runStage("docs", bucketCol = Some("doc_id"))(Pipeline.synthDocs(spark, 200))
+    val pruned = spark.read.parquet(s"$root/docs").filter(col("_bucket") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"), plan)
+    val rows = pruned.collect()
+    assert(rows.nonEmpty)
+    // only the requested bucket directory was read
+    assert(rows.map(r => r.getAs[Number]("_bucket").longValue).distinct.toSeq == Seq(3L))
+    // and the layout actually has many bucket directories to prune over
+    val bucketDirs = new java.io.File(s"$root/docs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_bucket="))
+    assert(bucketDirs > 10, s"$bucketDirs bucket dirs")
+  }
+
   test("relational aggregation is whole-stage codegen'd") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
