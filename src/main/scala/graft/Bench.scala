@@ -67,15 +67,32 @@ object Bench {
     val scanRuns = (1 to 3).map(_ => kgRunFromParquet(spark, docsPath, benchDocs))
     val (_, _, scanSec) = scanRuns.sortBy(_._3).apply(1)
 
+    // per-query wall times: min of 2 passes (variance guard — the shared
+    // 32-core host showed 6× contention swings in round 1). Failures are
+    // NEVER silently folded into a timing: they land in `errors`.
+    val qRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QRUNS", "2").toInt
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to qRuns).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   errors += s"$name: ${e.getClass.getSimpleName}"; false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      name -> (times.map(_._1).min, times.forall(_._2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + kgSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_scan_sec":$scanSec%.3f,"kg_scan_docs_per_sec":${nd / scanSec}%.1f,"cpus":"$cpus"}""")
+    val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2._1).sum + kgSec
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_scan_sec":$scanSec%.3f,"kg_scan_docs_per_sec":${nd / scanSec}%.1f,"cpus":"$cpus","query_runs":$qRuns,"n_errors":${errors.distinct.length},"errors":$errs}"""
+    // stdout (bare line — run/outputStrategy bypasses sbt's [info] logger)
+    println(json)
+    // and a file copy so the driver never depends on stdout framing
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -16,8 +16,19 @@ object SparkEntry {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** docs synthesized for the KG queries at verify scale. */
-  private val VerifyDocs = 400L
+  /** docs synthesized for the KG queries at verify scale (Verify.scala
+    * materializes the same docs as the `_aux/docs` oracle table). */
+  val VerifyDocs = 400L
+
+  /** stable per-triple key for the deterministic toy sample — identical
+    * expression on the DuckDB side (concat of all-coalesced columns). */
+  private def tripleSampleKey =
+    concat_ws("|",
+      col("doc_id"), col("sent_id").cast("string"), col("rel_list"),
+      coalesce(col("subj"), lit("∅")), col("pred"), coalesce(col("obj"), lit("∅")),
+      coalesce(col("subj_idx").cast("string"), lit("∅")),
+      col("pred_idx").cast("string"),
+      coalesce(col("obj_idx").cast("string"), lit("∅")))
 
   /** Flagship query on sf=0.001: the full KG pipeline — synth interleaved
     * docs → sentences → triples (fine+coarse+amendments) — emitting the
@@ -66,10 +77,12 @@ object SparkEntry {
              countDistinct(col("doc_id")).as("n_docs"),
              countDistinct(col("pred")).as("n_distinct_preds"))),
     "kg_toy_sample" -> ((s, _) =>
-      // deterministic-seed Bernoulli sample (reference toy sample sink,
-      // merge_parsed_results.py:76-78, which used a wall-clock seed)
+      // deterministic Bernoulli-style sample via a portable md5 row filter
+      // (~3/256 ≈ 1.2% — the reference's toy sample sink,
+      // merge_parsed_results.py:76-78, used a wall-clock seed; a
+      // content-hash filter is reproducible AND oracle-checkable)
       Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
-        .toDF().sample(withReplacement = false, 0.01, seed = 42)),
+        .toDF().filter(substring(md5(tripleSampleKey), 1, 2) <= "02")),
     "mm_media_features" -> ((s, _) =>
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),
@@ -155,11 +168,158 @@ object SparkEntry {
              sum(col("l_quantity").cast("long")).as("sum_qty"))))
 
   /** DuckDB oracles — same column names, integer/fixed-point arithmetic,
-    * identical semantics. Non-SQL-expressible ops are intentionally absent
-    * (driver records rows-only checks for them). */
+    * identical semantics. Ops whose hashes are PortableHash values are
+    * recomputed from scratch in SQL; KG-pipeline aggregations are checked
+    * relationally over the materialized stage parquet that Verify writes
+    * (`__OUT__` is substituted with the verify output dir at dump time).
+    * Only the extraction/segmentation cores themselves (kg_sentences,
+    * kg_triples, kg_coref, kg_mentions, mm_media_features) stay
+    * oracle-less — those are differentially verified against the reference
+    * implementation itself (DifferentialSpec and friends). */
   def oracleSql: Map[String, String] = {
+    import graft.functions.PortableHash.{duckFamilyHash, duckMd5Long48, duckPlaneSign}
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+    // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
+    val gramsCte =
+      """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [array_to_string(t, ' ')] END)) AS gram FROM toks)""".stripMargin
+    // minhash signature + band CTEs (mirrors DedupOps.minhashBands:
+    // 64 family hashes = 16 md5 seeds x 4 hex windows; band bucket =
+    // md5 of the comma-joined 4 row minima)
+    val bandsCte =
+      s"""$gramsCte,
+         |hx AS (SELECT doc_id, hi.hi AS hi,
+         |    min(substr(md5(CAST(hi.hi // 4 AS VARCHAR) || ':' || gram), 1 + 8 * (hi.hi % 4), 8)) AS h
+         |  FROM grams, generate_series(0, 63) AS hi(hi) GROUP BY doc_id, hi.hi),
+         |bands AS (SELECT doc_id, CAST(hi // 4 AS INTEGER) AS band,
+         |    md5(string_agg(h, ',' ORDER BY hi)) AS bucket
+         |  FROM hx GROUP BY doc_id, hi // 4)""".stripMargin
+    val winnowFps = (0 until 8)
+      .map(i => s"min(${duckFamilyHash(i, "s")}) AS fp$i").mkString(",\n  ")
+    // the deterministic toy-sample row filter (mirrors tripleSampleKey)
+    val sampleFilter =
+      """substr(md5(doc_id || '|' || CAST(sent_id AS VARCHAR) || '|' || rel_list || '|' ||
+        |  COALESCE(subj, '∅') || '|' || pred || '|' || COALESCE(obj, '∅') || '|' ||
+        |  COALESCE(CAST(subj_idx AS VARCHAR), '∅') || '|' || CAST(pred_idx AS VARCHAR) || '|' ||
+        |  COALESCE(CAST(obj_idx AS VARCHAR), '∅')), 1, 2) <= '02'""".stripMargin
     Map(
+      "dedup_minhash_bands" ->
+        s"""WITH $bandsCte
+           |SELECT doc_id, band, bucket FROM bands""".stripMargin,
+      "dedup_minhash_cand" ->
+        s"""WITH $bandsCte,
+           |bc AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+           |       HAVING count(*) BETWEEN 2 AND 200)
+           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |FROM bands x
+           |JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |JOIN bc ON bc.band = x.band AND bc.bucket = x.bucket""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+           |  FROM documents),
+           |th AS (SELECT doc_id, ${duckMd5Long48("tok")} AS h FROM tk),
+           |bits AS (SELECT doc_id, b.b AS bit,
+           |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM th, generate_series(0, 47) AS b(b) GROUP BY doc_id, b.b),
+           |sigs0 AS (SELECT doc_id,
+           |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM bits GROUP BY doc_id),
+           |sigs AS (SELECT d.doc_id, COALESCE(s0.sig, 0) AS sig
+           |  FROM documents d LEFT JOIN sigs0 s0 USING (doc_id)),
+           |blocks AS (SELECT doc_id, sig, b.b AS blk, (sig >> (b.b * 12)) & 4095 AS key
+           |  FROM sigs, generate_series(0, 3) AS b(b)),
+           |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |    CAST(len(list_filter(generate_series(0, 47),
+           |      z -> ((x.sig >> z) & 1) <> ((y.sig >> z) & 1))) AS INTEGER) AS hamming
+           |  FROM blocks x JOIN blocks y
+           |    ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
+           |SELECT a, b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+      "dedup_winnow" ->
+        s"""WITH sh AS (SELECT doc_id, unnest(CASE WHEN length(text) >= 8
+           |    THEN list_transform(generate_series(1, length(text) - 7), i -> substr(text, i, 8))
+           |    ELSE [text] END) AS s FROM documents)
+           |SELECT doc_id,
+           |  $winnowFps
+           |FROM sh GROUP BY doc_id""".stripMargin,
+      "ann_lsh" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |pb AS (SELECT vec_id, p.p AS p,
+           |    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+           |        CAST(embedding[i] AS DOUBLE) * ${duckPlaneSign("p.p", "i - 1")})) >= 0
+           |      THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END AS pbit
+           |  FROM e, generate_series(0, 3) AS p(p)),
+           |b AS (SELECT vec_id, CAST(sum(pbit) AS BIGINT) AS bucket FROM pb GROUP BY vec_id),
+           |q AS (SELECT b.vec_id AS query_id, e.embedding AS qe, b.bucket AS qb
+           |  FROM b JOIN e ON b.vec_id = e.vec_id WHERE b.vec_id < 8),
+           |cand AS (SELECT q.query_id, n.vec_id AS neighbor_id, q.qe, e2.embedding AS ne
+           |  FROM b n JOIN e e2 ON n.vec_id = e2.vec_id, q
+           |  WHERE n.vec_id <> q.query_id AND
+           |    len(list_filter(generate_series(0, 3),
+           |      z -> ((q.qb >> z) & 1) <> ((n.bucket >> z) & 1))) <= 1),
+           |s AS (SELECT query_id, neighbor_id,
+           |    CAST(floor(10000.0 *
+           |      list_sum(list_transform(generate_series(1, len(qe)), i ->
+           |        CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(ne, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
+           |     AS BIGINT) AS cos_x10000
+           |  FROM cand),
+           |r AS (SELECT query_id, neighbor_id, cos_x10000,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_x10000 DESC, neighbor_id) AS rank
+           |  FROM s)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_x10000
+           |FROM r WHERE rank <= 5""".stripMargin,
+      "kg_rel_totals" ->
+        """SELECT rel_list, count(*) AS n_rels, count(DISTINCT doc_id) AS n_docs,
+          |  count(DISTINCT pred) AS n_distinct_preds
+          |FROM read_parquet('__OUT__/kg_triples/*.parquet') GROUP BY rel_list""".stripMargin,
+      "kg_mention_stats" ->
+        """SELECT entity_id, canonical, count(*) AS n_mentions,
+          |  count(DISTINCT doc_id) AS n_docs, min(link_score_x1000) AS min_score
+          |FROM read_parquet('__OUT__/kg_mentions/*.parquet') GROUP BY entity_id, canonical""".stripMargin,
+      "kg_canonical" ->
+        """WITH t AS (SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')),
+          |a AS (SELECT * FROM read_parquet('__OUT__/_aux/aliases/*.parquet'))
+          |SELECT t.doc_id, t.sent_id, t.rel_list, t.subj, t.pred, t.obj,
+          |  t.subj_idx, t.pred_idx, t.obj_idx,
+          |  sa.entity_id AS subj_entity_id, COALESCE(sa.canonical, t.subj) AS subj_canonical,
+          |  oa.entity_id AS obj_entity_id, COALESCE(oa.canonical, t.obj) AS obj_canonical
+          |FROM t LEFT JOIN a sa ON t.subj = sa.alias LEFT JOIN a oa ON t.obj = oa.alias""".stripMargin,
+      "kg_edges" ->
+        // pair orientation (pred_src < pred_dst) relies on BMP-only
+        // predicates, where DuckDB's UTF-8 byte order == JVM UTF-16 order
+        """WITH pp AS (SELECT subj_canonical AS arg_s, obj_canonical AS arg_o, pred,
+          |    count(*) AS support
+          |  FROM read_parquet('__OUT__/kg_canonical/*.parquet')
+          |  WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
+          |  GROUP BY 1, 2, 3),
+          |capped AS (SELECT arg_s, arg_o, pred, support FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY arg_s, arg_o
+          |                                 ORDER BY support DESC, pred) AS rk FROM pp)
+          |  WHERE rk <= 32),
+          |pairs AS (SELECT x.pred AS pred_src, y.pred AS pred_dst,
+          |    least(x.support, y.support) AS pw
+          |  FROM capped x JOIN capped y
+          |    ON x.arg_s = y.arg_s AND x.arg_o = y.arg_o AND x.pred < y.pred)
+          |SELECT pred_src, pred_dst, CAST(sum(pw) AS BIGINT) AS weight,
+          |  count(*) AS n_arg_pairs
+          |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin,
+      "kg_toy_sample" ->
+        s"""SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')
+           |WHERE $sampleFilter""".stripMargin,
+      "kg_metrics" ->
+        """SELECT metric, CAST(sum(n) AS BIGINT) AS total
+          |FROM read_parquet('__OUT__/_aux/metric_events/*.parquet') GROUP BY metric""".stripMargin,
+      "kg_span_report" ->
+        """SELECT a.doc_id, (a.spans IS NOT DISTINCT FROM b.spans) AS preserved
+          |FROM read_parquet('__OUT__/_aux/docs/*.parquet') a
+          |JOIN read_parquet('__OUT__/_aux/docs/*.parquet') b ON a.doc_id = b.doc_id""".stripMargin,
+      "mm_media_stats" ->
+        """SELECT kind, count(*) AS n_assets, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+          |  max(width) AS max_width, max(n_frames) AS max_frames
+          |FROM read_parquet('__OUT__/mm_media_features/*.parquet') GROUP BY kind""".stripMargin,
       "dedup_exact" ->
         """SELECT md5(text) AS text_fp, min(doc_id) AS keeper_id, count(*) AS n_copies
           |FROM documents GROUP BY text""".stripMargin,

@@ -16,12 +16,28 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZhFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // aux tables for the relational KG oracles (the oracle SQL re-derives
+    // kg_canonical/kg_edges/kg_metrics/kg_span_report from these + the
+    // materialized stage outputs above)
+    try {
+      import graft.pipeline.Pipeline
+      Pipeline.synthAliases(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_aux/aliases")
+      Pipeline.synthDocs(spark, SparkEntry.VerifyDocs).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_aux/docs")
+      Pipeline.extractionMetricEvents(
+          Pipeline.segmentDocs(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/metric_events")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] aux tables failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -35,8 +51,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __OUT__ → the absolute verify output dir, so oracles can read the
+    // materialized stage parquet the loop above just wrote
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing — the same values computable by Spark
+  * (Catalyst built-ins / JVM MessageDigest) AND by an ANSI-ish SQL engine
+  * (the driver's DuckDB oracle). Everything is derived from md5 hex
+  * digests, the one cryptographic hash both engines expose identically.
+  *
+  * Three primitives:
+  *  - hex windows of md5 as STRING hash values (min-hash over strings —
+  *    lexicographic min of uniform hex strings is a valid MinHash);
+  *  - a 48-bit non-negative long from the first 12 hex chars (bit-level
+  *    ops like SimHash; 48 bits keeps every value exact in a double, so
+  *    no SQL engine loses precision);
+  *  - a ±1 sign from the parity of the first hex nibble (LSH hyperplanes).
+  *
+  * Each Spark-side definition has a `duck*` twin emitting the equivalent
+  * DuckDB SQL text, used by SparkEntry.oracleSql so the two sides can
+  * never drift apart silently.
+  */
+object PortableHash {
+
+  // -------------------------------------------------------- Spark columns
+
+  /** 8-hex-char window `w` (0-based) of md5("<seed>:" ++ s) — a 32-bit
+    * hash value as a lowercase hex STRING. One md5 yields 4 windows. */
+  def md5Window(seed: Int, s: Column, w: Int): Column =
+    substring(md5(concat(lit(seed + ":"), s)), 1 + 8 * w, 8)
+
+  /** hash function #i of a family: seed = i/4, window = i%4. */
+  def familyHash(i: Int, s: Column): Column = md5Window(i / 4, s, i % 4)
+
+  /** 48-bit non-negative long from the first 12 hex chars of md5(s). */
+  def md5Long48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  // ------------------------------------------------------------ JVM twins
+
+  private def digest(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** JVM twin of md5Long48 (typed mapPartitions paths): first 6 digest
+    * bytes big-endian == first 12 hex chars parsed base-16. */
+  def md5Long48Jvm(s: String): Long = {
+    val d = digest(s)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  /** ±1.0 from the parity of md5's first hex nibble of "<p>,<d>" — the
+    * deterministic hyperplane component for LSH. Data-independent, so
+    * Spark evaluates it driver-side into literal arrays. */
+  def planeSign(p: Int, d: Int): Double = {
+    val b0 = digest(s"$p,$d")(0)
+    if (((b0 >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  // ------------------------------------------------- DuckDB SQL emitters
+
+  /** DuckDB twin of md5Window/familyHash. `expr` is a VARCHAR expression. */
+  def duckFamilyHash(i: Int, expr: String): String =
+    s"substr(md5('${i / 4}:' || $expr), ${1 + 8 * (i % 4)}, 8)"
+
+  /** DuckDB twin of md5Long48: nibble-weighted sum of the first 12 hex
+    * chars (exact BIGINT arithmetic via shifts, no double rounding). */
+  def duckMd5Long48(expr: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 12), mi ->
+       |    CAST(strpos('0123456789abcdef', substr(md5($expr), mi, 1)) - 1 AS BIGINT)
+       |      * (CAST(1 AS BIGINT) << CAST((12 - mi) * 4 AS BIGINT)))) AS BIGINT)""".stripMargin
+
+  /** DuckDB twin of planeSign: odd first nibble → +1.0 else -1.0.
+    * `pExpr`/`dExpr` are integer SQL expressions. */
+  def duckPlaneSign(pExpr: String, dExpr: String): String =
+    s"(CASE WHEN strpos('13579bdf', substr(md5(CAST($pExpr AS VARCHAR) || ',' || CAST($dExpr AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)"
+}

@@ -2,18 +2,22 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
 
 /** Deduplication operators for a training-data pipeline, Spark-first:
-  * exact (hash group), n-gram Jaccard (inverted-index join, NOT pairwise
-  * scan), MinHash+LSH (band-bucket join), SimHash, winnowing fingerprint,
-  * embedding-cosine near-dup. All deterministic; hash functions are fixed
-  * multiplicative/xxhash schemes, no RNG.
+  * exact (hash group), n-gram Jaccard (inverted-index bucket grouping, NOT
+  * pairwise scan), MinHash+LSH (band-bucket join), SimHash, winnowing
+  * fingerprint, embedding-cosine near-dup. All deterministic; every hash is
+  * an md5-derived PortableHash value so the driver's DuckDB oracle can
+  * recompute each operator exactly (no engine-private hash functions).
   *
   * Scale notes (100 TB): every candidate-pair generator here is
   * blocking-based — pairs are only formed within a bucket (shared n-gram,
   * LSH band bucket, simhash block), never by cross join. Bucket blowup is
   * capped deterministically (`maxBucketSize`) the same way the reference
-  * caps its per-sentence combinatorics (dudepparse.py:16-38).
+  * caps its per-sentence combinatorics (dudepparse.py:16-38). Pair
+  * emission is a LOCAL flatMap over each grouped bucket (one shuffle),
+  * never a self-join that would re-evaluate the hashing subtree per side.
   */
 object DedupOps {
 
@@ -33,27 +37,36 @@ object DedupOps {
   }
 
   /** n-gram Jaccard near-dup candidate pairs via inverted index:
-    * explode distinct n-grams → self-join on n-gram (bucket) → count
-    * shared per pair → Jaccard = shared / (|A|+|B|-shared). Returns pairs
-    * with jaccard_x1000 ≥ threshold, a < b. Buckets over `maxBucketSize`
-    * docs are dropped (stopword-like shingles carry no signal and create
-    * quadratic blowup — deterministic skew guard). */
+    * explode distinct n-grams → group by n-gram (bucket) → LOCAL pairwise
+    * emission per bucket → count shared per pair → Jaccard =
+    * shared / (|A|+|B|-shared). Returns pairs with jaccard_x1000 ≥
+    * threshold, a < b. Buckets over `maxBucketSize` docs are dropped
+    * (stopword-like shingles carry no signal and create quadratic blowup —
+    * deterministic skew guard).
+    *
+    * Plan: 2 shuffles (gram group, pair group), no sort, no self-join —
+    * the gram bucket-size cap rides the same aggregation that emits the
+    * pairs instead of a window (count-over-partition would sort the fully
+    * exploded gram table, the engine's largest intermediate at scale). */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
                         thresholdX1000: Int = 500,
                         maxBucketSize: Int = 200): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val grams = documents
       .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-    val smallBuckets = grams
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val a = smallBuckets.toDF("a", "n_a", "gram")
-    val b = smallBuckets.toDF("b", "n_b", "gram")
-    a.join(b, Seq("gram"))
-      .filter(col("a") < col("b"))
+    grams
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val sorted = members.sortBy(_._1)
+        for { i <- sorted.indices.iterator; j <- (i + 1) until sorted.length }
+          yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
+      }.toDF("a", "b", "n_a", "n_b")
       .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard_x1000",
@@ -62,24 +75,22 @@ object DedupOps {
       .select(col("a"), col("b"), col("shared"), col("jaccard_x1000"))
   }
 
-  /** deterministic 64-bit hash of a string with a seed (splitmix-style
-    * over xxhash64 — stable across executors). */
-  private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
-
-  /** MinHash signatures: k minimums of seeded hashes over word shingles.
-    * One row per (doc, band) with the band's bucket key — the LSH
-    * pre-join shape. numHashes = bands * rowsPerBand. */
+  /** MinHash signatures: k minimums of PortableHash family hashes (8-hex
+    * windows, lexicographic min over uniform hex strings is a valid
+    * MinHash) over word shingles. One row per (doc, band) with the band's
+    * bucket key — the LSH pre-join shape. numHashes = bands * rowsPerBand. */
   def minhashBands(documents: DataFrame, shingleN: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val grams = documents.select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
-    val sigCols = (0 until bands * rowsPerBand).map(i => min(seededHash(col("gram"), i)).as(s"h$i"))
+    val sigCols = (0 until bands * rowsPerBand)
+      .map(i => min(PortableHash.familyHash(i, col("gram"))).as(s"h$i"))
     val sigs = grams.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one aggregation, then a narrow explode into (band, bucket) rows —
     // NOT a per-band union (which would re-shuffle the aggregation once
     // per band)
     val bandStructs = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -106,34 +117,34 @@ object DedupOps {
       }.toDF("a", "b").distinct()
   }
 
-  /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
+  /** 48-bit SimHash over word tokens: sign-sum of per-token md5Long48 bits.
     * Computed per-partition with a typed transformation (bit loops are not
-    * expressible efficiently in Catalyst). */
+    * expressible efficiently in Catalyst); 48 bits so every value is exact
+    * in the oracle engine's arithmetic. */
   def simhash(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val counts = new Array[Int](64)
+          val counts = new Array[Int](48)
           for (tok <- text.split(' ') if tok.nonEmpty) {
-            val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c).toLong << 32 |
-              (scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b).toLong & 0xffffffffL)
+            val h = PortableHash.md5Long48Jvm(tok)
             var bit = 0
-            while (bit < 64) {
+            while (bit < 48) {
               if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
               bit += 1
             }
           }
           var sig = 0L
           var bit = 0
-          while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+          while (bit < 48) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
           (id, sig)
         }
-      }.toDF("doc_id", "simhash64")
+      }.toDF("doc_id", "simhash48")
   }
 
-  /** simhash near-dup pairs: block on 4×16-bit sub-keys (any exact
+  /** simhash near-dup pairs: block on 4×12-bit sub-keys (any exact
     * sub-key match is a candidate; Hamming ≤ 3 duplicates always share at
     * least one of 4 blocks), then verify Hamming distance. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
@@ -142,12 +153,12 @@ object DedupOps {
     val sigs = simhash(documents)
     val blockStructs = (0 until 4).map { blk =>
       struct(lit(blk).as("blk"),
-             shiftrightunsigned(col("simhash64"), blk * 16).bitwiseAND(lit(0xffffL)).as("key"))
+             shiftrightunsigned(col("simhash48"), blk * 12).bitwiseAND(lit(0xfffL)).as("key"))
     }
     sigs
-      .select(col("doc_id"), col("simhash64"), explode(array(blockStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash48"), explode(array(blockStructs: _*)).as("bb"))
       .groupBy(col("bb.blk").as("blk"), col("bb.key").as("key"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash64"))).as("members"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash48"))).as("members"))
       .filter(size(col("members")) >= 2)
       .select(col("members")).as[Seq[(Long, Long)]]
       .flatMap { members =>
@@ -161,15 +172,15 @@ object DedupOps {
       }.toDF("a", "b", "hamming").distinct()
   }
 
-  /** winnowing-style document fingerprint: minimum seeded hash over char
-    * 8-gram shingles per window — k small integer fingerprints per doc. */
+  /** winnowing-style document fingerprint: minimum family hash over char
+    * 8-gram shingles — k small hex fingerprints per doc. */
   def winnowing(documents: DataFrame, k: Int = 8): DataFrame = {
     val shingles = when(length(col("text")) >= 8,
       transform(sequence(lit(0), length(col("text")) - 8),
                 i => col("text").substr(i + 1, lit(8))))
       .otherwise(array(col("text")))
     val exploded = documents.select(col("doc_id"), explode(shingles).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"fp$i"))
+    val mins = (0 until k).map(i => min(PortableHash.familyHash(i, col("sh"))).as(s"fp$i"))
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 

@@ -3,13 +3,18 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.PortableHash
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>), Spark-first:
   *  - brute-force cosine top-k as the exactness baseline (broadcast the
   *    query side — the scan side streams, no shuffle before top-k);
-  *  - random-hyperplane LSH bucketing as the 100 TB scale path (candidates
-  *    only within shared buckets, then exact rerank).
+  *  - random-hyperplane LSH bucketing with single-bit multi-probe as the
+  *    100 TB scale path (candidates only within probed buckets, then exact
+  *    rerank).
+  * Hyperplane components are PortableHash.planeSign values — deterministic,
+  * data-independent, and recomputable by the driver's DuckDB oracle — so
+  * Spark folds them into literal arrays at plan time (zero per-row hashing).
   * Similarities are x10000 fixed-point (floored) for oracle-stable
   * comparison.
   */
@@ -44,34 +49,46 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x10000"))
   }
 
-  /** deterministic pseudo-random hyperplanes: component h_{p,d} derived
-    * from xxhash64(p, d), mapped to {-1, +1}. Signature bit p =
-    * sign(sum_d h_{p,d} * v_d). */
-  private def planeSignExpr(embedding: Column, plane: Int): Column = {
+  /** signature bit p = sign(sum_d planeSign(p,d) * v_d); the plane is a
+    * literal ±1 array folded at plan time (dim is fixed per table). */
+  private def planeBitExpr(embedding: Column, plane: Int, dim: Int): Column = {
+    val signs = (0 until dim).map(d => PortableHash.planeSign(plane, d))
     val signedSum = aggregate(
-      zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-               (x, d) => x.cast("double") *
-                 when(xxhash64(lit(plane), d).bitwiseAND(lit(1L)) === 1L, lit(1.0d)).otherwise(lit(-1.0d))),
+      zip_with(embedding, typedLit(signs), (x, s) => x.cast("double") * s),
       lit(0.0d), (acc, x) => acc + x)
     when(signedSum >= 0, lit(1L)).otherwise(lit(0L))
   }
 
+  /** embedding dimensionality, probed once from the first row (fixed per
+    * table by construction). */
+  def embeddingDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head.getInt(0)
+
   /** random-hyperplane LSH bucket id per vector (nPlanes-bit signature). */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 12): DataFrame = {
-    val sig = (0 until nPlanes).map(p => planeSignExpr(col("embedding"), p) * lit(1L << p))
+    val dim = embeddingDim(embeddings)
+    val sig = (0 until nPlanes).map(p => planeBitExpr(col("embedding"), p, dim) * lit(1L << p))
       .reduce(_ + _)
     embeddings.select(col("vec_id"), col("embedding"), sig.as("bucket"))
   }
 
-  /** ANN via LSH: candidates share a bucket (multi-probe: the exact bucket
-    * plus its single-bit flips would go here; exact-bucket only for the
-    * baseline), exact cosine rerank, per-query top-k. */
+  /** ANN via LSH with single-bit multi-probe: each query probes its exact
+    * bucket plus all nPlanes one-bit-flip buckets (candidate iff bucket
+    * Hamming distance ≤ 1 — the flip recovers near neighbors that straddle
+    * one hyperplane), exact cosine rerank, per-query top-k. The probe
+    * expansion rides the small broadcast query side; the corpus side joins
+    * on its single exact bucket, so corpus work stays O(|corpus|). */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
-              nPlanes: Int = 12): DataFrame = {
+              nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame = {
     val bucketed = lshBuckets(embeddings, nPlanes)
+    val qbase = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val probeBuckets =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +: (0 until nPlanes).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)
     val queries = broadcast(
-      bucketed.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket")))
+      qbase.select(col("query_id"), col("qe"), explode(probeBuckets).as("bucket")))
     val cands = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
       .join(queries, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -141,7 +141,7 @@ object Pipeline {
     * shuffle(groupBy pair+pred) → window(same partitioning) →
     * shuffle(groupBy src,dst). */
   def entailmentEdges(canonical: DataFrame, maxPredsPerPair: Int = 32,
-                      saltBuckets: Int = 1): DataFrame = {
+                      saltBuckets: Int = 8): DataFrame = {
     val spark = canonical.sparkSession
     import spark.implicits._
     val pairPred = canonical
@@ -191,7 +191,10 @@ object Pipeline {
     * (SURVEY.md §2.4): per-rule amendment counts + V_CMP complement bucket
     * (dudepparse.py:425-449, merge_dict :205-211 → partial/final agg is
     * free under Spark's map-side combine). */
-  def extractionMetrics(sentences: Dataset[SentenceRow]): DataFrame = {
+  /** the un-aggregated per-sentence metric events — materialized by Verify
+    * as an aux table so the driver's DuckDB oracle can re-aggregate and
+    * hash-compare `extractionMetrics`. */
+  def extractionMetricEvents(sentences: Dataset[SentenceRow]): DataFrame = {
     import sentences.sparkSession.implicits._
     sentences.mapPartitions { rows =>
       rows.flatMap { row =>
@@ -205,8 +208,11 @@ object Pipeline {
         }
       }
     }.toDF("metric", "n")
-      .groupBy($"metric").agg(sum($"n").as("total"))
   }
+
+  def extractionMetrics(sentences: Dataset[SentenceRow]): DataFrame =
+    extractionMetricEvents(sentences)
+      .groupBy(col("metric")).agg(sum(col("n")).as("total"))
 
   // --------------------------------------------------------------- coref
   /** coref second pass (reference parse_coref, dudepparse.py:2005-2197):
