@@ -10,27 +10,41 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   * against an Iceberg catalog and `valid` is a snapshot-existence check).
   *
   * Semantics: a stage whose checkpoint directory contains both Spark's
-  * _SUCCESS marker and our _graft_meta.json is complete — `runStage`
-  * reads it back instead of recomputing, which is what makes a killed job
-  * resume without recomputation (the reference achieves the same with its
-  * --ready_ddp materialized-parse mode, dudepparse.py:1891-1899, and
-  * manual slice files).
+  * _SUCCESS marker and our _graft_meta.json WITH A MATCHING RUN
+  * FINGERPRINT is complete — `runStage` reads it back instead of
+  * recomputing, which is what makes a killed job resume without
+  * recomputation (the reference achieves the same with its --ready_ddp
+  * materialized-parse mode, dudepparse.py:1891-1899, and manual slice
+  * files). The fingerprint encodes the run's input parameters; rerunning
+  * against the same root with different parameters invalidates (and
+  * recomputes) stale stages instead of silently returning them.
   */
-final class CheckpointStore(root: String, spark: SparkSession) {
+final class CheckpointStore(root: String, spark: SparkSession,
+                            fingerprint: String = "") {
 
   private def dataPath(stage: String) = s"$root/$stage"
 
-  def isComplete(stage: String): Boolean = {
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&
-      fs.exists(new Path(dataPath(stage), "_graft_meta.json"))
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readMeta(stage: String): Option[String] = {
+    val p = new Path(dataPath(stage), "_graft_meta.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
+  def isComplete(stage: String): Boolean =
+    fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&
+      readMeta(stage).exists(_.contains(s""""fingerprint":${jstr(fingerprint)}"""))
+
   /** run (or resume) a stage; the dataset is persisted as parquet with a
-    * meta sidecar carrying row count, partition/file lineage and the
-    * upstream stage names. `bucketCol` adds an explicit hash-bucket
-    * directory layout (`_bucket=pmod(xxhash64(col), nBuckets)`) — the
-    * plain-parquet analogue of Iceberg's `bucket(N, col)` partition
+    * meta sidecar carrying row count, partition/file lineage, the upstream
+    * stage names and the run fingerprint. `bucketCol` adds an explicit
+    * hash-bucket directory layout (`_bucket=pmod(xxhash64(col), nBuckets)`)
+    * — the plain-parquet analogue of Iceberg's `bucket(N, col)` partition
     * transform: co-locates rows by key and prunes on bucket predicates. */
   def runStage[T: Encoder](stage: String, upstream: Seq[String] = Nil,
                            bucketCol: Option[String] = None, nBuckets: Int = 64)
@@ -45,12 +59,14 @@ final class CheckpointStore(root: String, spark: SparkSession) {
         case None =>
           ds.write.mode("overwrite").parquet(dataPath(stage))
       }
-      writeMeta(stage, upstream)
+      markComplete(stage, upstream)
     }
     spark.read.parquet(dataPath(stage)).drop("_bucket").as[T]
   }
 
-  private def writeMeta(stage: String, upstream: Seq[String]): Unit = {
+  /** write the completion meta for a stage whose data was persisted by the
+    * caller (DataFrame stages that don't go through runStage). */
+  def markComplete(stage: String, upstream: Seq[String]): Unit = {
     val df = spark.read.parquet(dataPath(stage))
     // per-file lineage: row count per output file (parquet footer reads —
     // no data scan)
@@ -60,9 +76,9 @@ final class CheckpointStore(root: String, spark: SparkSession) {
     val total = df.count()
     val meta =
       s"""{"stage":${jstr(stage)},"snapshot_id":${System.currentTimeMillis()},
+         |"fingerprint":${jstr(fingerprint)},
          |"rows":$total,"files":[${perFile.mkString(",")}],
          |"upstream":[${upstream.map(jstr).mkString(",")}]}""".stripMargin
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(dataPath(stage), "_graft_meta.json"), true)
     out.write(meta.getBytes(StandardCharsets.UTF_8))
     out.close()

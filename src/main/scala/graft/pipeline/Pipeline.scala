@@ -287,9 +287,9 @@ object Pipeline {
         val sents = doc.spans.iterator.filter(s => s.kind == "text" && s.text != null)
           .flatMap(s => Segmenter.segment(s.text)).toVector
         val (merged, offsets) = CorefFetch.mergeTexts(sents, chunkThreshold)
+        // chunk INDEX (not text lookup — two chunks can have equal text)
         val res = CorefFetch.fetchCoref(merged, offsets, sents,
-          text => synthAnnotate(sents.slice(
-            offsets(merged.indexOf(text))._1, offsets(merged.indexOf(text))._2)))
+          (ci, _) => synthAnnotate(sents.slice(offsets(ci)._1, offsets(ci)._2)))
         if (res.corefFailed || res.corefed.isEmpty) Iterator.empty
         else {
           val corefedSents: Vector[Option[String]] = res.corefed.get.zip(offsets).flatMap {
@@ -346,11 +346,15 @@ object Pipeline {
   // ------------------------------------------------------------ full run
   final case class RunResult(triples: DataFrame, edges: DataFrame, docsOut: Dataset[Doc])
 
-  /** end-to-end run with per-stage checkpoints. */
+  /** end-to-end run with per-stage checkpoints. The checkpoint store is
+    * fingerprinted with the run parameters: rerunning against the same
+    * root with different nDocs/sentsPerDoc recomputes instead of silently
+    * returning stale stage outputs. */
   def run(spark: SparkSession, checkpointRoot: String, nDocs: Long,
           sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): RunResult = {
     import spark.implicits._
-    val store = new CheckpointStore(checkpointRoot, spark)
+    val store = new CheckpointStore(checkpointRoot, spark,
+      fingerprint = s"nDocs=$nDocs,sentsPerDoc=$sentsPerDoc,buckets=64")
     val docs = store.runStage("docs", bucketCol = Some("doc_id"))(synthDocs(spark, nDocs, sentsPerDoc))
     val sentences = store.runStage("sentences", Seq("docs"))(segmentDocs(docs))
     val triples = store.runStage("triples", Seq("sentences"), bucketCol = Some("doc_id"))(
@@ -359,27 +363,15 @@ object Pipeline {
     // canonical + edges are DataFrames; checkpoint via parquet round-trip
     val canonPath = s"$checkpointRoot/canonical"
     val edgesPath = s"$checkpointRoot/edges"
-    val store2 = store
-    if (!store2.isComplete("canonical")) {
+    if (!store.isComplete("canonical")) {
       canonical.write.mode("overwrite").parquet(canonPath)
-      markMeta(spark, checkpointRoot, "canonical", Seq("triples"))
+      store.markComplete("canonical", Seq("triples"))
     }
     val canonBack = spark.read.parquet(canonPath)
-    if (!store2.isComplete("edges")) {
+    if (!store.isComplete("edges")) {
       entailmentEdges(canonBack).write.mode("overwrite").parquet(edgesPath)
-      markMeta(spark, checkpointRoot, "edges", Seq("canonical"))
+      store.markComplete("edges", Seq("canonical"))
     }
     RunResult(canonBack, spark.read.parquet(edgesPath), docs)
-  }
-
-  private def markMeta(spark: SparkSession, root: String, stage: String, upstream: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val df = spark.read.parquet(s"$root/$stage")
-    val total = df.count()
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(s"$root/$stage", "_graft_meta.json"), true)
-    out.write(s"""{"stage":"$stage","rows":$total,"upstream":[${upstream.map("\"" + _ + "\"").mkString(",")}]}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
   }
 }

@@ -71,19 +71,22 @@ object CorefFetch {
 
   /** the reference's fetch_coref (main_ner.py:194-325). `annotate` throwing
     * marks the document coref-failed (retry-at-half-threshold is the
-    * caller's policy, main_ner.py:395-399). */
+    * caller's policy, main_ner.py:395-399). The annotator receives the
+    * CHUNK INDEX alongside the text — callers that need the chunk's
+    * sentence range must use the index, never a text lookup (two merged
+    * chunks can carry identical text). */
   def fetchCoref(mergedTexts: Vector[String], offsets: Vector[(Int, Int)],
                  splitted: Vector[String],
-                 annotate: String => Ann): FetchResult = {
+                 annotate: (Int, String) => Ann): FetchResult = {
     var nChains = 0
     val corefed = ListBuffer.empty[Option[Vector[String]]]
     var mismatched = false
     var overlapCount = 0
 
-    for (((text, (st, en)), _) <- mergedTexts.zip(offsets).zipWithIndex) {
+    for (((text, (st, en)), chunkIdx) <- mergedTexts.zip(offsets).zipWithIndex) {
       val thisSplitted = splitted.slice(st, en)
       val ann =
-        try annotate(text)
+        try annotate(chunkIdx, text)
         catch { case _: Exception =>
           return FetchResult(None, corefFailed = true, mismatched, overlapCount, nChains)
         }

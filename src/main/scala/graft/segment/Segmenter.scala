@@ -50,14 +50,19 @@ object Segmenter {
   }
 
   /** greedy re-split of an over-long sentence at the weak boundary nearest
-    * below each `interval`-char window (preprocess_corpus.py:66-100). */
+    * below each `interval`-char window (preprocess_corpus.py:66-100).
+    * Index arithmetic is over CODE POINTS, matching Python string
+    * semantics — a 430-char window must never land mid-surrogate-pair for
+    * supplementary-plane CJK (ext-B etc.). */
   def splitLongSentences(string: String, interval: Int = MaxZh): Vector[String] = {
+    val cps = string.codePoints().toArray
+    def sub(st: Int, en: Int) = new String(cps, st, en - st)
     val res = ListBuffer.empty[String]
     var offset = 0
     var break = false
-    while (offset < string.length && !break) {
-      if (offset + interval >= string.length) {
-        res += string.substring(offset)
+    while (offset < cps.length && !break) {
+      if (offset + interval >= cps.length) {
+        res += sub(offset, cps.length)
         offset += interval
         break = true
       } else {
@@ -65,20 +70,20 @@ object Segmenter {
         var i = interval
         var found = false
         while (i > 0 && !found) {
-          if (offset + i < string.length) {
-            val c = string.charAt(offset + i)
+          if (offset + i < cps.length) {
+            val c = cps(offset + i)
             if (c == '，' || c == '；' || c == '、' || c == ' ') {
               closest = offset + i
-              res += string.substring(offset, closest)
+              res += sub(offset, closest)
               offset = closest + 1
               found = true
             }
           }
           i -= 1
         }
-        if (closest == -1 && offset + interval < string.length) {
+        if (closest == -1 && offset + interval < cps.length) {
           closest = offset + interval
-          res += string.substring(offset, closest)
+          res += sub(offset, closest)
           offset = closest
         }
       }
@@ -105,8 +110,11 @@ object Segmenter {
     }
     val admitted = splitted.flatMap { case (s, idx) =>
       val zh = countZhChars(s)
-      if (FilterLen < zh && zh <= MaxZh && s.length < MaxLen) Vector((s, idx))
-      else if (zh > MaxZh || s.length >= MaxLen) splitLongSentences(s).map((_, idx))
+      // total length in CODE POINTS (Python len semantics) — for
+      // supplementary-plane chars UTF-16 length would overcount
+      val len = s.codePointCount(0, s.length)
+      if (FilterLen < zh && zh <= MaxZh && len < MaxLen) Vector((s, idx))
+      else if (zh > MaxZh || len >= MaxLen) splitLongSentences(s).map((_, idx))
       else Vector.empty
     }
     admitted.map { case (s, idx) => (s.trim, idx) }

@@ -30,39 +30,73 @@ object StreamingOps {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Int)
 
-  /** gap-based sessionization (30 min inactivity closes a session) via
-    * flatMapGroupsWithState — the custom-state streaming primitive. */
-  def sessionize(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+  /** merge a sorted event run into the open session, emitting every
+    * session CLOSED by a gap; returns the still-open trailing session. */
+  private def mergeRun(uid: Long, sorted: Seq[Ev], init: Option[SessionState],
+                       gapMs: Long,
+                       out: scala.collection.mutable.ListBuffer[SessionOut]): Option[SessionState] = {
+    var cur = init
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(last = t, n = s.n + 1))
+        case Some(s) =>
+          out += SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur
+  }
+
+  /** gap-based sessionization (gapMs inactivity closes a session) via
+    * flatMapGroupsWithState with an EVENT-TIME TIMEOUT — the
+    * streaming-correct primitive: a session spanning micro-batches stays
+    * in state and is emitted exactly ONCE, when the watermark passes
+    * last-event + gap. In Append mode nothing is ever re-emitted.
+    * `watermarkDelay` is the late-data tolerance. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000,
+                 watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap expired with no new events: the session is final
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            val cur = mergeRun(uid, sorted, state.getOption, gapMs, out)
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** batch-equivalent sessionization: same gap semantics but the trailing
+    * (still-open) session of every user is flushed — the right shape for
+    * a BATCH analytics pass over a closed dataset, and NOT a streaming
+    * operator (in a stream the trailing session would be emitted once per
+    * micro-batch as it grows; use `sessionize` there). */
+  def sessionizeBatch(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, evs, state: GroupState[SessionState]) =>
-          // order within the group (batch mode delivers unordered)
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          var cur = state.getOption
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                out += SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
-            }
-          }
-          // batch mode: flush the trailing session (a streaming run would
-          // keep it in state and use a timeout to emit)
-          cur.foreach { s =>
-            if (!state.hasTimedOut) {
-              out += SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
-            }
-            state.update(s)
-          }
-          out.iterator
+      .flatMapGroups { (uid, evs) =>
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+        val cur = mergeRun(uid, sorted, None, gapMs, out)
+        cur.foreach(s => out += SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last), s.n))
+        out.iterator
       }
   }
 }

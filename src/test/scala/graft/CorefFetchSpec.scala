@@ -25,9 +25,8 @@ class CorefFetchSpec extends AnyFunSuite {
       assert(fx.merged == goldMerged, s"$id merged chunks differ")
 
       val (merged, offsets) = CorefFetch.mergeTexts(fx.splitted, DumpCorefFixtures.Threshold)
-      val annByText = merged.zip(fx.anns).toMap
-      val res = CorefFetch.fetchCoref(merged, offsets, fx.splitted, { text =>
-        annByText(text) match {
+      val res = CorefFetch.fetchCoref(merged, offsets, fx.splitted, { (ci, _) =>
+        fx.anns(ci) match {
           case Some(ann) => ann
           case None => throw new RuntimeException("annotator failure (mock)")
         }
@@ -52,5 +51,22 @@ class CorefFetchSpec extends AnyFunSuite {
       checked += 1
     }
     assert(checked == 240)
+  }
+
+  test("annotator receives the chunk index — duplicate chunk texts must not collide") {
+    val s = "张伟喜欢音乐。"
+    // two chunks with IDENTICAL text but different sentence ranges: a
+    // text-keyed lookup would hand both chunks the first chunk's range
+    val splitted = Vector(s, s)
+    val merged = Vector(s, s)
+    val offsets = Vector((0, 1), (1, 2))
+    val seen = scala.collection.mutable.ListBuffer.empty[Int]
+    val res = CorefFetch.fetchCoref(merged, offsets, splitted, { (ci, text) =>
+      seen += ci
+      assert(text == s)
+      CorefFetch.Ann(Vector(Vector(s.dropRight(1), "。")), Vector.empty)
+    })
+    assert(seen.toList == List(0, 1), "each chunk must be annotated under its own index")
+    assert(!res.corefFailed)
   }
 }

@@ -139,6 +139,20 @@ class PipelineSpec extends SparkSpecBase {
            && meta.contains("\"files\":"), meta)
   }
 
+  test("a checkpoint from different run parameters is invalidated, not reused") {
+    val root = Files.createTempDirectory("graft-ckpt-fp").toString
+    val r1 = Pipeline.run(spark, root, nDocs = 30)
+    val d1 = r1.docsOut.count()
+    assert(d1 == 30)
+    // same root, different parameters: stale stages must be recomputed
+    val r2 = Pipeline.run(spark, root, nDocs = 45)
+    assert(r2.docsOut.count() == 45,
+           "stale docs checkpoint (nDocs=30) silently reused for nDocs=45")
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/docs/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"fingerprint\":\"nDocs=45,"), meta)
+  }
+
   test("a corrupted (incomplete) checkpoint stage is recomputed, not trusted") {
     val root = Files.createTempDirectory("graft-ckpt-corrupt").toString
     val r1 = Pipeline.run(spark, root, nDocs = 30)

@@ -33,4 +33,23 @@ class SegmenterSpec extends AnyFunSuite {
   test("normalization strips whitespace, hashes and double colons") {
     assert(Segmenter.tokNorm(Seq("空  格 与\t制表符呀", "", "#井::号")) == Vector("空格与制表符呀", "井号"))
   }
+
+  test("supplementary-plane chars: code-point lengths, no mid-surrogate splits") {
+    val extB = new String(Character.toChars(0x20000)) // 𠀀 (CJK ext-B, 2 UTF-16 units)
+    // a long sentence mixing BMP Chinese with ext-B chars: every re-split
+    // piece must be well-formed (no lone surrogates at the boundaries)
+    val long = ("中文字符串片段，" + extB) * 80 // 720 code points, 800 UTF-16 units
+    val pieces = Segmenter.splitLongSentences(long)
+    assert(pieces.nonEmpty)
+    for (p <- pieces) {
+      assert(!Character.isLowSurrogate(p.head), s"piece starts mid-pair: ${p.take(4)}")
+      assert(!Character.isHighSurrogate(p.last), s"piece ends mid-pair: ${p.takeRight(4)}")
+    }
+    // admission window counts code points (Python len), not UTF-16 units:
+    // 480 code points of which 430 zh → admitted whole (UTF-16 len is 530,
+    // which a code-unit check would have re-split)
+    val s = "中" * 380 + extB * 50 + "，" + "中" * 49
+    val out = Segmenter.splitStr(Seq(s))
+    assert(out.map(_._1) == Vector(s), out.map(_._1).toString)
+  }
 }

@@ -38,7 +38,7 @@ class StreamingSpec extends SparkSpecBase {
     val evs = Seq(
       Ev(1, ts(0), "a"), Ev(1, ts(5), "b"), Ev(1, ts(50), "c"), // gap 45min → 2 sessions
       Ev(2, ts(1), "a")).toDS()
-    val sessions = StreamingOps.sessionize(evs).collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    val sessions = StreamingOps.sessionizeBatch(evs).collect().sortBy(s => (s.user_id, s.session_start.getTime))
     assert(sessions.length == 3)
     assert(sessions(0).user_id == 1 && sessions(0).n_events == 2 &&
            sessions(0).session_end.getTime == ts(5).getTime)
@@ -49,10 +49,37 @@ class StreamingSpec extends SparkSpecBase {
   test("sessionization over the events table finds plausible sessions") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .selectExpr("user_id", "ts", "event_type").as[Ev]
-    val sessions = StreamingOps.sessionize(events)
+    val sessions = StreamingOps.sessionizeBatch(events)
     val n = sessions.count()
     assert(n > 0)
     val total = sessions.agg(org.apache.spark.sql.functions.sum($"n_events")).head.getLong(0)
     assert(total == events.count(), "every event must land in exactly one session")
+  }
+
+  test("streaming sessionize emits a cross-batch session exactly once, on gap expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 10L * 60000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // session grows across two micro-batches — nothing may be emitted yet
+    input.addData(Ev(1, ts(0), "a"), Ev(1, ts(2), "b"))
+    q.processAllAvailable()
+    input.addData(Ev(1, ts(4), "c"))
+    q.processAllAvailable()
+    assert(spark.table("sessions_out").count() == 0,
+           "open session must not be emitted while it can still grow")
+    // an event far past the gap advances the watermark → timeout fires,
+    // the finished session is emitted exactly once
+    input.addData(Ev(2, ts(60), "z"))
+    q.processAllAvailable()
+    input.addData(Ev(2, ts(120), "z2"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_out").as[StreamingOps.SessionOut].collect()
+    val u1 = rows.filter(_.user_id == 1)
+    assert(u1.length == 1, s"expected exactly one user-1 session, got ${u1.toSeq}")
+    assert(u1.head.n_events == 3 && u1.head.session_start.getTime == ts(0).getTime &&
+           u1.head.session_end.getTime == ts(4).getTime)
   }
 }
