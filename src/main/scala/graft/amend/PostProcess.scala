@@ -230,29 +230,36 @@ object PostProcess {
   }
 
   /** re-project amended-relation arguments to coarse subtree spans, with
-    * revert guards (reference coarsify, dudepparse.py:1667-1715,
-    * keep_same_flag=True live config). Predicate chunking keeps empty
-    * chunks: an empty chunk always reverts (Python `'' in s` is true). */
-  def coarsify(coarseExtractor: Extractor, rels: Vector[Rel]): Vector[Rel] = {
-    rels.map { rel =>
+    * revert guards (reference coarsify, dudepparse.py:1667-1715;
+    * keep_same_flag=True + both arg flags is the live config; the
+    * single-sided keepSame=false calls are the dormant ADD_HALF_COARSE
+    * "crossed" projections, dudepparse.py:1774-1778). Predicate chunking
+    * keeps empty chunks: an empty chunk always reverts (Python `'' in s`
+    * is true). */
+  def coarsify(coarseExtractor: Extractor, rels: Vector[Rel],
+               subjFlag: Boolean = true, objFlag: Boolean = true,
+               keepSame: Boolean = true): Vector[Rel] = {
+    rels.flatMap { rel =>
       val chunks = rel.pred.split("·", -1)
       var newSubj = rel.names(0)
       var newObj = rel.names(2)
-      rel.idxs(0).foreach { si =>
+      if (subjFlag) rel.idxs(0).foreach { si =>
         val orig = rel.names(0).getOrElse("")
         var cand = coarseExtractor.processSubTerm(coarseExtractor.tree.pyAt(si))
         if (chunks.exists(ch => ch != "的" && ch != "在" && cand.contains(ch))) cand = orig
         if (!cand.contains(orig)) cand = orig
         newSubj = Some(cand)
       }
-      rel.idxs(2).foreach { oi =>
+      if (objFlag) rel.idxs(2).foreach { oi =>
         val orig = rel.names(2).getOrElse("")
         var cand = coarseExtractor.processSubTerm(coarseExtractor.tree.pyAt(oi))
         if (chunks.exists(ch => ch != "的" && ch != "在" && cand.contains(ch))) cand = orig
         if (!cand.contains(orig)) cand = orig
         newObj = Some(cand)
       }
-      Rel(Vector(newSubj, rel.names(1), newObj), rel.tag, rel.idxs)
+      if (keepSame || newSubj != rel.names(0) || newObj != rel.names(2))
+        Some(Rel(Vector(newSubj, rel.names(1), newObj), rel.tag, rel.idxs))
+      else None
     }
   }
 
@@ -275,10 +282,15 @@ object PostProcess {
 
   /** Full per-sentence post-processing (reference post_processing,
     * dudepparse.py:1718-1786, live flags: KEEP_ONLY_SVO=True,
-    * MUST_INCLUDE_CHINESE=True, ADD_HALF_COARSE=False). */
+    * MUST_INCLUDE_CHINESE=True, ADD_HALF_COARSE=False).
+    * `addHalfCoarse=true` enables the dormant crossed-projection lists
+    * (dudepparse.py:1774-1783): each fine / amend_fine relation is
+    * re-projected on ONE argument side at a time (subj-only, then
+    * obj-only), keeping only relations the projection actually changed. */
   def processSentence(parse: DepParse,
                       posTags: Option[Map[String, Seq[String]]],
-                      ignorePostag: Boolean = false): SentenceRels = {
+                      ignorePostag: Boolean = false,
+                      addHalfCoarse: Boolean = false): SentenceRels = {
     // one tree, two read-only extractors over it (the reference builds two
     // identical trees, extract.py:71-73/:387-391 — pure duplication)
     val tree = new DepTree(parse)
@@ -290,12 +302,13 @@ object PostProcess {
     val coarse0 = tokenNormalize(translateNaryToBinaries(reformat(coarseRaw)))
 
     val am = Amender.amendSentence(parse, fine0, coarse0, posTags, ignorePostag)
-    finishSentence(parse, coarseExtractor, am)
+    finishSentence(parse, coarseExtractor, am, addHalfCoarse)
   }
 
   /** shared tail of post_processing after the amendment stage. */
   private def finishSentence(parse: DepParse, coarseExtractor: Extractor,
-                             am: Amender.AmendResult): SentenceRels = {
+                             am: Amender.AmendResult,
+                             addHalfCoarse: Boolean = false): SentenceRels = {
     var fine = am.prunedFine
     var coarse = am.prunedCoarse
     var amendFine = am.amendFine
@@ -320,6 +333,19 @@ object PostProcess {
 
     amendCoarse = coarsify(coarseExtractor, amendCoarse)
 
-    SentenceRels(fine, coarse, amendFine, amendCoarse, possible)
+    // dormant ADD_HALF_COARSE path (dudepparse.py:1774-1783): half-crossed
+    // projections of the POST-filter fine / amend_fine lists, subj-side
+    // results before obj-side (the reference's x+y concatenation order)
+    val (crossed, amendCrossed) =
+      if (!addHalfCoarse) (Vector.empty[graft.model.Rel], Vector.empty[graft.model.Rel])
+      else {
+        val c1 = coarsify(coarseExtractor, fine, subjFlag = true, objFlag = false, keepSame = false)
+        val c2 = coarsify(coarseExtractor, fine, subjFlag = false, objFlag = true, keepSame = false)
+        val a1 = coarsify(coarseExtractor, amendFine, subjFlag = true, objFlag = false, keepSame = false)
+        val a2 = coarsify(coarseExtractor, amendFine, subjFlag = false, objFlag = true, keepSame = false)
+        (c1 ++ c2, a1 ++ a2)
+      }
+
+    SentenceRels(fine, coarse, amendFine, amendCoarse, possible, crossed, amendCrossed)
   }
 }

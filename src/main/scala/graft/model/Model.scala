@@ -68,15 +68,20 @@ object Rel {
     Rel(Vector(s, Some(v), o), tag, Vector(si, Some(vi), oi))
 }
 
-/** Per-sentence extraction result bundle — the five relation lists the
+/** Per-sentence extraction result bundle — the relation lists the
   * reference attaches to each document entry (dudepparse.py:1944-1951),
-  * here per sentence (every rule in the reference is per-sentence). */
+  * here per sentence (every rule in the reference is per-sentence).
+  * `crossed`/`amendCrossed` are the ADD_HALF_COARSE half-projection lists
+  * (dudepparse.py:1722,1774-1783) — empty under the reference's shipped
+  * config, populated when processSentence runs with addHalfCoarse=true. */
 final case class SentenceRels(
     fine: Vector[Rel],
     coarse: Vector[Rel],
     amendFine: Vector[Rel],
     amendCoarse: Vector[Rel],
-    possible: Vector[Rel])
+    possible: Vector[Rel],
+    crossed: Vector[Rel] = Vector.empty,
+    amendCrossed: Vector[Rel] = Vector.empty)
 
 /** One span of an interleaved text+media document (driver input_hint
   * schema). kind ∈ {text, image, audio, video, ...}; text is the

@@ -9,10 +9,18 @@ import graft.model.{AliasRow, SentenceRow}
   * The reference attaches CoreNLP NER mentions per sentence
   * (main_ner.py:9-41: word, label, [begin,end] span) and hooks entity
   * linking via a wikidict (StanfordCoreNLP.py:139). Here the detector is a
-  * deterministic Aho-Corasick-style scan over the alias dictionary
-  * (broadcast once, automaton built once per executor), and the link
-  * score is a deterministic surface-match score — the same per-partition
+  * deterministic longest-match scan driven by a prefix TRIE over the alias
+  * dictionary — built once per executor from the broadcast dict and cached
+  * (ConcurrentHashMap keyed by broadcast id), so scan cost per character
+  * is O(match length), independent of dictionary size. The link score is
+  * a deterministic surface-match score — the same per-partition
   * batched-inference shape a real NER/linker service call would have.
+  *
+  * Scale bound: the dict is driver-collected and broadcast, so this path
+  * is sized for dictionaries that fit an executor heap (~10⁷ short
+  * aliases ≈ a few GB trie). Beyond that, entity linking becomes a
+  * distributed join problem (broadcast no longer applies) — that variant
+  * is a sort-merge join on extracted candidate surfaces, not this scan.
   */
 object Mentions {
 
@@ -21,6 +29,52 @@ object Mentions {
                               entity_id: String, canonical: String,
                               link_score_x1000: Long)
 
+  /** prefix trie for longest-leftmost alias matching. Insertion order
+    * breaks ties among duplicate alias strings (first wins — the same
+    * winner as a first-seen linear scan). */
+  final class AliasTrie private (root: AliasTrie.Node) {
+    /** longest alias starting at position i, or null. */
+    def longestMatch(s: String, i: Int): AliasRow = {
+      var node = root
+      var best: AliasRow = null
+      var j = i
+      while (node != null && j < s.length) {
+        node = node.children.get(s.charAt(j))
+        j += 1
+        if (node != null && node.payload != null) best = node.payload
+      }
+      best
+    }
+  }
+
+  object AliasTrie {
+    private[Mentions] final class Node {
+      val children = new java.util.HashMap[Char, Node]()
+      var payload: AliasRow = null
+    }
+
+    def build(aliases: Iterable[AliasRow]): AliasTrie = {
+      val root = new Node
+      for (a <- aliases if a.alias.nonEmpty) {
+        var node = root
+        var i = 0
+        while (i < a.alias.length) {
+          var child = node.children.get(a.alias.charAt(i))
+          if (child == null) { child = new Node; node.children.put(a.alias.charAt(i), child) }
+          node = child
+          i += 1
+        }
+        if (node.payload == null) node.payload = a
+      }
+      new AliasTrie(root)
+    }
+  }
+
+  /** per-executor trie cache: the broadcast value is deserialized once per
+    * executor; the trie is built from it once per executor too (keyed by
+    * broadcast id), NOT once per partition. */
+  private val trieCache = new java.util.concurrent.ConcurrentHashMap[Long, AliasTrie]()
+
   /** detect alias-dictionary mentions in each sentence (longest
     * non-overlapping match, left to right) and score the link:
     * 1000 for exact-canonical surface, else scaled by length ratio. */
@@ -28,19 +82,17 @@ object Mentions {
     val spark = sentences.sparkSession
     import spark.implicits._
     val dict = spark.sparkContext.broadcast(aliases.collect())
+    val bid = dict.id
     sentences.mapPartitions { rows =>
-      // per-partition init: build the matching automaton once (the seam
+      // per-partition init resolves the per-EXECUTOR automaton (the seam
       // where a real linker would establish its batch/connection state)
-      val byFirst = dict.value.groupBy(_.alias.head)
+      val trie = trieCache.computeIfAbsent(bid, _ => AliasTrie.build(dict.value))
       rows.flatMap { row =>
         val s = row.sent
         val out = scala.collection.mutable.ListBuffer.empty[MentionRow]
         var i = 0
         while (i < s.length) {
-          val cands = byFirst.getOrElse(s.charAt(i), Array.empty)
-          var best: AliasRow = null
-          for (a <- cands if s.startsWith(a.alias, i))
-            if (best == null || a.alias.length > best.alias.length) best = a
+          val best = trie.longestMatch(s, i)
           if (best != null) {
             val score =
               if (best.alias == best.canonical) 1000L

@@ -76,13 +76,15 @@ object Pipeline {
     * analyze (observability; the reference prints such mismatches,
     * dudepparse.py:1894-1897). */
   def extractTriples(sentences: Dataset[SentenceRow],
-                     unparsedAcc: Option[LongAccumulator] = None): Dataset[TripleRow] = {
+                     unparsedAcc: Option[LongAccumulator] = None,
+                     addHalfCoarse: Boolean = false): Dataset[TripleRow] = {
     import sentences.sparkSession.implicits._
     sentences.mapPartitions { rows =>
       rows.flatMap { row =>
         FixtureParser.analyze(row.sent) match {
           case Some((parse, tags)) =>
-            val rels = PostProcess.processSentence(parse, Some(tags))
+            val rels = PostProcess.processSentence(parse, Some(tags),
+                                                   addHalfCoarse = addHalfCoarse)
             def emit(listName: String, rs: Vector[Rel]): Iterator[TripleRow] =
               rs.iterator.map { r =>
                 TripleRow(row.doc_id, row.sent_id, listName,
@@ -91,7 +93,10 @@ object Pipeline {
               }
             emit("fine", rels.fine) ++ emit("coarse", rels.coarse) ++
               emit("amend_fine", rels.amendFine) ++ emit("amend_coarse", rels.amendCoarse) ++
-              emit("possible", rels.possible)
+              emit("possible", rels.possible) ++
+              // ADD_HALF_COARSE families (empty under the shipped config —
+              // schema parity with the reference's entry fields)
+              emit("crossed", rels.crossed) ++ emit("amend_crossed", rels.amendCrossed)
           case None =>
             unparsedAcc.foreach(_.add(1))
             Iterator.empty

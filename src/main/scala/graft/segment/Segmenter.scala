@@ -94,8 +94,17 @@ object Segmenter {
   /** cascading delimiter split + admission filter + strip
     * (preprocess_corpus.py:103-163). Returns sentences zipped with the
     * index of the input chunk each came from (lineage). */
-  def splitStr(chunks: Seq[String]): Vector[(String, Int)] = {
-    var splitted: Vector[(String, Int)] = chunks.zipWithIndex.toVector
+  def splitStr(chunks: Seq[String]): Vector[(String, Int)] =
+    splitStr(chunks, chunks.indices)
+
+  /** mapping-threaded variant (reference split_str's `split_mapping`
+    * parameter, preprocess_corpus.py:103-108): the caller supplies the
+    * original-chunk id for each input chunk — the newsspike reader passes
+    * a persisted mapping through a RE-split so sentence lineage survives
+    * re-chunking (preprocess_corpus.py:342-355). */
+  def splitStr(chunks: Seq[String], mapping: Seq[Int]): Vector[(String, Int)] = {
+    require(chunks.length == mapping.length, "chunks and mapping must align")
+    var splitted: Vector[(String, Int)] = chunks.zip(mapping).toVector
     for (d <- delimiters) {
       splitted = splitted.flatMap { case (s, idx) =>
         val pieces = pySplit(s, d)
@@ -125,6 +134,16 @@ object Segmenter {
   def tokNorm(sentences: Seq[String]): Vector[String] =
     sentences.map(_.filterNot(_.isWhitespace).replace("#", "").replace("::", ""))
       .filter(_.nonEmpty).toVector
+
+  /** tokNorm keeping a lineage mapping aligned: pairs whose text
+    * normalizes to empty are dropped TOGETHER (the reference normalizes
+    * then asserts alignment, preprocess_corpus.py:349-355 — valid only
+    * because admitted sentences never normalize to empty; dropping the
+    * pair keeps this total instead of crashing). */
+  def tokNormWithMapping(pairs: Seq[(String, Int)]): Vector[(String, Int)] =
+    pairs.iterator.map { case (s, idx) =>
+      (s.filterNot(_.isWhitespace).replace("#", "").replace("::", ""), idx)
+    }.filter(_._1.nonEmpty).toVector
 
   /** full segmentation of one text payload: split → normalize. */
   def segment(text: String): Vector[String] =

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.types._
+import graft.model.SentenceRow
+import graft.segment.Segmenter
+
+/** Corpus-specific JSONL readers — the reference's three preprocessing
+  * mains re-expressed as schema-first Spark sources
+  * (/root/reference/preprocess_corpus.py:166-355):
+  *
+  *  - webhose  (main_webhose, :166-236): one JSON object per line with a
+  *    `text` payload (the reference reads one file per article; JSONL is
+  *    the same payload shape line-per-article), keyed by `uuid`;
+  *  - clue     (main_clue, :238-315): JSONL keyed `news_id`, payload in
+  *    `content`;
+  *  - newsspike (main_newsspike, :318-370): JSONL arriving PRE-split
+  *    (`splitted_text` + `split_mapping`); the reader re-splits and
+  *    THREADS the persisted mapping through (re-chunked articles keep
+  *    original-chunk lineage).
+  *
+  * Every reader emits the same preprocessed-doc table and an excluded-docs
+  * side output (entries whose admitted-sentence list is empty — the
+  * reference's *_excluded.jsonl sink, :219-224). Schema-first reads (no
+  * inference pass over 100 TB); one narrow map per doc, no shuffle.
+  */
+object CorpusReaders {
+
+  /** preprocessed document row: sentences + per-sentence original-chunk
+    * lineage (the reference's `splitted_text` / `split_mapping` fields). */
+  final case class PreprocessedDoc(doc_id: String,
+                                   splitted_text: Vector[String],
+                                   split_mapping: Vector[Int])
+
+  /** an entry routed to the excluded sink (no admissible sentences). */
+  final case class ExcludedDoc(doc_id: String, raw_text: String)
+
+  final case class ReaderOutput(docs: Dataset[PreprocessedDoc],
+                                excluded: Dataset[ExcludedDoc])
+
+  /** split → normalize → admit-or-exclude, shared by all readers. */
+  def preprocess(docId: String, chunks: Seq[String],
+                 mapping: Option[Seq[Int]] = None): Either[ExcludedDoc, PreprocessedDoc] = {
+    val pairs = mapping match {
+      case Some(m) => Segmenter.splitStr(chunks, m)
+      case None => Segmenter.splitStr(chunks)
+    }
+    val normed = Segmenter.tokNormWithMapping(pairs)
+    if (normed.isEmpty) Left(ExcludedDoc(docId, chunks.mkString("。")))
+    else Right(PreprocessedDoc(docId, normed.map(_._1), normed.map(_._2)))
+  }
+
+  private def split[I](input: Dataset[I])(f: I => Either[ExcludedDoc, PreprocessedDoc]): ReaderOutput = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val routed = input.map(f(_))
+    ReaderOutput(
+      docs = routed.flatMap(_.toOption),
+      excluded = routed.flatMap(_.left.toOption))
+  }
+
+  /** webhose articles: `{uuid, title, text}` JSONL; payload = text
+    * (preprocess_corpus.py:195 reads data_entry['text']). */
+  def readWebhose(spark: SparkSession, path: String): ReaderOutput = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("uuid", StringType), StructField("title", StringType),
+      StructField("text", StringType)))
+    val raw = spark.read.schema(schema).json(path)
+      .na.fill("", Seq("uuid", "text"))
+      .as[(String, String, String)]
+    split(raw) { case (uuid, _, text) => preprocess(uuid, Seq(text)) }
+  }
+
+  /** clue news2016zh: `{news_id, title, content}` JSONL; payload = content
+    * (preprocess_corpus.py:273). */
+  def readClue(spark: SparkSession, path: String): ReaderOutput = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("news_id", StringType), StructField("title", StringType),
+      StructField("content", StringType)))
+    val raw = spark.read.schema(schema).json(path)
+      .na.fill("", Seq("news_id", "content"))
+      .as[(String, String, String)]
+    split(raw) { case (id, _, content) => preprocess(id, Seq(content)) }
+  }
+
+  /** newsspike: pre-split `{id, splitted_text, split_mapping}` JSONL; the
+    * persisted mapping is threaded through the re-split so every emitted
+    * sentence keeps its ORIGINAL chunk id (preprocess_corpus.py:342-355). */
+  def readNewsspike(spark: SparkSession, path: String): ReaderOutput = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("splitted_text", ArrayType(StringType)),
+      StructField("split_mapping", ArrayType(IntegerType))))
+    val raw = spark.read.schema(schema).json(path)
+      .na.fill("", Seq("id"))
+      .as[(String, Seq[String], Seq[Int])]
+    split(raw) { case (id, chunks0, mapping0) =>
+      val chunks = Option(chunks0).getOrElse(Seq.empty)
+      val mapping = Option(mapping0).getOrElse(chunks.indices.toSeq)
+      preprocess(id, chunks, Some(mapping))
+    }
+  }
+
+  /** preprocessed docs → the engine's sentences table; `split_mapping`
+    * survives as `span_offset` (original-chunk lineage). One narrow
+    * flatMap, no shuffle. */
+  def toSentences(docs: Dataset[PreprocessedDoc]): Dataset[SentenceRow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      d.splitted_text.zip(d.split_mapping).zipWithIndex.map {
+        case ((sent, chunk), sid) => SentenceRow(d.doc_id, chunk, sid, sent)
+      }
+    }
+  }
+}

@@ -48,6 +48,18 @@ object DumpSplitTexts {
     docTexts ++ edge ++ Vector(zh430, zh431, len499, len500) ++ soups ++ rndTexts
   }
 
+  /** multi-chunk batteries with NON-TRIVIAL initial mappings (duplicate and
+    * non-contiguous chunk ids) for the mapping-threaded split_str variant —
+    * the newsspike re-split path (preprocess_corpus.py:342-355). */
+  def mappedBatteries: Vector[(Vector[String], Vector[Int])] = {
+    val t = texts
+    (0 until 60).toVector.map { i =>
+      val chunks = Vector(t(i % t.length), t((i * 7 + 3) % t.length), t((i * 13 + 11) % t.length))
+      val mapping = Vector(i % 4, i % 4, (i * 3) % 7 + 2) // duplicates + gaps
+      (chunks, mapping)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/split_texts.json"
     val mapper = new ObjectMapper()
@@ -55,5 +67,17 @@ object DumpSplitTexts {
     texts.foreach(arr.add)
     Files.write(Paths.get(out), mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(arr))
     println(s"wrote ${texts.length} texts to $out")
+    if (args.length > 1) {
+      val marr = mapper.createArrayNode()
+      mappedBatteries.foreach { case (chunks, mapping) =>
+        val node = mapper.createObjectNode()
+        val c = mapper.createArrayNode(); chunks.foreach(c.add)
+        val m = mapper.createArrayNode(); mapping.foreach(m.add)
+        node.replace("chunks", c); node.replace("mapping", m)
+        marr.add(node)
+      }
+      Files.write(Paths.get(args(1)), mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(marr))
+      println(s"wrote ${mappedBatteries.length} mapped batteries to ${args(1)}")
+    }
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.model.AliasRow
+import graft.pipeline.{Mentions, Pipeline}
+
+/** Mention detection: trie longest-match semantics, equivalence with a
+  * linear reference scan, and behavior at a production-ish dictionary
+  * size (10⁵ aliases) — the automaton must be built from the broadcast
+  * dict without per-row scans over it. */
+class MentionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("trie longest-leftmost matching equals a linear scan on the synth corpus") {
+    val docs = Pipeline.synthDocs(spark, 200)
+    val sentences = Pipeline.segmentDocs(docs)
+    val aliases = Pipeline.synthAliases(spark)
+    val got = Mentions.detect(sentences, aliases).collect().toSet
+    // reference: brute-force longest-match scan per position
+    val dict = aliases.collect()
+    val expected = sentences.collect().flatMap { row =>
+      val out = scala.collection.mutable.ListBuffer.empty[Mentions.MentionRow]
+      var i = 0
+      while (i < row.sent.length) {
+        var best: AliasRow = null
+        for (a <- dict if row.sent.startsWith(a.alias, i))
+          if (best == null || a.alias.length > best.alias.length) best = a
+        if (best != null) {
+          val score = if (best.alias == best.canonical) 1000L
+                      else 1000L * best.canonical.length / best.alias.length
+          out += Mentions.MentionRow(row.doc_id, row.sent_id, best.alias, i,
+                                     i + best.alias.length, best.entity_id, best.canonical, score)
+          i += best.alias.length
+        } else i += 1
+      }
+      out
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("longest match wins and overlapping shorter aliases are shadowed") {
+    val sents = Seq(graft.model.SentenceRow("d0", 0, 0, "张伟先生去了北京大学。")).toDS()
+    val aliases = Seq(
+      AliasRow("张伟", "E1", "张伟"),
+      AliasRow("张伟先生", "E1", "张伟"),
+      AliasRow("北京", "E2", "北京"),
+      AliasRow("北京大学", "E3", "北京大学")).toDS()
+    val got = Mentions.detect(sents, aliases).collect().sortBy(_.begin)
+    assert(got.map(_.mention).toSeq == Seq("张伟先生", "北京大学"))
+    assert(got.map(_.entity_id).toSeq == Seq("E1", "E3"))
+  }
+
+  test("a 100k-alias dictionary is handled via the per-executor trie") {
+    val big = (0 until 100000).map { i =>
+      AliasRow(f"人物$i%05d", f"E$i%06d", f"人物$i%05d")
+    } ++ Seq(AliasRow("张伟", "EZW", "张伟"))
+    val aliases = spark.createDataset(big)
+    val sents = Seq(
+      graft.model.SentenceRow("d0", 0, 0, "人物00042和人物99999见了张伟。"),
+      graft.model.SentenceRow("d1", 0, 0, "没有任何别名的句子呀。")).toDS()
+    val got = Mentions.detect(sents, aliases).collect()
+    assert(got.map(_.mention).toSet == Set("人物00042", "人物99999", "张伟"))
+    // the detection plan is a single narrow mapPartitions over sentences —
+    // no join, no shuffle (the dict rides a broadcast variable)
+    val plan = Mentions.detect(sents, aliases).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -65,6 +65,37 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-probe LSH recall >= 0.9 on planted neighbors at nPlanes=12") {
+    def vec(seed: Long, dim: Int): Array[Float] = {
+      var h = seed * 2654435761L
+      Array.tabulate(dim) { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        (((h >> 20) % 1000).toFloat / 500f) - 1f
+      }
+    }
+    val base = (0L until 200L).map(i => (i, vec(i, 16)))
+    // each query 0..19 gets a planted near-duplicate (tiny perturbation):
+    // it straddles at most a plane or two, which single-bit multi-probe
+    // must recover
+    val planted = (0L until 20L).map { i =>
+      val v = vec(i, 16).clone(); v(0) = v(0) + 0.01f; (1000L + i, v)
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val res = SimilarityOps.lshTopK(emb, nQueries = 20, k = 5, nPlanes = 12, multiProbe = true)
+      .collect()
+    val found = (0L until 20L).count { i =>
+      res.exists(r => r.getLong(0) == i && r.getLong(2) == 1000L + i)
+    }
+    assert(found >= 18, s"multi-probe recall $found/20 below 0.9")
+    // exact-bucket-only is strictly weaker (sanity that the probes do work)
+    val exact = SimilarityOps.lshTopK(emb, nQueries = 20, k = 5, nPlanes = 12, multiProbe = false)
+      .collect()
+    val foundExact = (0L until 20L).count { i =>
+      exact.exists(r => r.getLong(0) == i && r.getLong(2) == 1000L + i)
+    }
+    assert(foundExact <= found, s"exact $foundExact > multiprobe $found")
+  }
+
   test("multimodal decode round-trips metadata through binary payloads") {
     val docs = Pipeline.synthDocs(spark, 50)
     val assets = MultimodalOps.mediaAssets(docs)
