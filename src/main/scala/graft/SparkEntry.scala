@@ -177,7 +177,7 @@ object SparkEntry {
     * oracle-less — those are differentially verified against the reference
     * implementation itself (DifferentialSpec and friends). */
   def oracleSql: Map[String, String] = {
-    import graft.functions.PortableHash.{duckFamilyHash, duckMd5Long48, duckPlaneSign}
+    import graft.functions.PortableHash.{duckFamilyHashLong, duckMd5Long48, duckPlaneSign}
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
     val gramsCte =
@@ -186,18 +186,19 @@ object SparkEntry {
         |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
         |    ELSE [array_to_string(t, ' ')] END)) AS gram FROM toks)""".stripMargin
     // minhash signature + band CTEs (mirrors DedupOps.minhashBands:
-    // 64 family hashes = 16 md5 seeds x 4 hex windows; band bucket =
-    // md5 of the comma-joined 4 row minima)
+    // 64 affine family hashes over ONE md5Long48 base per gram; band
+    // bucket = md5 of the comma-joined 4 row minima rendered as decimal)
     val bandsCte =
       s"""$gramsCte,
+         |gb AS (SELECT doc_id, ${duckMd5Long48("gram")} AS base FROM grams),
          |hx AS (SELECT doc_id, hi.hi AS hi,
-         |    min(substr(md5(CAST(hi.hi // 4 AS VARCHAR) || ':' || gram), 1 + 8 * (hi.hi % 4), 8)) AS h
-         |  FROM grams, generate_series(0, 63) AS hi(hi) GROUP BY doc_id, hi.hi),
+         |    min(${graft.functions.PortableHash.duckFamilyHashLongOver("base", "hi.hi")}) AS h
+         |  FROM gb, generate_series(0, 63) AS hi(hi) GROUP BY doc_id, hi.hi),
          |bands AS (SELECT doc_id, CAST(hi // 4 AS INTEGER) AS band,
-         |    md5(string_agg(h, ',' ORDER BY hi)) AS bucket
+         |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY hi)) AS bucket
          |  FROM hx GROUP BY doc_id, hi // 4)""".stripMargin
     val winnowFps = (0 until 8)
-      .map(i => s"min(${duckFamilyHash(i, "s")}) AS fp$i").mkString(",\n  ")
+      .map(i => s"min(${duckFamilyHashLong(i, "s")}) AS fp$i").mkString(",\n  ")
     // the deterministic toy-sample row filter (mirrors tripleSampleKey)
     val sampleFilter =
       """substr(md5(doc_id || '|' || CAST(sent_id AS VARCHAR) || '|' || rel_list || '|' ||

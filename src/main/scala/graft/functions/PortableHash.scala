@@ -32,6 +32,24 @@ object PortableHash {
   /** hash function #i of a family: seed = i/4, window = i%4. */
   def familyHash(i: Int, s: Column): Column = md5Window(i / 4, s, i % 4)
 
+  val Mask48 = 0xFFFFFFFFFFFFL
+
+  /** odd multiplier < 2^14 for family member #i (multiply-shift family;
+    * a_i * base < 2^62 keeps every product exact in signed 64-bit on BOTH
+    * engines — DuckDB raises on BIGINT overflow). */
+  def affineA(i: Int): Long = ((40503L * i + 12345L) % 16000L) | 1L
+
+  /** hash function #i of a family as a 48-bit LONG, derived from ONE md5
+    * per input value: h_i = (a_i * md5Long48(s) + i) & (2^48-1). One
+    * digest amortized over the whole family (k=64 MinHash costs 1 md5 +
+    * 64 multiply-adds per shingle, not 16 digests), and the fixed-width
+    * value keeps min-aggregations in HashAggregate (min over var-length
+    * strings falls back to SortAggregate — a full sort of the exploded
+    * table). Multiply-shift is the standard way to spawn a MinHash family
+    * from one base hash. */
+  def familyHashLong(i: Int, s: Column): Column =
+    (md5Long48(s) * lit(affineA(i)) + lit(i.toLong)).bitwiseAND(lit(Mask48))
+
   /** 48-bit non-negative long from the first 12 hex chars of md5(s). */
   def md5Long48(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
@@ -63,6 +81,16 @@ object PortableHash {
   /** DuckDB twin of md5Window/familyHash. `expr` is a VARCHAR expression. */
   def duckFamilyHash(i: Int, expr: String): String =
     s"substr(md5('${i / 4}:' || $expr), ${1 + 8 * (i % 4)}, 8)"
+
+  /** DuckDB twin of familyHashLong (exact BIGINT arithmetic). */
+  def duckFamilyHashLong(i: Int, expr: String): String =
+    s"((${affineA(i)} * ${duckMd5Long48(expr)} + $i) & ${Mask48})"
+
+  /** DuckDB twin of familyHashLong where the base md5Long48 value is
+    * already materialized as column `baseCol` and the family index is a
+    * SQL expression `iExpr`. */
+  def duckFamilyHashLongOver(baseCol: String, iExpr: String): String =
+    s"((((40503 * ($iExpr) + 12345) % 16000) | 1) * $baseCol + ($iExpr)) & ${Mask48}"
 
   /** DuckDB twin of md5Long48: nibble-weighted sum of the first 12 hex
     * chars (exact BIGINT arithmetic via shifts, no double rounding). */

@@ -26,6 +26,19 @@ object DedupOps {
     documents.groupBy(md5(col("text")).as("text_fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** under-partitioned-scan guard for the shingle/hash-heavy ops: when the
+    * input scan yields fewer partitions than cores (tiny local files — a
+    * single small parquet is ONE split, so the whole hash grind would run
+    * on one core), repartition up front. At production scale the scan
+    * already yields >= parallelism splits and this is a no-op (no exchange
+    * added); it never changes results. */
+  private def parallelized(documents: DataFrame): DataFrame = {
+    val sc = documents.sparkSession.sparkContext
+    if (documents.rdd.getNumPartitions < sc.defaultParallelism)
+      documents.repartition(sc.defaultParallelism)
+    else documents
+  }
+
   /** word n-grams of one text column as a distinct array (Catalyst only). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -53,7 +66,7 @@ object DedupOps {
                         maxBucketSize: Int = 200): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val grams = documents
+    val grams = parallelized(documents)
       .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
@@ -75,21 +88,22 @@ object DedupOps {
       .select(col("a"), col("b"), col("shared"), col("jaccard_x1000"))
   }
 
-  /** MinHash signatures: k minimums of PortableHash family hashes (8-hex
-    * windows, lexicographic min over uniform hex strings is a valid
-    * MinHash) over word shingles. One row per (doc, band) with the band's
-    * bucket key — the LSH pre-join shape. numHashes = bands * rowsPerBand. */
+  /** MinHash signatures: k minimums of PortableHash affine family hashes
+    * (ONE md5 digest per shingle, k multiply-adds — fixed-width LONG agg
+    * buffers keep the signature aggregation in HashAggregate) over word
+    * shingles. One row per (doc, band) with the band's bucket key — the
+    * LSH pre-join shape. numHashes = bands * rowsPerBand. */
   def minhashBands(documents: DataFrame, shingleN: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val grams = documents.select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
+    val grams = parallelized(documents).select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
     val sigCols = (0 until bands * rowsPerBand)
-      .map(i => min(PortableHash.familyHash(i, col("gram"))).as(s"h$i"))
+      .map(i => min(PortableHash.familyHashLong(i, col("gram"))).as(s"h$i"))
     val sigs = grams.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one aggregation, then a narrow explode into (band, bucket) rows —
     // NOT a per-band union (which would re-shuffle the aggregation once
     // per band)
     val bandStructs = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -124,7 +138,7 @@ object DedupOps {
   def simhash(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    parallelized(documents).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val counts = new Array[Int](48)
@@ -173,14 +187,14 @@ object DedupOps {
   }
 
   /** winnowing-style document fingerprint: minimum family hash over char
-    * 8-gram shingles — k small hex fingerprints per doc. */
+    * 8-gram shingles — k small integer fingerprints per doc. */
   def winnowing(documents: DataFrame, k: Int = 8): DataFrame = {
     val shingles = when(length(col("text")) >= 8,
       transform(sequence(lit(0), length(col("text")) - 8),
                 i => col("text").substr(i + 1, lit(8))))
       .otherwise(array(col("text")))
-    val exploded = documents.select(col("doc_id"), explode(shingles).as("sh"))
-    val mins = (0 until k).map(i => min(PortableHash.familyHash(i, col("sh"))).as(s"fp$i"))
+    val exploded = parallelized(documents).select(col("doc_id"), explode(shingles).as("sh"))
+    val mins = (0 until k).map(i => min(PortableHash.familyHashLong(i, col("sh"))).as(s"fp$i"))
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
