@@ -173,9 +173,9 @@ object SparkEntry {
     * relationally over the materialized stage parquet that Verify writes
     * (`__OUT__` is substituted with the verify output dir at dump time).
     * Only the extraction/segmentation cores themselves (kg_sentences,
-    * kg_triples, kg_coref, kg_mentions, mm_media_features) stay
-    * oracle-less — those are differentially verified against the reference
-    * implementation itself (DifferentialSpec and friends). */
+    * kg_triples, kg_coref, mm_media_features) stay oracle-less — those
+    * are differentially verified against the reference implementation
+    * itself (DifferentialSpec and friends). */
   def oracleSql: Map[String, String] = {
     import graft.functions.PortableHash.{duckFamilyHashLong, duckMd5Long48, duckPlaneSign}
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
@@ -276,6 +276,38 @@ object SparkEntry {
         """SELECT rel_list, count(*) AS n_rels, count(DISTINCT doc_id) AS n_docs,
           |  count(DISTINCT pred) AS n_distinct_preds
           |FROM read_parquet('__OUT__/kg_triples/*.parquet') GROUP BY rel_list""".stripMargin,
+      "kg_mentions" ->
+        // the trie's greedy longest-leftmost scan as a recursive CTE: one
+        // step per character position, each step either consumes the
+        // longest alias match (LATERAL top-1) or advances one char.
+        // Offsets: the corpus is BMP-only, where DuckDB's code-point
+        // positions equal the JVM's UTF-16 indices.
+        """WITH RECURSIVE
+          |sents AS (SELECT doc_id, sent_id, sent FROM read_parquet('__OUT__/kg_sentences/*.parquet')),
+          |al AS (SELECT * FROM read_parquet('__OUT__/_aux/aliases/*.parquet')),
+          |step AS (
+          |  SELECT doc_id, sent_id, sent, 1 AS pos,
+          |         CAST(NULL AS VARCHAR) AS m_alias, CAST(NULL AS VARCHAR) AS m_entity,
+          |         CAST(NULL AS VARCHAR) AS m_canonical, CAST(NULL AS INTEGER) AS m_begin
+          |  FROM sents
+          |  UNION ALL
+          |  SELECT s.doc_id, s.sent_id, s.sent,
+          |         s.pos + COALESCE(length(b.alias), 1) AS pos,
+          |         b.alias, b.entity_id, b.canonical,
+          |         CASE WHEN b.alias IS NOT NULL THEN CAST(s.pos - 1 AS INTEGER) END AS m_begin
+          |  FROM step s LEFT JOIN LATERAL (
+          |     SELECT alias, entity_id, canonical FROM al
+          |     WHERE substr(s.sent, s.pos, length(al.alias)) = al.alias
+          |     ORDER BY length(alias) DESC LIMIT 1) b ON true
+          |  WHERE s.pos <= length(s.sent)
+          |)
+          |SELECT doc_id, sent_id, m_alias AS mention, m_begin AS begin,
+          |       CAST(m_begin + length(m_alias) AS INTEGER) AS "end",
+          |       m_entity AS entity_id, m_canonical AS canonical,
+          |       CAST(CASE WHEN m_alias = m_canonical THEN 1000
+          |            ELSE (1000 * length(m_canonical)) // length(m_alias) END AS BIGINT)
+          |         AS link_score_x1000
+          |FROM step WHERE m_alias IS NOT NULL""".stripMargin,
       "kg_mention_stats" ->
         """SELECT entity_id, canonical, count(*) AS n_mentions,
           |  count(DISTINCT doc_id) AS n_docs, min(link_score_x1000) AS min_score

@@ -83,6 +83,16 @@ object StreamingOps {
       }
   }
 
+  /** streaming KG ingest: the batch extraction pipeline applied to a
+    * STREAM of documents. Because docs → sentences → triples is a narrow
+    * stateless chain (zero shuffles, zero state stores), the exact same
+    * typed transformations run under Structured Streaming unchanged —
+    * per-micro-batch output is identical to a batch run over the same
+    * rows (asserted by StreamingSpec against the batch path). This is the
+    * continuously-fed counterpart of `Pipeline.extractTriples`. */
+  def streamingTriples(docs: Dataset[graft.model.Doc]): Dataset[graft.model.TripleRow] =
+    graft.pipeline.Pipeline.extractTriples(graft.pipeline.Pipeline.segmentDocs(docs))
+
   /** batch-equivalent sessionization: same gap semantics but the trailing
     * (still-open) session of every user is flushed — the right shape for
     * a BATCH analytics pass over a closed dataset, and NOT a streaming

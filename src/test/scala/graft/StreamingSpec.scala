@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(total == events.count(), "every event must land in exactly one session")
   }
 
+  test("KG extraction runs unchanged as a stream and equals the batch output") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.Doc
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingTriples(input.toDS())
+      .writeStream.format("memory").queryName("stream_triples")
+      .outputMode("append").start()
+    val docs = (0L until 30L).map(graft.synth.SynthDocs.genDoc(_))
+    input.addData(docs.take(10): _*); q.processAllAvailable()
+    input.addData(docs.drop(10): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_triples").collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Pipeline.extractTriples(
+      graft.pipeline.Pipeline.segmentDocs(spark.createDataset(docs))).toDF()
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionize emits a cross-batch session exactly once, on gap expiry") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
