@@ -67,6 +67,12 @@ object SparkEntry {
                         Pipeline.synthAliases(s)))),
     "kg_coref" -> ((s, _) =>
       Pipeline.corefTriples(Pipeline.synthDocs(s, VerifyDocs)).toDF()),
+    "kg_coref_nerpos" -> ((s, _) => {
+      val docs = Pipeline.synthDocs(s, VerifyDocs)
+      Pipeline.corefNerPosJoin(
+        Pipeline.nerPosTable(Pipeline.segmentDocs(docs)),
+        Pipeline.corefedSentenceTable(docs))
+    }),
     "kg_metrics" -> ((s, _) =>
       Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
     "kg_rel_totals" -> ((s, _) =>
@@ -308,6 +314,12 @@ object SparkEntry {
           |            ELSE (1000 * length(m_canonical)) // length(m_alias) END AS BIGINT)
           |         AS link_score_x1000
           |FROM step WHERE m_alias IS NOT NULL""".stripMargin,
+      "kg_coref_nerpos" ->
+        """SELECT n.doc_id, n.sent_id, n.sent, n.mention_words, n.n_mentions,
+          |  n.misplaced, c.corefed AS corefed_sent
+          |FROM read_parquet('__OUT__/_aux/nerpos/*.parquet') n
+          |LEFT JOIN read_parquet('__OUT__/_aux/corefed/*.parquet') c
+          |  ON n.doc_id = c.doc_id AND n.sent_id = c.sent_id""".stripMargin,
       "kg_mention_stats" ->
         """SELECT entity_id, canonical, count(*) AS n_mentions,
           |  count(DISTINCT doc_id) AS n_docs, min(link_score_x1000) AS min_score

@@ -36,6 +36,10 @@ object Verify {
       Pipeline.extractionMetricEvents(
           Pipeline.segmentDocs(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs)))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/metric_events")
+      Pipeline.nerPosTable(Pipeline.segmentDocs(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/nerpos")
+      Pipeline.corefedSentenceTable(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/corefed")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] aux tables failed: ${e.getMessage}")
     }

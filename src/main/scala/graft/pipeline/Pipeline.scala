@@ -328,6 +328,75 @@ object Pipeline {
     }
   }
 
+  // ----------------------------------------- coref ⋈ nerpos (distributed)
+  final case class NerPosRow(doc_id: String, sent_id: Int, sent: String,
+                             mention_words: Seq[String], n_mentions: Int,
+                             misplaced: Int)
+  final case class CorefedSentence(doc_id: String, sent_id: Int, corefed: String)
+
+  /** deterministic mock NER annotation for a sentence (the fixture
+    * stand-in for the CoreNLP call): tokens from the fixture tokenizer,
+    * entity labels from the synthetic vocabulary, char spans by walking
+    * the surface. */
+  private def mockAnnTokens(sent: String): Seq[NerPos.AnnToken] = {
+    val persons = Templates.persons.toSet
+    val orgs = Templates.orgs.toSet
+    val places = Templates.places.toSet
+    val toks = FixtureParser.tokenize(sent).getOrElse(Vector(sent))
+    var off = 0
+    toks.map { w =>
+      val ner = if (persons(w)) "PERSON" else if (orgs(w)) "ORGANIZATION"
+                else if (places(w)) "GPE" else "O"
+      val begin = sent.indexOf(w, off)
+      val b = if (begin >= 0) begin else off
+      off = b + w.length
+      NerPos.AnnToken(w, "X", ner, b, b + w.length)
+    }
+  }
+
+  /** per-sentence NER/POS model-output table (reference main_ner.py:102-110
+    * attaches these columns per sentence). One narrow map, no shuffle. */
+  def nerPosTable(sentences: Dataset[SentenceRow]): Dataset[NerPosRow] = {
+    import sentences.sparkSession.implicits._
+    sentences.map { row =>
+      val res = NerPos.nerPosPerSentence(row.sent, Seq(mockAnnTokens(row.sent)))
+      NerPosRow(row.doc_id, row.sent_id, row.sent,
+                res.mentions.map(_.word), res.mentions.length, res.misplacedSpans)
+    }
+  }
+
+  /** per-sentence corefed-text model-output table from the full coref
+    * front-end (chunk merge → annotate → fetch_coref). Emits one row per
+    * sentence of every successfully-corefed chunk. */
+  def corefedSentenceTable(docs: Dataset[Doc], chunkThreshold: Int = 1536): Dataset[CorefedSentence] = {
+    import docs.sparkSession.implicits._
+    import graft.segment.CorefFetch
+    docs.flatMap { doc =>
+      val sents = doc.spans.iterator.filter(s => s.kind == "text" && s.text != null)
+        .flatMap(s => Segmenter.segment(s.text)).toVector
+      val (merged, offsets) = CorefFetch.mergeTexts(sents, chunkThreshold)
+      val res = CorefFetch.fetchCoref(merged, offsets, sents,
+        (ci, _) => synthAnnotate(sents.slice(offsets(ci)._1, offsets(ci)._2)))
+      if (res.corefFailed || res.corefed.isEmpty) Iterator.empty
+      else res.corefed.get.zip(offsets).iterator.flatMap {
+        case (Some(cs), (st, _)) =>
+          cs.iterator.zipWithIndex.map { case (c, k) => CorefedSentence(doc.doc_id, st + k, c) }
+        case (None, _) => Iterator.empty
+      }
+    }
+  }
+
+  /** the reference's in-entry assembly of the two model outputs
+    * (main_ner.py:405-423 writes splitted_text_corefed next to the ner/pos
+    * columns of the SAME entry) as a DISTRIBUTED equi-join on
+    * (doc_id, sent_id) — the shape this stage has when coref and nerpos
+    * are produced by separate jobs over separate slices. */
+  def corefNerPosJoin(nerpos: Dataset[NerPosRow],
+                      corefed: Dataset[CorefedSentence]): DataFrame =
+    nerpos.toDF()
+      .join(corefed.toDF().withColumnRenamed("corefed", "corefed_sent"),
+            Seq("doc_id", "sent_id"), "left")
+
   // ------------------------------------------------------ span invariant
   /** rows whose span sequence (kind, text, media_ref, order) differs
     * between the input docs table and a pipeline output docs table.

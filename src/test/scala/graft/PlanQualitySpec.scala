@@ -59,6 +59,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(bucketDirs > 10, s"$bucketDirs bucket dirs")
   }
 
+  test("coref ⋈ nerpos is a real distributed equi-join on (doc_id, sent_id)") {
+    val docs = Pipeline.synthDocs(spark, 100)
+    val nerpos = Pipeline.nerPosTable(Pipeline.segmentDocs(docs))
+    val corefed = Pipeline.corefedSentenceTable(docs)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Pipeline.corefNerPosJoin(nerpos, corefed)
+      val plan = executed(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("doc_id") && plan.contains("sent_id"), plan)
+      val rows = joined.collect()
+      assert(rows.nonEmpty)
+      // every corefed sentence must land on exactly one nerpos row
+      val corefedCount = corefed.count()
+      assert(rows.count(_.getAs[String]("corefed_sent") != null) == corefedCount)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("relational aggregation is whole-stage codegen'd") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
