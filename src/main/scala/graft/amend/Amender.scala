@@ -67,12 +67,20 @@ object Amender {
   /** check_nct's copular set lacks 达/高达 (dudepparse.py:1556-1557) —
     * unused because CONVERT_COPULAR is False, kept for documentation. */
 
-  private val zhChar = "[一-鿿]".r
-
   /** True iff the string contains no Chinese character; None/empty → false
-    * (dudepparse.py:252-260). */
-  def noChineseChar(s: String): Boolean =
-    s != null && s.nonEmpty && zhChar.findFirstIn(s).isEmpty
+    * (dudepparse.py:252-260, re.search('[一-鿿]')). Direct char
+    * scan — the reference's regex has no feature beyond the range, and a
+    * Matcher allocation per call was the filter's hot spot. */
+  def noChineseChar(s: String): Boolean = {
+    if (s == null || s.isEmpty) return false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch >= '一' && ch <= '鿿') return false
+      i += 1
+    }
+    true
+  }
 
   private def allDigits(s: String): Boolean =
     s != null && s.nonEmpty && s.forall(c => (c >= '0' && c <= '9') || c == '.')

@@ -64,3 +64,19 @@ object ZhFunctions {
   def zh_char_count(c: Column): Column =
     org.apache.spark.sql.functions.call_function("zh_char_count", c)
 }
+
+/** SparkSessionExtensions hook — the spark-submit-friendly registration
+  * path: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`) makes
+  * the engine's native functions available in EVERY session of the
+  * application without code calling `ZhFunctions.register`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("zh_char_count"),
+      new ExpressionInfo(classOf[ZhCharCount].getName, "zh_char_count"),
+      (exprs: Seq[Expression]) => ZhCharCount(exprs.head)))
+  }
+}

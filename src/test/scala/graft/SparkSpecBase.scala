@@ -20,9 +20,12 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the spark-submit-shaped registration path: native functions come
+      // from the extensions hook, NOT from a ZhFunctions.register call —
+      // the whole suite exercises GraftExtensions
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    graft.functions.ZhFunctions.register(s)
     s
   }
 }

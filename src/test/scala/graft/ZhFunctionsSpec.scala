@@ -33,6 +33,17 @@ class ZhFunctionsSpec extends SparkSpecBase {
     assert(gen.contains("WholeStageCodegen") && gen.contains("ZhCharCountImpl"), gen.take(800))
   }
 
+  test("GraftExtensions registers zh_char_count via the extensions hook") {
+    // the suite's shared session is built with
+    // .withExtensions(new GraftExtensions) and NO ZhFunctions.register
+    // call (SparkSpecBase) — SQL resolution proves the injectFunction path
+    val n = spark.sql("SELECT zh_char_count('中文abc字') AS n").head().getInt(0)
+    assert(n == 3)
+    // and the hook survives newSession() (extension state is inherited)
+    val n2 = spark.newSession().sql("SELECT zh_char_count('汉字') AS n").head().getInt(0)
+    assert(n2 == 2)
+  }
+
   test("mention detection finds aliases with spans and scores") {
     val docs = graft.pipeline.Pipeline.synthDocs(spark, 100)
     val sents = graft.pipeline.Pipeline.segmentDocs(docs)

@@ -69,9 +69,11 @@ def main():
             sp = con.execute(
                 f"SELECT * FROM read_parquet('{spath}/*.parquet')")
             sp_cols = [d[0] for d in sp.description]
+            sp_types = [str(d[1]) for d in sp.description]
             sp_rows = sp.fetchall()
             du = con.execute(oracles[name])
             du_cols = [d[0] for d in du.description]
+            du_types = [str(d[1]) for d in du.description]
             du_rows = du.fetchall()
         except Exception as e:
             n_fail += 1
@@ -79,6 +81,13 @@ def main():
             continue
         ok_rows = len(sp_rows) == len(du_rows)
         ok_schema = sorted(sp_cols) == sorted(du_cols)
+        # dtype parity (sorted by column name) — a stricter driver may
+        # compare these too
+        sp_sig = sorted(zip(sp_cols, sp_types))
+        du_sig = sorted(zip(du_cols, du_types))
+        if ok_schema and sp_sig != du_sig:
+            diff = [(a, b) for a, b in zip(sp_sig, du_sig) if a != b]
+            print(f"  WARN {name} dtype drift: {diff}")
         ok_hash = ok_schema and table_hash(sp_rows, sp_cols) == table_hash(du_rows, du_cols)
         if ok_rows and ok_schema and ok_hash:
             n_pass += 1
