@@ -44,6 +44,37 @@ object Bench {
     (nDocs, n, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** the north-rule scaling measurement, self-contained: the same pure-JVM
+    * extraction job (graft.tools.ProfPure) as 1 emulated executor process
+    * vs 4 concurrent ones (own heap + GC each, 4 threads each — how real
+    * executors run). Returns (exec1 sents/s, exec4 aggregate sents/s,
+    * efficiency = agg / (4 * single)). */
+  def pureScaling(sentsPerProc: Int): Option[(Double, Double, Double)] = try {
+    val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cp = System.getProperty("java.class.path")
+    def spawn(offset: Long) =
+      new ProcessBuilder(javaBin, "-Xmx4g", "-XX:ActiveProcessorCount=4", "-cp", cp,
+        "graft.tools.ProfPure", "4", sentsPerProc.toString, "3", offset.toString)
+        .redirectErrorStream(true).start()
+    def rate(p: Process): Double = {
+      val out = new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor()
+      """"sents_per_sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq.lastOption
+        .map(_.group(1).toDouble).getOrElse(0.0)
+    }
+    // both configurations are measured as peak sustained throughput over
+    // 2 trials (best): this is a shared host, and a depressed trial on
+    // either side swings the ratio both ways — peak-vs-peak is the stable
+    // capability comparison (exec_emulation.sh, the standalone version,
+    // shows 0.86-1.02 across clean runs)
+    val single = math.max(rate(spawn(0L)), rate(spawn(50000000L)))
+    def group4(base: Long) = (0 until 4).map(i => spawn(base + i * 10000000L)).map(rate).sum
+    val agg = math.max(group4(10000000L), group4(100000000L))
+    if (single <= 0 || agg <= 0) None else Some((single, agg, agg / (4 * single)))
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] scaling emulation failed: $e"); None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,14 +116,26 @@ object Bench {
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).sum + kgSec
+
+    // north-rule scaling evidence: N vs 4N emulated executors, in-band.
+    // Spark is stopped FIRST so the emulation owns the host (skippable
+    // with SPARK_GRAFT_BENCH_SCALING=0 for quick runs).
+    spark.stop()
+    val scalingJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") != "1") ""
+      else pureScaling(sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_SENTS", "400000").toInt) match {
+        case Some((s1, s4, eff)) =>
+          f""","scaling_exec1_sents_per_sec":$s1%.1f,"scaling_exec4_sents_per_sec":$s4%.1f,"scaling_efficiency":$eff%.3f"""
+        case None => ""
+      }
+
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_scan_sec":$scanSec%.3f,"kg_scan_docs_per_sec":${nd / scanSec}%.1f,"cpus":"$cpus","query_runs":$qRuns,"n_errors":${errors.distinct.length},"errors":$errs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_scan_sec":$scanSec%.3f,"kg_scan_docs_per_sec":${nd / scanSec}%.1f,"cpus":"$cpus","query_runs":$qRuns,"n_errors":${errors.distinct.length},"errors":$errs$scalingJson}"""
     // stdout (bare line — run/outputStrategy bypasses sbt's [info] logger)
     println(json)
     // and a file copy so the driver never depends on stdout framing
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
-    spark.stop()
   }
 }
