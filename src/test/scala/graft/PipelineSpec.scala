@@ -110,6 +110,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(plain.nonEmpty)
   }
 
+  test("salted edges survive a pathologically hot argument pair (skew stress)") {
+    import org.apache.spark.sql.functions._
+    // one argument pair carries 2000 distinct predicates with zipf-ish
+    // support + background pairs — the shape that melts an unsalted
+    // window at scale (every row of the hot pair lands on one reducer)
+    val hot = (0 until 2000).map(i => ("热点主", "热点宾", f"谓词$i%04d", (i % 50) + 1))
+    val bg = (0 until 500).map(i => (s"主$i", s"宾$i", s"谓$i", 1))
+    val canon = (hot ++ bg).toDF("subj_canonical", "obj_canonical", "pred", "n")
+      .withColumn("dup", explode(sequence(lit(1), col("n")))).drop("n", "dup")
+    val salted = Pipeline.entailmentEdges(canon, maxPredsPerPair = 16, saltBuckets = 8)
+      .collect().map(_.toSeq).toSet
+    val plain = Pipeline.entailmentEdges(canon, maxPredsPerPair = 16, saltBuckets = 1)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // the hot pair contributes exactly C(16,2) = 120 edges (top-k cap held)
+    val hotEdges = salted.count(r => r.head.toString.startsWith("谓词"))
+    assert(hotEdges == 120, s"hot-pair edges: $hotEdges")
+  }
+
   test("JSONL docs source round-trips the docs table (schema-first)") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     val docs = Pipeline.synthDocs(spark, 50)
