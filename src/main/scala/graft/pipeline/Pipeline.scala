@@ -225,7 +225,7 @@ object Pipeline {
     * relations absent from the base pass (serialize_rel set difference).
     * Chains are deterministic fixtures (Coref.synthChains) exactly like
     * the parses; doc-local flatMap, zero shuffles. */
-  def corefTriples(docs: Dataset[Doc]): Dataset[TripleRow] = {
+  def corefTriples(docs: Dataset[Doc], addHalfCoarse: Boolean = false): Dataset[TripleRow] = {
     import docs.sparkSession.implicits._
     import graft.segment.Coref
     docs.mapPartitions { docIter =>
@@ -241,18 +241,9 @@ object Pipeline {
             else {
               (FixtureParser.analyze(sent), FixtureParser.analyze(corefed)) match {
                 case (Some((bp, bt)), Some((cp, ct))) =>
-                  val base = PostProcess.processSentence(bp, Some(bt))
-                  val cor = PostProcess.processSentence(cp, Some(ct))
-                  def emit(name: String, b: Vector[Rel], c: Vector[Rel]) =
-                    Coref.newRels(b, c).iterator.map { r =>
-                      TripleRow(doc.doc_id, sid, name, r.subj, r.pred, r.obj,
-                                r.subjIdx, r.predIdx.get, r.objIdx)
-                    }
-                  emit("fine_corefed", base.fine, cor.fine) ++
-                    emit("coarse_corefed", base.coarse, cor.coarse) ++
-                    emit("amend_fine_corefed", base.amendFine, cor.amendFine) ++
-                    emit("amend_coarse_corefed", base.amendCoarse, cor.amendCoarse) ++
-                    emit("possible_corefed", base.possible, cor.possible)
+                  val base = PostProcess.processSentence(bp, Some(bt), addHalfCoarse = addHalfCoarse)
+                  val cor = PostProcess.processSentence(cp, Some(ct), addHalfCoarse = addHalfCoarse)
+                  emitCorefed(doc.doc_id, sid, base, cor)
                 case _ => Iterator.empty
               }
             }
@@ -260,6 +251,27 @@ object Pipeline {
         }
       }
     }
+  }
+
+  /** corefed-variant emission: the serialize-key set difference applied
+    * to every relation family, incl. the (flag-gated) crossed lists —
+    * reference dudepparse.py:2149-2167 builds *_corefed for all 7 lists. */
+  private def emitCorefed(docId: String, sid: Int,
+                          base: graft.model.SentenceRels,
+                          cor: graft.model.SentenceRels): Iterator[TripleRow] = {
+    import graft.segment.Coref
+    def emit(name: String, b: Vector[Rel], c: Vector[Rel]) =
+      Coref.newRels(b, c).iterator.map { r =>
+        TripleRow(docId, sid, name, r.subj, r.pred, r.obj,
+                  r.subjIdx, r.predIdx.get, r.objIdx)
+      }
+    emit("fine_corefed", base.fine, cor.fine) ++
+      emit("coarse_corefed", base.coarse, cor.coarse) ++
+      emit("amend_fine_corefed", base.amendFine, cor.amendFine) ++
+      emit("amend_coarse_corefed", base.amendCoarse, cor.amendCoarse) ++
+      emit("crossed_corefed", base.crossed, cor.crossed) ++
+      emit("amend_crossed_corefed", base.amendCrossed, cor.amendCrossed) ++
+      emit("possible_corefed", base.possible, cor.possible)
   }
 
   /** deterministic mock annotator for the synthetic corpus: tokenizes the
@@ -284,9 +296,10 @@ object Pipeline {
     * mock-annotate → fetch_coref alignment/substitution → re-extract →
     * set-diff) — the production-shaped path; `corefTriples` is the
     * direct-substitution fast path (equivalence tested). */
-  def corefTriplesViaFetch(docs: Dataset[Doc], chunkThreshold: Int = 1536): Dataset[TripleRow] = {
+  def corefTriplesViaFetch(docs: Dataset[Doc], chunkThreshold: Int = 1536,
+                           addHalfCoarse: Boolean = false): Dataset[TripleRow] = {
     import docs.sparkSession.implicits._
-    import graft.segment.{Coref, CorefFetch}
+    import graft.segment.CorefFetch
     docs.mapPartitions { docIter =>
       docIter.flatMap { doc =>
         val sents = doc.spans.iterator.filter(s => s.kind == "text" && s.text != null)
@@ -306,18 +319,9 @@ object Pipeline {
               case Some(corefed) if corefed != sents(sid) =>
                 (FixtureParser.analyze(sents(sid)), FixtureParser.analyze(corefed)) match {
                   case (Some((bp, bt)), Some((cp, ct))) =>
-                    val base = PostProcess.processSentence(bp, Some(bt))
-                    val cor = PostProcess.processSentence(cp, Some(ct))
-                    def emit(name: String, b: Vector[Rel], c: Vector[Rel]) =
-                      Coref.newRels(b, c).iterator.map { r =>
-                        TripleRow(doc.doc_id, sid, name, r.subj, r.pred, r.obj,
-                                  r.subjIdx, r.predIdx.get, r.objIdx)
-                      }
-                    emit("fine_corefed", base.fine, cor.fine) ++
-                      emit("coarse_corefed", base.coarse, cor.coarse) ++
-                      emit("amend_fine_corefed", base.amendFine, cor.amendFine) ++
-                      emit("amend_coarse_corefed", base.amendCoarse, cor.amendCoarse) ++
-                      emit("possible_corefed", base.possible, cor.possible)
+                    val base = PostProcess.processSentence(bp, Some(bt), addHalfCoarse = addHalfCoarse)
+                    val cor = PostProcess.processSentence(cp, Some(ct), addHalfCoarse = addHalfCoarse)
+                    emitCorefed(doc.doc_id, sid, base, cor)
                   case _ => Iterator.empty
                 }
               case _ => Iterator.empty

@@ -61,4 +61,21 @@ class CorefPipelineSpec extends SparkSpecBase {
            s"direct=${direct.size} viaFetch=${viaFetch.size}, diff=${(direct diff viaFetch).take(3)} / ${(viaFetch diff direct).take(3)}")
     assert(direct.nonEmpty)
   }
+
+  test("corefed crossed families: flag-gated, path-equivalent, absent when off") {
+    val docs = Pipeline.synthDocs(spark, 400)
+    val off = Pipeline.corefTriples(docs).collect()
+    assert(!off.exists(t => t.rel_list.startsWith("crossed") || t.rel_list.startsWith("amend_crossed")),
+           "crossed families must be empty under the shipped config")
+    val on = Pipeline.corefTriples(docs, addHalfCoarse = true).collect().toSet
+    val onFetch = Pipeline.corefTriplesViaFetch(docs, addHalfCoarse = true).collect().toSet
+    assert(on == onFetch)
+    // the non-crossed families are identical with the flag on or off
+    val crossedNames = Set("crossed_corefed", "amend_crossed_corefed")
+    assert(on.filterNot(t => crossedNames(t.rel_list)) == off.toSet)
+    assert(on.map(_.rel_list).subsetOf(Set(
+      "fine_corefed", "coarse_corefed", "amend_fine_corefed",
+      "amend_coarse_corefed", "crossed_corefed", "amend_crossed_corefed",
+      "possible_corefed")))
+  }
 }
