@@ -108,6 +108,8 @@ object SparkEntry {
     "dedup_winnow" -> ((s, dir) => DedupOps.winnowing(read(s, dir, "documents"))),
     "dedup_embed" -> ((s, dir) =>
       DedupOps.embeddingNearDups(read(s, dir, "embeddings"), thresholdX10000 = 4000)),
+    "dedup_embed_lsh" -> ((s, dir) =>
+      DedupOps.embeddingNearDupsLsh(read(s, dir, "embeddings"), thresholdX10000 = 4000)),
 
     // ---- similarity search over embeddings --------------------------
     "ann_brute" -> ((s, dir) => SimilarityOps.bruteForceTopK(read(s, dir, "embeddings"))),
@@ -250,6 +252,33 @@ object SparkEntry {
            |SELECT doc_id,
            |  $winnowFps
            |FROM sh GROUP BY doc_id""".stripMargin,
+      "dedup_embed_lsh" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |pb AS (SELECT vec_id, p.p AS p,
+           |    CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+           |        CAST(embedding[i] AS DOUBLE) * ${duckPlaneSign("p.p", "i - 1")})) >= 0
+           |      THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END AS pbit
+           |  FROM e, generate_series(0, 7) AS p(p)),
+           |b AS (SELECT vec_id, CAST(sum(pbit) AS BIGINT) AS bucket FROM pb GROUP BY vec_id),
+           |probes AS (SELECT vec_id, bucket AS probe, true AS home FROM b
+           |  UNION ALL
+           |  SELECT b.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << q.q) AS probe, false AS home
+           |  FROM b, generate_series(0, 7) AS q(q)),
+           |gc AS (SELECT probe FROM probes GROUP BY probe HAVING count(*) BETWEEN 2 AND 1000),
+           |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+           |  FROM probes x
+           |  JOIN gc ON gc.probe = x.probe
+           |  JOIN probes y ON x.probe = y.probe AND x.vec_id < y.vec_id
+           |  WHERE x.home),
+           |s AS (SELECT cand.va AS a, cand.vb AS b,
+           |    CAST(floor(10000.0 *
+           |      list_sum(list_transform(generate_series(1, len(ex.embedding)), i ->
+           |        CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(ex.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(ey.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
+           |     AS BIGINT) AS cos_x10000
+           |  FROM cand JOIN e ex ON ex.vec_id = cand.va JOIN e ey ON ey.vec_id = cand.vb)
+           |SELECT a, b, cos_x10000 FROM s WHERE cos_x10000 >= 4000""".stripMargin,
       "ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
            |pb AS (SELECT vec_id, p.p AS p,

@@ -199,8 +199,8 @@ object DedupOps {
   }
 
   /** embedding-cosine near-duplicate pairs (brute force within label
-    * blocks — the deterministic blocking key; the IVF/LSH scale path is
-    * SimilarityOps.lshNeighbors). sims in x10000 fixed point. */
+    * blocks — the deterministic blocking key; `embeddingNearDupsLsh`
+    * below is the 100 TB path). sims in x10000 fixed point. */
   def embeddingNearDups(embeddings: DataFrame, thresholdX10000: Int = 9500): DataFrame = {
     val dot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -215,5 +215,54 @@ object DedupOps {
         floor(lit(10000.0d) * dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).cast("long"))
       .filter(col("cos_x10000") >= thresholdX10000)
       .select(col("a"), col("b"), col("cos_x10000"))
+  }
+
+  /** the 100 TB scale path for embedding near-dup: random-hyperplane LSH
+    * blocking with single-bit multi-probe — candidate pairs are exactly
+    * those whose nPlanes-bit buckets differ in ≤ 1 bit, then exact cosine
+    * verify. No cross join: every vector emits its home bucket plus
+    * nPlanes one-bit flips; a candidate pair meets in exactly one group
+    * under the emit rule "smaller id is home" (hamming-1 pairs meet in the
+    * two single-flip groups with roles swapped; hamming-0 pairs meet as
+    * home+home), so no distinct pass is needed. Bucket membership capped
+    * before pair expansion (skew guard, like every dedup blocker here). */
+  def embeddingNearDupsLsh(embeddings: DataFrame, thresholdX10000: Int = 9500,
+                           nPlanes: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = SimilarityOps.lshBuckets(embeddings, nPlanes)
+    val probeStructs = array(
+      (struct(col("bucket").as("probe"), lit(true).as("home")) +:
+        (0 until nPlanes).map(b =>
+          struct(col("bucket").bitwiseXOR(lit(1L << b)).as("probe"), lit(false).as("home")))): _*)
+    bucketed
+      .select(col("vec_id"), col("embedding"), explode(probeStructs).as("p"))
+      .groupBy(col("p.probe"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("p.home"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(col("members")).as[Seq[(Long, Seq[Float], Boolean)]]
+      .flatMap { members =>
+        val sorted = members.sortBy(_._1)
+        def cosX10000(a: Seq[Float], b: Seq[Float]): Long = {
+          // identical fold order to the Catalyst/oracle formulation:
+          // left-to-right double sums, then floor
+          var dot = 0.0d; var na = 0.0d; var nb = 0.0d
+          var i = 0
+          while (i < a.length) {
+            dot += a(i).toDouble * b(i).toDouble
+            na += a(i).toDouble * a(i).toDouble
+            nb += b(i).toDouble * b(i).toDouble
+            i += 1
+          }
+          math.floor(10000.0d * dot / (math.sqrt(na) * math.sqrt(nb))).toLong
+        }
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+          if sorted(i)._3 // smaller-id member is home → exactly-once emission
+          c = cosX10000(sorted(i)._2, sorted(j)._2)
+          if c >= thresholdX10000
+        } yield (sorted(i)._1, sorted(j)._1, c)
+      }.toDF("a", "b", "cos_x10000")
   }
 }

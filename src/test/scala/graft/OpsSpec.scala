@@ -96,6 +96,31 @@ class OpsSpec extends SparkSpecBase {
     assert(foundExact <= found, s"exact $foundExact > multiprobe $found")
   }
 
+  test("LSH embedding near-dup finds planted duplicates and agrees with brute force") {
+    def vec(seed: Long, dim: Int): Array[Float] = {
+      var h = seed * 2654435761L
+      Array.tabulate(dim) { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        (((h >> 20) % 1000).toFloat / 500f) - 1f
+      }
+    }
+    val base = (0L until 150L).map(i => (i, vec(i, 16)))
+    val dups = (0L until 15L).map { i =>
+      val v = vec(i, 16).clone(); v(0) = v(0) + 0.01f; (1000L + i, v)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val got = DedupOps.embeddingNearDupsLsh(emb, thresholdX10000 = 9500, nPlanes = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val found = (0L until 15L).count(i => got.contains((i, 1000L + i)))
+    assert(found >= 14, s"LSH near-dup recall $found/15")
+    // similarities agree with the exact (label-free brute force) values
+    import org.apache.spark.sql.functions._
+    val brute = emb.select(col("vec_id"), col("embedding"), lit(0).as("label"))
+    val exact = DedupOps.embeddingNearDups(brute, thresholdX10000 = 9500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for ((pair, c) <- got) assert(exact.get(pair).contains(c), s"$pair: lsh=$c exact=${exact.get(pair)}")
+  }
+
   test("multimodal decode round-trips metadata through binary payloads") {
     val docs = Pipeline.synthDocs(spark, 50)
     val assets = MultimodalOps.mediaAssets(docs)
