@@ -424,20 +424,29 @@ object Pipeline {
   // ------------------------------------------------------------ full run
   final case class RunResult(triples: DataFrame, edges: DataFrame, docsOut: Dataset[Doc])
 
-  /** end-to-end run with per-stage checkpoints. The checkpoint store is
-    * fingerprinted with the run parameters: rerunning against the same
-    * root with different nDocs/sentsPerDoc recomputes instead of silently
-    * returning stale stage outputs. */
+  /** end-to-end run with per-stage checkpoints over the synthetic corpus.
+    * The checkpoint store is fingerprinted with the run parameters:
+    * rerunning against the same root with different nDocs/sentsPerDoc
+    * recomputes instead of silently returning stale stage outputs. */
   def run(spark: SparkSession, checkpointRoot: String, nDocs: Long,
-          sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): RunResult = {
+          sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): RunResult =
+    runFromDocs(spark, checkpointRoot, synthDocs(spark, nDocs, sentsPerDoc),
+                fingerprint = s"nDocs=$nDocs,sentsPerDoc=$sentsPerDoc,buckets=64",
+                aliases = None)
+
+  /** end-to-end run over an ARBITRARY docs table (corpus-reader output,
+    * Iceberg scan, …). `fingerprint` identifies the input + parameters for
+    * checkpoint invalidation; `aliases` defaults to the synthetic dict. */
+  def runFromDocs(spark: SparkSession, checkpointRoot: String, inputDocs: Dataset[Doc],
+                  fingerprint: String,
+                  aliases: Option[Dataset[AliasRow]] = None): RunResult = {
     import spark.implicits._
-    val store = new CheckpointStore(checkpointRoot, spark,
-      fingerprint = s"nDocs=$nDocs,sentsPerDoc=$sentsPerDoc,buckets=64")
-    val docs = store.runStage("docs", bucketCol = Some("doc_id"))(synthDocs(spark, nDocs, sentsPerDoc))
+    val store = new CheckpointStore(checkpointRoot, spark, fingerprint = fingerprint)
+    val docs = store.runStage("docs", bucketCol = Some("doc_id"))(inputDocs)
     val sentences = store.runStage("sentences", Seq("docs"))(segmentDocs(docs))
     val triples = store.runStage("triples", Seq("sentences"), bucketCol = Some("doc_id"))(
       extractTriples(sentences))
-    val canonical = canonicalize(triples, synthAliases(spark))
+    val canonical = canonicalize(triples, aliases.getOrElse(synthAliases(spark)))
     // canonical + edges are DataFrames; checkpoint via parquet round-trip
     val canonPath = s"$checkpointRoot/canonical"
     val edgesPath = s"$checkpointRoot/edges"

@@ -104,6 +104,20 @@ object CorpusReaders {
     }
   }
 
+  /** preprocessed docs → the engine's interleaved-docs contract: one text
+    * span per admitted sentence, offset = original-chunk lineage (media-
+    * free corpora). Feeds Pipeline.runFromDocs so a reference user can
+    * run their corpus through the full checkpointed pipeline. */
+  def toDocs(docs: Dataset[PreprocessedDoc]): Dataset[graft.model.Doc] = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      graft.model.Doc(d.doc_id,
+        d.splitted_text.zip(d.split_mapping).map {
+          case (s, chunk) => graft.model.Span("text", s, null, chunk)
+        })
+    }
+  }
+
   /** preprocessed docs → the engine's sentences table; `split_mapping`
     * survives as `span_offset` (original-chunk lineage). One narrow
     * flatMap, no shuffle. */

@@ -79,6 +79,23 @@ class CorpusReaderSpec extends SparkSpecBase {
     assert(sents.map(_.sent).toSeq == d.splitted_text)
   }
 
+  test("reader output runs the FULL checkpointed pipeline (runFromDocs)") {
+    val text = graft.synth.SynthDocs.genDoc(1L).spans
+      .filter(_.kind == "text").map(_.text).mkString
+    val mapper = new ObjectMapper()
+    val dir = writeJsonl(Seq(
+      s"""{"uuid":"w1","title":"","text":${mapper.writeValueAsString(text)}}""",
+      s"""{"uuid":"w2","title":"","text":${mapper.writeValueAsString(text)}}"""))
+    val docs = CorpusReaders.toDocs(CorpusReaders.readWebhose(spark, dir).docs)
+    val root = java.nio.file.Files.createTempDirectory("graft-reader-run").toString
+    val r1 = graft.pipeline.Pipeline.runFromDocs(spark, root, docs, fingerprint = "webhose-fixture")
+    assert(r1.triples.count() > 0)
+    assert(r1.docsOut.count() == 2)
+    // resume from checkpoints returns identical data
+    val r2 = graft.pipeline.Pipeline.runFromDocs(spark, root, docs, fingerprint = "webhose-fixture")
+    assert(r2.triples.count() == r1.triples.count())
+  }
+
   test("reader output feeds the extraction pipeline end to end") {
     // payload = a synthetic doc's text spans (sentences the fixture
     // parser can analyze), shipped through the webhose JSONL shape

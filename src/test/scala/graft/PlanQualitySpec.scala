@@ -78,6 +78,35 @@ class PlanQualitySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed tables co-locate joins: no exchange on the bucket key") {
+    import org.apache.spark.sql.functions._
+    // the Iceberg-bucketing analogue Spark can prove in-plan: two tables
+    // bucketBy the same key join WITHOUT a shuffle on either side
+    // (warehouse dir is the session default — spark-warehouse/, gitignored)
+    val docs = Pipeline.synthDocs(spark, 200)
+    val sentences = Pipeline.segmentDocs(docs)
+    val triples = Pipeline.extractTriples(sentences)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sentences.toDF().write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("b_sentences")
+      triples.toDF().write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("b_triples")
+      val joined = spark.table("b_triples").join(
+        spark.table("b_sentences").select(col("doc_id"), col("sent_id"), col("sent")),
+        Seq("doc_id"))
+      val plan = executed(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(shuffles(joined) == 0, s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_sentences")
+      spark.sql("DROP TABLE IF EXISTS b_triples")
+    }
+  }
+
   test("relational aggregation is whole-stage codegen'd") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
