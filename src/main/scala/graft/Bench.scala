@@ -56,21 +56,30 @@ object Bench {
       new ProcessBuilder(javaBin, "-Xmx4g", s"-XX:ActiveProcessorCount=$threads", "-cp", cp,
         "graft.tools.ProfPure", threads.toString, sentsPerProc.toString, "3", offset.toString)
         .redirectErrorStream(true).start()
-    def rate(p: Process): Double = {
+    // a crashed/killed child must FAIL the measurement, never fold in as 0
+    // (a 3-process sum would report a wrong efficiency as if measured)
+    def rate(p: Process): Option[Double] = {
       val out = new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      p.waitFor()
-      """"sents_per_sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq.lastOption
-        .map(_.group(1).toDouble).getOrElse(0.0)
+      val exit = p.waitFor()
+      if (exit != 0) None
+      else """"sents_per_sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq.lastOption
+        .map(_.group(1).toDouble).filter(_ > 0)
     }
     // both configurations are measured as peak sustained throughput over
     // 2 trials (best): this is a shared host, and a depressed trial on
     // either side swings the ratio both ways — peak-vs-peak is the stable
     // capability comparison (exec_emulation.sh, the standalone version,
     // shows 0.86-1.02 across clean runs)
-    val single = math.max(rate(spawn(0L)), rate(spawn(50000000L)))
-    def group4(base: Long) = (0 until 4).map(i => spawn(base + i * 10000000L)).map(rate).sum
-    val agg = math.max(group4(10000000L), group4(100000000L))
-    if (single <= 0 || agg <= 0) None else Some((single, agg, agg / (4 * single)))
+    def group4(base: Long): Option[Double] = {
+      val rates = (0 until 4).map(i => spawn(base + i * 10000000L)).map(rate)
+      if (rates.forall(_.isDefined)) Some(rates.flatten.sum) else None
+    }
+    val singles = Seq(rate(spawn(0L)), rate(spawn(50000000L))).flatten
+    val aggs = Seq(group4(10000000L), group4(100000000L)).flatten
+    for {
+      single <- singles.maxOption
+      agg <- aggs.maxOption
+    } yield (single, agg, agg / (4 * single))
   } catch { case e: Throwable =>
     System.err.println(s"[bench] scaling emulation failed: $e"); None
   }
@@ -111,11 +120,14 @@ object Bench {
                    errors += s"$name: ${e.getClass.getSimpleName}"; false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (times.map(_._1).min, times.forall(_._2))
+      // min over SUCCESSFUL runs only — a fast-failing run must not mask
+      // the real wall time; all-failed → -1 (plus the errors entry)
+      val good = times.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else -1.0, good.length == times.length)
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum + kgSec
+    val total = results.map(_._2._1).filter(_ >= 0).sum + kgSec
 
     // north-rule scaling evidence: N vs 4N emulated executors, in-band.
     // Spark is stopped FIRST so the emulation owns the host (skippable

@@ -239,10 +239,14 @@ object SparkEntry {
            |  FROM documents d LEFT JOIN sigs0 s0 USING (doc_id)),
            |blocks AS (SELECT doc_id, sig, b.b AS blk, (sig >> (b.b * 12)) & 4095 AS key
            |  FROM sigs, generate_series(0, 3) AS b(b)),
+           |bc AS (SELECT blk, key FROM blocks GROUP BY blk, key
+           |       HAVING count(*) BETWEEN 2 AND 1000),
            |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            |    CAST(len(list_filter(generate_series(0, 47),
            |      z -> ((x.sig >> z) & 1) <> ((y.sig >> z) & 1))) AS INTEGER) AS hamming
-           |  FROM blocks x JOIN blocks y
+           |  FROM blocks x
+           |  JOIN bc ON bc.blk = x.blk AND bc.key = x.key
+           |  JOIN blocks y
            |    ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
            |SELECT a, b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
       "dedup_winnow" ->

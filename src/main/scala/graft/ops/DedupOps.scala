@@ -160,8 +160,12 @@ object DedupOps {
 
   /** simhash near-dup pairs: block on 4×12-bit sub-keys (any exact
     * sub-key match is a candidate; Hamming ≤ 3 duplicates always share at
-    * least one of 4 blocks), then verify Hamming distance. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * least one of 4 blocks), then verify Hamming distance. Block buckets
+    * over `maxBucketSize` docs are dropped before pair expansion — the
+    * same deterministic skew guard as every blocker here (a corpus of
+    * near-identical boilerplate would otherwise collect one giant bucket). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val sigs = simhash(documents)
@@ -173,7 +177,7 @@ object DedupOps {
       .select(col("doc_id"), col("simhash48"), explode(array(blockStructs: _*)).as("bb"))
       .groupBy(col("bb.blk").as("blk"), col("bb.key").as("key"))
       .agg(collect_list(struct(col("doc_id"), col("simhash48"))).as("members"))
-      .filter(size(col("members")) >= 2)
+      .filter(size(col("members")).between(2, maxBucketSize))
       .select(col("members")).as[Seq[(Long, Long)]]
       .flatMap { members =>
         val sorted = members.sortBy(_._1)

@@ -60,9 +60,12 @@ object SimilarityOps {
   }
 
   /** embedding dimensionality, probed once from the first row (fixed per
-    * table by construction). */
+    * table by construction). Costs one tiny eager job at plan-build time;
+    * an EMPTY table yields dim 0 (the query then returns no rows) rather
+    * than throwing. */
   def embeddingDim(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).head.getInt(0)
+    embeddings.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** random-hyperplane LSH bucket id per vector (nPlanes-bit signature). */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 12): DataFrame = {

@@ -70,10 +70,21 @@ object Mentions {
     }
   }
 
-  /** per-executor trie cache: the broadcast value is deserialized once per
-    * executor; the trie is built from it once per executor too (keyed by
-    * broadcast id), NOT once per partition. */
-  private val trieCache = new java.util.concurrent.ConcurrentHashMap[Long, AliasTrie]()
+  /** per-executor trie cache: the trie is built once per executor per
+    * broadcast (NOT once per partition), and only the LATEST broadcast's
+    * trie is retained — a new detect() call (new broadcast id) evicts the
+    * previous trie, so repeated jobs on a long-lived executor hold at most
+    * one dictionary-sized automaton instead of leaking one per call. */
+  @volatile private var trieSlot: (Long, AliasTrie) = null
+  private def trieFor(bid: Long, build: () => AliasTrie): AliasTrie = {
+    val cur = trieSlot
+    if (cur != null && cur._1 == bid) cur._2
+    else synchronized {
+      val cur2 = trieSlot
+      if (cur2 != null && cur2._1 == bid) cur2._2
+      else { val t = build(); trieSlot = (bid, t); t }
+    }
+  }
 
   /** detect alias-dictionary mentions in each sentence (longest
     * non-overlapping match, left to right) and score the link:
@@ -86,7 +97,7 @@ object Mentions {
     sentences.mapPartitions { rows =>
       // per-partition init resolves the per-EXECUTOR automaton (the seam
       // where a real linker would establish its batch/connection state)
-      val trie = trieCache.computeIfAbsent(bid, _ => AliasTrie.build(dict.value))
+      val trie = trieFor(bid, () => AliasTrie.build(dict.value))
       rows.flatMap { row =>
         val s = row.sent
         val out = scala.collection.mutable.ListBuffer.empty[MentionRow]

@@ -36,7 +36,14 @@ object CorpusReaders {
   final case class ExcludedDoc(doc_id: String, raw_text: String)
 
   final case class ReaderOutput(docs: Dataset[PreprocessedDoc],
-                                excluded: Dataset[ExcludedDoc])
+                                excluded: Dataset[ExcludedDoc],
+                                private val routed: Option[Dataset[_]] = None) {
+    /** persist the SHARED routed dataset both views derive from, so
+      * consuming docs AND excluded costs one scan+segmentation pass.
+      * Call `uncache()` when both sinks are written. */
+    def cached(): ReaderOutput = { routed.foreach(_.persist()); this }
+    def uncache(): ReaderOutput = { routed.foreach(_.unpersist()); this }
+  }
 
   /** split → normalize → admit-or-exclude, shared by all readers. */
   def preprocess(docId: String, chunks: Seq[String],
@@ -50,13 +57,18 @@ object CorpusReaders {
     else Right(PreprocessedDoc(docId, normed.map(_._1), normed.map(_._2)))
   }
 
+  /** NOTE: `docs` and `excluded` are two views over one routed map —
+    * consuming BOTH runs the scan + segmentation twice unless the caller
+    * persists (`ReaderOutput.cached`) or consumes only one. At corpus
+    * scale, prefer `cached()` inside one job that writes both sinks. */
   private def split[I](input: Dataset[I])(f: I => Either[ExcludedDoc, PreprocessedDoc]): ReaderOutput = {
     val spark = input.sparkSession
     import spark.implicits._
     val routed = input.map(f(_))
     ReaderOutput(
       docs = routed.flatMap(_.toOption),
-      excluded = routed.flatMap(_.left.toOption))
+      excluded = routed.flatMap(_.left.toOption),
+      routed = Some(routed))
   }
 
   /** webhose articles: `{uuid, title, text}` JSONL; payload = text

@@ -50,6 +50,18 @@ class MentionsSpec extends SparkSpecBase {
     assert(got.map(_.entity_id).toSeq == Seq("E1", "E3"))
   }
 
+  test("consecutive detect calls with different dictionaries never serve a stale trie") {
+    val sents = Seq(graft.model.SentenceRow("d0", 0, 0, "张伟和李娜见面。")).toDS()
+    val dictA = Seq(AliasRow("张伟", "EA", "张伟")).toDS()
+    val dictB = Seq(AliasRow("李娜", "EB", "李娜")).toDS()
+    val a = Mentions.detect(sents, dictA).collect().map(_.mention).toSet
+    val b = Mentions.detect(sents, dictB).collect().map(_.mention).toSet
+    assert(a == Set("张伟") && b == Set("李娜"),
+           s"stale trie? a=$a b=$b (the single-slot cache must evict on a new broadcast)")
+    // and re-running the first dict still works (rebuilt, not corrupted)
+    assert(Mentions.detect(sents, dictA).collect().map(_.mention).toSet == Set("张伟"))
+  }
+
   test("a 100k-alias dictionary is handled via the per-executor trie") {
     val big = (0 until 100000).map { i =>
       AliasRow(f"人物$i%05d", f"E$i%06d", f"人物$i%05d")
