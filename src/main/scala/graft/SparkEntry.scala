@@ -120,6 +120,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.quality(read(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(read(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(read(s, dir, "documents"))),
+    "text_clean_corpus" -> ((s, dir) => TextOps.cleanCorpus(read(s, dir, "documents"))),
 
     // ---- relational coverage (scan/filter/agg/join/window) ----------
     "q1_agg" -> ((s, dir) =>
@@ -475,6 +476,26 @@ object SparkEntry {
           |    t -> greatest(1, (length(t) + 3) // 4))) AS BIGINT) AS n_subwords
           |FROM documents""".stripMargin,
       "text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_fp FROM documents",
+      "text_clean_corpus" ->
+        s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |f AS (SELECT doc_id, text,
+           |    CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 2
+           |              > length(regexp_replace(text, '[^A-Za-z]', '', 'g')) THEN 'zh'
+           |         WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0 THEN 'en'
+           |         ELSE 'other' END AS lang_pred,
+           |    len(string_split(text, ' ')) AS n_tokens,
+           |    (1000 * len(list_filter(string_split(text, ' '), t -> t IN ($stop))))
+           |      // greatest(len(string_split(text, ' ')), 1) AS stop_ratio_x1000,
+           |    (1000 * length(regexp_replace(text, '[^0-9]', '', 'g')))
+           |      // greatest(length(text), 1) AS digit_ratio_x1000
+           |  FROM documents)
+           |SELECT doc_id, lang_pred, n_tokens, stop_ratio_x1000, digit_ratio_x1000, text
+           |FROM f
+           |WHERE doc_id IN (SELECT doc_id FROM k)
+           |  AND n_tokens BETWEEN 5 AND 100000
+           |  AND (lang_pred <> 'en' OR stop_ratio_x1000 >= 1)
+           |  AND digit_ratio_x1000 <= 300
+           |  AND lang_pred IN ('en', 'zh')""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -91,4 +91,38 @@ object TextOps {
     * The shingled rolling-hash fingerprint lives in DedupOps.winnowing. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), md5(col("text")).as("md5_fp"))
+
+  /** the composed training-corpus cleaner — the end-user surface the
+    * individual ops exist for: exact-dedup to the keeper copy, then
+    * quality gates (token count window, stopword floor, digit ceiling),
+    * then a language allowlist. One aggregation (dedup keepers) + one
+    * broadcast-free semi-join back + codegen'd filters; emits the kept
+    * rows with their quality features so downstream sampling can stratify.
+    *
+    * Gate defaults are x1000 fixed-point like everything in this file. */
+  def cleanCorpus(documents: DataFrame,
+                  minTokens: Int = 5, maxTokens: Int = 100000,
+                  minStopRatioX1000: Int = 1, maxDigitRatioX1000: Int = 300,
+                  langs: Seq[String] = Seq("en", "zh")): DataFrame = {
+    // keeper ids: min doc_id per distinct text (exact dedup winner)
+    val keepers = documents
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val q = quality(documents)
+    val lang = langId(documents).select(col("doc_id"), col("lang_pred"))
+    documents.select(col("doc_id"), col("text"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(q, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+              // the stopword floor is an ENGLISH fluency gate — other
+              // languages pass it (their fluency gate is the token window
+              // + digit ceiling; the stoplist is en function words)
+              (col("lang_pred") =!= "en" || col("stop_ratio_x1000") >= minStopRatioX1000) &&
+              col("digit_ratio_x1000") <= maxDigitRatioX1000 &&
+              col("lang_pred").isin(langs: _*))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+              col("stop_ratio_x1000"), col("digit_ratio_x1000"), col("text"))
+  }
 }

@@ -156,6 +156,23 @@ class OpsSpec extends SparkSpecBase {
     assert(byId(0L) != byId(1L), "different texts should differ")
   }
 
+  test("cleanCorpus composes dedup keeper + quality gates + language allowlist") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank"), // kept
+      (2L, "the quick brown fox jumps over the lazy dog near a river bank"), // exact dup of 1 → dropped
+      (3L, "short text"),                                   // < 5 tokens → dropped
+      (4L, "1234 5678 9012 3456 7890 1111 of 2222 3333"),   // digit-heavy → dropped
+      (5L, "这是 一个 中文 的 句子 呀 很好 真的 不错"),          // zh kept (的 is not in the en stoplist… includes 'of'? no)
+      (6L, "zzz qqq www eee rrr ttt yyy uuu")                // no stopwords → stop_ratio 0 → dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.cleanCorpus(docs).collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L) && !out.contains(2L), "exact dup must keep only the keeper")
+    assert(!out.contains(3L), "too-short doc must be dropped")
+    assert(!out.contains(4L), "digit-heavy doc must be dropped")
+    assert(out.contains(5L), "zh doc must pass (the stopword floor is en-only)")
+    assert(!out.contains(6L), "zero-stopword en doc must be dropped")
+  }
+
   test("language id separates cjk from latin") {
     val df = Seq((1L, "这是一个中文句子"), (2L, "this is english text"), (3L, "12345 !!!"))
       .toDF("doc_id", "text")
