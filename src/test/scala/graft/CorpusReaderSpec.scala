@@ -79,6 +79,18 @@ class CorpusReaderSpec extends SparkSpecBase {
     assert(sents.map(_.sent).toSeq == d.splitted_text)
   }
 
+  test("readers consume gzipped JSONL transparently (production corpus shape)") {
+    val dir = Files.createTempDirectory("graft-corpus-gz").toString
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-0.jsonl.gz"))
+    out.write("""{"uuid":"g1","title":"","text":"这是压缩语料的第一句话呀。这是第二句话呀！"}"""
+      .getBytes("UTF-8"))
+    out.close()
+    val docs = CorpusReaders.readWebhose(spark, dir).docs.collect()
+    assert(docs.length == 1 && docs.head.doc_id == "g1")
+    assert(docs.head.splitted_text == Segmenter.segment("这是压缩语料的第一句话呀。这是第二句话呀！"))
+  }
+
   test("reader output runs the FULL checkpointed pipeline (runFromDocs)") {
     val text = graft.synth.SynthDocs.genDoc(1L).spans
       .filter(_.kind == "text").map(_.text).mkString
