@@ -55,8 +55,10 @@ object SparkEntry {
       Pipeline.entailmentEdges(Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
     }),
     "kg_span_report" -> ((s, _) => {
+      // the invariant checked through a REAL round trip: explode spans →
+      // shuffle → reassemble by offset, compared against the input table
       val docs = Pipeline.synthDocs(s, VerifyDocs)
-      Pipeline.spanInvariantReport(docs, docs)
+      Pipeline.spanInvariantReport(docs, Pipeline.reassembleDocs(docs))
     }),
     "kg_mentions" -> ((s, _) =>
       Mentions.detect(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)),
@@ -392,9 +394,15 @@ object SparkEntry {
         """SELECT metric, CAST(sum(n) AS BIGINT) AS total
           |FROM read_parquet('__OUT__/_aux/metric_events/*.parquet') GROUP BY metric""".stripMargin,
       "kg_span_report" ->
-        """SELECT a.doc_id, (a.spans IS NOT DISTINCT FROM b.spans) AS preserved
-          |FROM read_parquet('__OUT__/_aux/docs/*.parquet') a
-          |JOIN read_parquet('__OUT__/_aux/docs/*.parquet') b ON a.doc_id = b.doc_id""".stripMargin,
+        // same explode → sort-by-offset reassembly, recomputed in SQL
+        """WITH a AS (SELECT * FROM read_parquet('__OUT__/_aux/docs/*.parquet')),
+          |ex AS (SELECT doc_id, unnest(spans) AS span FROM a),
+          |re AS (SELECT doc_id,
+          |    list_transform(list_sort(list(struct_pack(o := span.offset, s := span))),
+          |                   x -> x.s) AS spans2
+          |  FROM ex GROUP BY doc_id)
+          |SELECT a.doc_id, (a.spans IS NOT DISTINCT FROM re.spans2) AS preserved
+          |FROM a JOIN re ON a.doc_id = re.doc_id""".stripMargin,
       "mm_media_stats" ->
         """SELECT kind, count(*) AS n_assets, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
           |  max(width) AS max_width, max(n_frames) AS max_frames

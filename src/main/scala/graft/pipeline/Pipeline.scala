@@ -412,6 +412,21 @@ object Pipeline {
       .filter(not(col("spans_in") <=> col("spans_out")))
   }
 
+  /** explode the docs table to one row per span and REASSEMBLE it —
+    * a genuine distributed round trip (explode → shuffle on doc_id →
+    * collect_list → order by offset) of the span sequences. The
+    * span-invariant query compares its output against the input, so the
+    * invariant is checked through a real exchange, not row identity. */
+  def reassembleDocs(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span.offset").as("o"), col("span").as("s")))).as("x"))
+      .select(col("doc_id"), transform(col("x"), e => e("s")).as("spans"))
+      .as[Doc]
+  }
+
   /** per-doc span-invariant report (doc_id, preserved) — the positive form
     * used as a driver-visible query. */
   def spanInvariantReport(docsIn: Dataset[Doc], docsOut: Dataset[Doc]): DataFrame = {

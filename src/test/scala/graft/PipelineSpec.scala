@@ -53,6 +53,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(Pipeline.spanInvariantViolations(docs, mutated).count() == 1)
   }
 
+  test("explode→reassemble round trip preserves span sequences (and is not vacuous)") {
+    val docs = Pipeline.synthDocs(spark, 100)
+    val report = Pipeline.spanInvariantReport(docs, Pipeline.reassembleDocs(docs))
+    assert(report.count() == 100)
+    assert(report.filter(!$"preserved").count() == 0)
+    // negative control: a doc stored with spans OUT of offset order is
+    // restored to offset order by reassembly → flagged as not preserved
+    val scrambled = docs.map { d =>
+      if (d.doc_id == SynthDocs.docId(7)) d.copy(spans = d.spans.reverse) else d
+    }
+    val neg = Pipeline.spanInvariantReport(scrambled, Pipeline.reassembleDocs(scrambled))
+    assert(neg.filter(!$"preserved").count() == 1)
+  }
+
   test("canonicalization links aliases and keeps unmatched surfaces") {
     val docs = Pipeline.synthDocs(spark, 100)
     val triples = Pipeline.extractTriples(Pipeline.segmentDocs(docs))
