@@ -40,6 +40,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(triples.nonEmpty)
   }
 
+  test("distributed extraction with addHalfCoarse emits the crossed families exactly") {
+    val docs = Pipeline.synthDocs(spark, 100)
+    val got = Pipeline.extractTriples(Pipeline.segmentDocs(docs), addHalfCoarse = true)
+      .filter(t => t.rel_list == "crossed" || t.rel_list == "amend_crossed").collect().toSet
+    val expected = (0L until 100L).flatMap { d =>
+      SynthDocs.expectedSentences(d).zipWithIndex.flatMap { case (sent, sid) =>
+        val (parse, tags) = FixtureParser.analyze(sent).get
+        val rels = PostProcess.processSentence(parse, Some(tags), addHalfCoarse = true)
+        Seq("crossed" -> rels.crossed, "amend_crossed" -> rels.amendCrossed).flatMap {
+          case (ln, rs) => rs.map(r => TripleRow(SynthDocs.docId(d), sid, ln, r.subj, r.pred,
+                                                 r.obj, r.subjIdx, r.predIdx.get, r.objIdx))
+        }
+      }
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "flag-on corpus must produce crossed rows")
+  }
+
   test("span-sequence invariant holds through the pipeline") {
     val docs = Pipeline.synthDocs(spark, 100)
     // output docs table: the pipeline carries the docs table through
