@@ -58,6 +58,16 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.nonEmpty, "flag-on corpus must produce crossed rows")
   }
 
+  test("unparsable sentences are counted in the accumulator, not silently dropped") {
+    val acc = spark.sparkContext.longAccumulator("unparsed")
+    val sents = Seq(
+      graft.model.SentenceRow("d0", 0, 0, "不在任何夹具词表里的句子呀"),
+      graft.model.SentenceRow("d0", 0, 1, SynthDocs.expectedSentences(0L).head)).toDS()
+    val out = Pipeline.extractTriples(sents, Some(acc)).collect()
+    assert(acc.value == 1, s"expected 1 unparsed, got ${acc.value}")
+    assert(out.nonEmpty, "the parsable sentence must still yield triples")
+  }
+
   test("span-sequence invariant holds through the pipeline") {
     val docs = Pipeline.synthDocs(spark, 100)
     // output docs table: the pipeline carries the docs table through
