@@ -120,11 +120,27 @@ object Amender {
   private def predChunks(pred: String): Array[String] = pred.split("·", -1)
 
   /** filter to one tag with a deterministic cap (reference
-    * filter_rel_list, dudepparse.py:16-38; cap pinned deterministic). */
-  def filterRelList(rels: scala.collection.IndexedSeq[Rel], tag: String, threshold: Int = 2000): scala.collection.IndexedSeq[(Int, Rel)] = {
-    val kept = rels.zipWithIndex.collect { case (rel, i) if rel.tag == tag => (i, rel) }
-    if (kept.length > threshold) kept.take(threshold) else kept
+    * filter_rel_list, dudepparse.py:16-38; cap pinned deterministic =
+    * first-k matches). Hot path: called several times per rule per
+    * sentence — a direct indexed scan, no zipWithIndex/collect wrappers
+    * (those were the top allocation sites in profiles). */
+  def filterRelList(rels: scala.collection.IndexedSeq[Rel], tag: String,
+                    threshold: Int = 2000): scala.collection.IndexedSeq[(Int, Rel)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Rel)](8)
+    var i = 0
+    val n = rels.length
+    while (i < n && out.length < threshold) {
+      val r = rels(i)
+      if (r.tag == tag) out += ((i, r))
+      i += 1
+    }
+    out
   }
+
+  /** unboxed Option[Int] equality — `opt.contains(v)` dispatches through
+    * BoxesRunTime.equalsNumObject per call (a measured hot frame). */
+  @inline def ieq(opt: Option[Int], v: Int): Boolean =
+    opt.isDefined && opt.get == v
 
   final case class AmendResult(
       amendFine: Vector[Rel],
@@ -186,11 +202,11 @@ object Amender {
             // fine
             jf.zipWithIndex.foreach { case (fRel, fRelIdx) =>
               if (fRel.tag == "SVO") {
-                if (fRel.idxs(1).contains(verbIdx) && fRel.names(2).isEmpty) {
+                if (ieq(fRel.idxs(1), verbIdx) && fRel.names(2).isEmpty) {
                   val nw = Rel(Vector(fRel.names(0), Some(advToken + "·X·" + fRel.pred), Some(objToken)),
                                fRel.tag, Vector(fRel.idxs(0), fRel.idxs(1), Some(lblIdx)))
                   aF += nw; fResidue += fRelIdx; counts("pob") += 1
-                } else if (fRel.idxs(1).contains(verbIdx) && objTokenIsNominal) {
+                } else if (ieq(fRel.idxs(1), verbIdx) && objTokenIsNominal) {
                   val nw1 = Rel(Vector(fRel.names(0),
                                        Some(advToken + "·X·" + fRel.pred + "·" + fRel.names(2).getOrElse("None")),
                                        Some(objToken)),
@@ -204,7 +220,7 @@ object Amender {
             // coarse
             jc.zipWithIndex.foreach { case (cRel, cRelIdx) =>
               if (cRel.tag == "SVO") {
-                if (cRel.idxs(1).contains(verbIdx) && cRel.names(2).isEmpty) {
+                if (ieq(cRel.idxs(1), verbIdx) && cRel.names(2).isEmpty) {
                   val coarseObj = jc.reverseIterator.collectFirst {
                     case ref if ref.tag == "ADV_V" && ref.names(1).contains(r.words(verbIdx)) &&
                       ref.names(0).exists(_.contains(objToken)) => ref.names(0).get
@@ -214,7 +230,7 @@ object Amender {
                                  cRel.tag, Vector(cRel.idxs(0), cRel.idxs(1), Some(lblIdx)))
                     aC += nw; cResidue += cRelIdx; counts("pob") += 1
                   }
-                } else if (cRel.idxs(1).contains(verbIdx) && objTokenIsNominal) {
+                } else if (ieq(cRel.idxs(1), verbIdx) && objTokenIsNominal) {
                   val coarseObj = jc.reverseIterator.collectFirst {
                     case ref if ref.tag == "ADV_V" && ref.names(1).contains(r.words(verbIdx)) &&
                       ref.names(0).exists(_.contains(objToken)) => ref.names(0).get
@@ -246,12 +262,12 @@ object Amender {
           val lblGrandparentToken = pyWord(r, lblGrandparentFrom0)
 
           jf.foreach { fRel =>
-            if (fRel.tag == "SVO" && fRel.idxs(1).contains(lblGrandparentFrom0)) {
+            if (fRel.tag == "SVO" && ieq(fRel.idxs(1), lblGrandparentFrom0)) {
               if (!fRel.pred.contains("·X·")) {
                 val nw = Rel(Vector(fRel.names(0), Some(prepToken + "·X·" + fRel.pred), Some(lblHeadToken)),
                              fRel.tag, Vector(fRel.idxs(0), fRel.idxs(1), Some(lblHeadFrom0)))
                 aF += nw
-                if (fRel.names(2).nonEmpty && !fRel.idxs(2).contains(lblHeadFrom0)) {
+                if (fRel.names(2).nonEmpty && !ieq(fRel.idxs(2), lblHeadFrom0)) {
                   aF += Rel(Vector(fRel.names(0),
                                    Some(prepToken + "·X·" + fRel.pred + "·" + fRel.names(2).get),
                                    Some(lblHeadToken)),
@@ -266,7 +282,7 @@ object Amender {
             }
           }
           jc.foreach { cRel =>
-            if (cRel.tag == "SVO" && cRel.idxs(1).contains(lblGrandparentFrom0)) {
+            if (cRel.tag == "SVO" && ieq(cRel.idxs(1), lblGrandparentFrom0)) {
               val coarseObj = jc.reverseIterator.collectFirst {
                 case ref if ref.tag == "ADV_V" && ref.names(1).contains(lblGrandparentToken) &&
                   ref.names(0).exists(_.contains(lblHeadToken)) => ref.names(0).get
@@ -574,7 +590,7 @@ object Amender {
         while (!hit) {
           hit = true
           for ((_, relNext) <- jfAttns
-               if relNext.idxs(0).nonEmpty && relNext.idxs(0).contains(argSeqIdxs.last)) {
+               if relNext.idxs(0).nonEmpty && ieq(relNext.idxs(0), argSeqIdxs.last)) {
             argSeqNames += relNext.names(1).getOrElse("")
             argSeqIdxs += relNext.idxs(1).get
             hit = false
