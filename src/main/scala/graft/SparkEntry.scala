@@ -395,14 +395,17 @@ object SparkEntry {
           |FROM read_parquet('__OUT__/_aux/metric_events/*.parquet') GROUP BY metric""".stripMargin,
       "kg_span_report" ->
         // same explode → sort-by-offset reassembly, recomputed in SQL
+        // LEFT JOIN + empty-list fallback mirrors explode_outer: a doc
+        // with an empty span array survives the round trip
         """WITH a AS (SELECT * FROM read_parquet('__OUT__/_aux/docs/*.parquet')),
           |ex AS (SELECT doc_id, unnest(spans) AS span FROM a),
           |re AS (SELECT doc_id,
           |    list_transform(list_sort(list(struct_pack(o := span.offset, s := span))),
           |                   x -> x.s) AS spans2
           |  FROM ex GROUP BY doc_id)
-          |SELECT a.doc_id, (a.spans IS NOT DISTINCT FROM re.spans2) AS preserved
-          |FROM a JOIN re ON a.doc_id = re.doc_id""".stripMargin,
+          |SELECT a.doc_id,
+          |  (a.spans IS NOT DISTINCT FROM COALESCE(re.spans2, a.spans[1:0])) AS preserved
+          |FROM a LEFT JOIN re ON a.doc_id = re.doc_id""".stripMargin,
       "mm_media_stats" ->
         """SELECT kind, count(*) AS n_assets, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
           |  max(width) AS max_width, max(n_frames) AS max_frames

@@ -590,7 +590,7 @@ object Amender {
         while (!hit) {
           hit = true
           for ((_, relNext) <- jfAttns
-               if relNext.idxs(0).nonEmpty && ieq(relNext.idxs(0), argSeqIdxs.last)) {
+               if ieq(relNext.idxs(0), argSeqIdxs.last)) {
             argSeqNames += relNext.names(1).getOrElse("")
             argSeqIdxs += relNext.idxs(1).get
             hit = false

@@ -75,8 +75,8 @@ object TextOps {
       nPunct.as("n_punct"),
       nDigit.as("n_digits"),
       // fixed-point ratios (x1000, integer division)
-      expr(s"(1000 * size(filter(split(text, ' '), t -> t in (${stopwords.map("'" + _ + "'").mkString(",")}))) ) div greatest(size(split(text, ' ')), 1)").as("stop_ratio_x1000"),
-      ((lit(1000L) * nDigit) / greatest(len, lit(1L))).cast("long").as("digit_ratio_x1000"))
+      stopRatioX1000Expr.as("stop_ratio_x1000"),
+      digitRatioX1000Expr(col("text")).as("digit_ratio_x1000"))
   }
 
   /** token counting: whitespace tokens, CJK chars, subword estimate. */
@@ -92,12 +92,22 @@ object TextOps {
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), md5(col("text")).as("md5_fp"))
 
+  /** stopword ratio x1000 (integer division, Python-// semantics). */
+  def stopRatioX1000Expr: Column =
+    expr(s"(1000 * size(filter(split(text, ' '), t -> t in (${stopwords.map("'" + _ + "'").mkString(",")}))) ) div greatest(size(split(text, ' ')), 1)")
+
+  def digitRatioX1000Expr(text: Column): Column =
+    ((lit(1000L) * digitCharCount(text).cast("long")) /
+      greatest(length(text).cast("long"), lit(1L))).cast("long")
+
   /** the composed training-corpus cleaner — the end-user surface the
     * individual ops exist for: exact-dedup to the keeper copy, then
     * quality gates (token count window, stopword floor, digit ceiling),
-    * then a language allowlist. One aggregation (dedup keepers) + one
-    * broadcast-free semi-join back + codegen'd filters; emits the kept
-    * rows with their quality features so downstream sampling can stratify.
+    * then a language allowlist. Plan: ONE aggregation (dedup keepers) +
+    * one semi-join back; the lang/quality features are inline projections
+    * on the kept rows (codegen'd, no extra joins, single scan of the
+    * corpus side). Emits the kept rows with their quality features so
+    * downstream sampling can stratify.
     *
     * Gate defaults are x1000 fixed-point like everything in this file. */
   def cleanCorpus(documents: DataFrame,
@@ -109,12 +119,14 @@ object TextOps {
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val q = quality(documents)
-    val lang = langId(documents).select(col("doc_id"), col("lang_pred"))
     documents.select(col("doc_id"), col("text"))
       .join(keepers, Seq("doc_id"), "left_semi")
-      .join(q, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
+      .select(col("doc_id"),
+              langIdExpr(col("text")).as("lang_pred"),
+              size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+              stopRatioX1000Expr.as("stop_ratio_x1000"),
+              digitRatioX1000Expr(col("text")).as("digit_ratio_x1000"),
+              col("text"))
       .filter(col("n_tokens").between(minTokens, maxTokens) &&
               // the stopword floor is an ENGLISH fluency gate — other
               // languages pass it (their fluency gate is the token window
@@ -122,7 +134,5 @@ object TextOps {
               (col("lang_pred") =!= "en" || col("stop_ratio_x1000") >= minStopRatioX1000) &&
               col("digit_ratio_x1000") <= maxDigitRatioX1000 &&
               col("lang_pred").isin(langs: _*))
-      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-              col("stop_ratio_x1000"), col("digit_ratio_x1000"), col("text"))
   }
 }

@@ -419,10 +419,15 @@ object Pipeline {
     * invariant is checked through a real exchange, not row identity. */
   def reassembleDocs(docs: Dataset[Doc]): Dataset[Doc] = {
     import docs.sparkSession.implicits._
+    // explode_outer keeps docs whose span array is EMPTY (collect_list
+    // skips the null span → empty array back), so the round trip is total
     docs.toDF()
-      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), explode_outer(col("spans")).as("span"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("span.offset").as("o"), col("span").as("s")))).as("x"))
+      // collect_list skips NULLs, but struct(null-span) would not be null
+      // — wrap in when() so the empty-array doc reassembles to []
+      .agg(sort_array(collect_list(when(col("span").isNotNull,
+        struct(col("span.offset").as("o"), col("span").as("s"))))).as("x"))
       .select(col("doc_id"), transform(col("x"), e => e("s")).as("spans"))
       .as[Doc]
   }

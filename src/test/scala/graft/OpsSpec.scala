@@ -162,7 +162,7 @@ class OpsSpec extends SparkSpecBase {
       (2L, "the quick brown fox jumps over the lazy dog near a river bank"), // exact dup of 1 → dropped
       (3L, "short text"),                                   // < 5 tokens → dropped
       (4L, "1234 5678 9012 3456 7890 1111 of 2222 3333"),   // digit-heavy → dropped
-      (5L, "这是 一个 中文 的 句子 呀 很好 真的 不错"),          // zh kept (的 is not in the en stoplist… includes 'of'? no)
+      (5L, "这是 一个 中文 的 句子 呀 很好 真的 不错"),          // zh kept (stopword floor is en-only)
       (6L, "zzz qqq www eee rrr ttt yyy uuu")                // no stopwords → stop_ratio 0 → dropped
     ).toDF("doc_id", "text")
     val out = TextOps.cleanCorpus(docs).collect().map(_.getLong(0)).toSet

@@ -93,6 +93,14 @@ class PipelineSpec extends SparkSpecBase {
     }
     val neg = Pipeline.spanInvariantReport(scrambled, Pipeline.reassembleDocs(scrambled))
     assert(neg.filter(!$"preserved").count() == 1)
+    // edge: a doc with an EMPTY span array survives the round trip intact
+    // (explode_outer keeps it; a plain explode would drop it and falsely
+    // flag the invariant)
+    val withEmpty = docs.map { d =>
+      if (d.doc_id == SynthDocs.docId(3)) d.copy(spans = Seq.empty) else d
+    }
+    val edge = Pipeline.spanInvariantReport(withEmpty, Pipeline.reassembleDocs(withEmpty))
+    assert(edge.count() == 100 && edge.filter(!$"preserved").count() == 0)
   }
 
   test("canonicalization links aliases and keeps unmatched surfaces") {
