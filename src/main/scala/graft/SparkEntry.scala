@@ -71,9 +71,13 @@ object SparkEntry {
       Pipeline.corefTriples(Pipeline.synthDocs(s, VerifyDocs)).toDF()),
     "kg_coref_nerpos" -> ((s, _) => {
       val docs = Pipeline.synthDocs(s, VerifyDocs)
+      // driver-visible projection is all-scalar: the round driver's pandas
+      // comparator cannot sort/hash array columns, so mention_words is
+      // array_join'd here (the typed NerPosRow table keeps the array)
       Pipeline.corefNerPosJoin(
         Pipeline.nerPosTable(Pipeline.segmentDocs(docs)),
         Pipeline.corefedSentenceTable(docs))
+        .withColumn("mention_words", array_join(col("mention_words"), "|"))
     }),
     "kg_metrics" -> ((s, _) =>
       Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
@@ -351,8 +355,9 @@ object SparkEntry {
           |         AS link_score_x1000
           |FROM step WHERE m_alias IS NOT NULL""".stripMargin,
       "kg_coref_nerpos" ->
-        """SELECT n.doc_id, n.sent_id, n.sent, n.mention_words, n.n_mentions,
-          |  n.misplaced, c.corefed AS corefed_sent
+        """SELECT n.doc_id, n.sent_id, n.sent,
+          |  COALESCE(array_to_string(n.mention_words, '|'), '') AS mention_words,
+          |  n.n_mentions, n.misplaced, c.corefed AS corefed_sent
           |FROM read_parquet('__OUT__/_aux/nerpos/*.parquet') n
           |LEFT JOIN read_parquet('__OUT__/_aux/corefed/*.parquet') c
           |  ON n.doc_id = c.doc_id AND n.sent_id = c.sent_id""".stripMargin,
@@ -394,13 +399,16 @@ object SparkEntry {
         """SELECT metric, CAST(sum(n) AS BIGINT) AS total
           |FROM read_parquet('__OUT__/_aux/metric_events/*.parquet') GROUP BY metric""".stripMargin,
       "kg_span_report" ->
-        // same explode → sort-by-offset reassembly, recomputed in SQL
-        // LEFT JOIN + empty-list fallback mirrors explode_outer: a doc
-        // with an empty span array survives the round trip
+        // same posexplode → sort-by-(offset, original position) reassembly,
+        // recomputed in SQL. LEFT JOIN + empty-list fallback mirrors
+        // posexplode_outer: a doc with an empty span array survives the
+        // round trip; the positional tiebreak keeps equal-offset spans in
+        // input order on both engines.
         """WITH a AS (SELECT * FROM read_parquet('__OUT__/_aux/docs/*.parquet')),
-          |ex AS (SELECT doc_id, unnest(spans) AS span FROM a),
+          |ex AS (SELECT doc_id, unnest(generate_series(1, len(spans))) AS pos,
+          |    unnest(spans) AS span FROM a),
           |re AS (SELECT doc_id,
-          |    list_transform(list_sort(list(struct_pack(o := span.offset, s := span))),
+          |    list_transform(list_sort(list(struct_pack(o := span.offset, p := pos, s := span))),
           |                   x -> x.s) AS spans2
           |  FROM ex GROUP BY doc_id)
           |SELECT a.doc_id,

@@ -18,9 +18,21 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val outAbs = new java.io.File(outDir).getAbsolutePath
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // driver-comparator constraint: oracled outputs must be all-scalar
+        // (its pandas sort/hash crashes on array/map/struct columns)
+        if (SparkEntry.oracleSql.contains(name)) {
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          val bad = df.schema.fields.filter(f => f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          })
+          if (bad.nonEmpty) System.err.println(
+            s"[verify] AUDIT FAIL $name: non-scalar oracled columns ${bad.map(_.name).mkString(",")}")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

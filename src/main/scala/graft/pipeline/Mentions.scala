@@ -71,20 +71,23 @@ object Mentions {
   }
 
   /** per-executor trie cache: the trie is built once per executor per
-    * broadcast (NOT once per partition), and only the LATEST broadcast's
-    * trie is retained — a new detect() call (new broadcast id) evicts the
-    * previous trie, so repeated jobs on a long-lived executor hold at most
-    * one dictionary-sized automaton instead of leaking one per call. */
-  @volatile private var trieSlot: (Long, AliasTrie) = null
-  private def trieFor(bid: Long, build: () => AliasTrie): AliasTrie = {
-    val cur = trieSlot
-    if (cur != null && cur._1 == bid) cur._2
-    else synchronized {
-      val cur2 = trieSlot
-      if (cur2 != null && cur2._1 == bid) cur2._2
-      else { val t = build(); trieSlot = (bid, t); t }
+    * broadcast (NOT once per partition). The cache is a small bounded
+    * access-ordered map (4 slots) keyed by broadcast id, so CONCURRENT
+    * detect() jobs with different dictionaries on one executor don't evict
+    * each other and rebuild per partition; LRU eviction bounds a long-lived
+    * executor to at most 4 dictionary-sized automatons. */
+  private val TrieCacheSlots = 4
+  private val trieCache =
+    new java.util.LinkedHashMap[Long, AliasTrie](TrieCacheSlots, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, AliasTrie]): Boolean =
+        size() > TrieCacheSlots
     }
-  }
+  private def trieFor(bid: Long, build: () => AliasTrie): AliasTrie =
+    trieCache.synchronized {
+      val cur = trieCache.get(bid)
+      if (cur != null) cur
+      else { val t = build(); trieCache.put(bid, t); t }
+    }
 
   /** detect alias-dictionary mentions in each sentence (longest
     * non-overlapping match, left to right) and score the link:

@@ -413,21 +413,24 @@ object Pipeline {
   }
 
   /** explode the docs table to one row per span and REASSEMBLE it —
-    * a genuine distributed round trip (explode → shuffle on doc_id →
-    * collect_list → order by offset) of the span sequences. The
-    * span-invariant query compares its output against the input, so the
-    * invariant is checked through a real exchange, not row identity. */
+    * a genuine distributed round trip (posexplode → shuffle on doc_id →
+    * collect_list → order by (offset, original position)) of the span
+    * sequences. The span-invariant query compares its output against the
+    * input, so the invariant is checked through a real exchange, not row
+    * identity. The positional tiebreak makes the round trip total even for
+    * docs with DUPLICATE span offsets (e.g. re-split corpus-reader chunks
+    * that share original-chunk lineage ids). */
   def reassembleDocs(docs: Dataset[Doc]): Dataset[Doc] = {
     import docs.sparkSession.implicits._
-    // explode_outer keeps docs whose span array is EMPTY (collect_list
+    // posexplode_outer keeps docs whose span array is EMPTY (collect_list
     // skips the null span → empty array back), so the round trip is total
     docs.toDF()
-      .select(col("doc_id"), explode_outer(col("spans")).as("span"))
+      .select(col("doc_id"), posexplode_outer(col("spans")).as(Seq("pos", "span")))
       .groupBy(col("doc_id"))
       // collect_list skips NULLs, but struct(null-span) would not be null
       // — wrap in when() so the empty-array doc reassembles to []
       .agg(sort_array(collect_list(when(col("span").isNotNull,
-        struct(col("span.offset").as("o"), col("span").as("s"))))).as("x"))
+        struct(col("span.offset").as("o"), col("pos").as("p"), col("span").as("s"))))).as("x"))
       .select(col("doc_id"), transform(col("x"), e => e("s")).as("spans"))
       .as[Doc]
   }

@@ -101,6 +101,16 @@ class PipelineSpec extends SparkSpecBase {
     }
     val edge = Pipeline.spanInvariantReport(withEmpty, Pipeline.reassembleDocs(withEmpty))
     assert(edge.count() == 100 && edge.filter(!$"preserved").count() == 0)
+    // edge: DUPLICATE offsets (re-split corpus-reader chunks share the
+    // original-chunk lineage id) — the positional tiebreak must keep
+    // equal-offset spans in input order, not flip them nondeterministically
+    val withDups = docs.map { d =>
+      if (d.doc_id == SynthDocs.docId(5))
+        d.copy(spans = d.spans.map(_.copy(offset = 0)))
+      else d
+    }
+    val dup = Pipeline.spanInvariantReport(withDups, Pipeline.reassembleDocs(withDups))
+    assert(dup.count() == 100 && dup.filter(!$"preserved").count() == 0)
   }
 
   test("canonicalization links aliases and keeps unmatched surfaces") {
