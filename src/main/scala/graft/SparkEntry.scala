@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.pipeline.{Mentions, Pipeline}
+import graft.sources.{CorpusReaders, ReaderFixtures}
 
 /** Driver contract: one flagship entry + one query per implemented
   * operator (SURVEY.md §2 + the training-data ops), with ANSI-SQL DuckDB
@@ -101,6 +102,21 @@ object SparkEntry {
     "mm_media_stats" -> ((s, _) =>
       MultimodalOps.mediaStats(
         MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs))))),
+
+    // ---- corpus readers (field mapping + exclusion routing; splitting
+    // CONTENT is covered by the reference-differential battery) --------
+    "src_webhose" -> ((s, _) =>
+      CorpusReaders.routingReport(
+        CorpusReaders.readWebhose(s, s"${ReaderFixtures.ensure()}/webhose.jsonl"))),
+    "src_webhose_dir" -> ((s, _) =>
+      CorpusReaders.routingReport(
+        CorpusReaders.readWebhoseDir(s, s"${ReaderFixtures.ensure()}/webhose_dir"))),
+    "src_clue" -> ((s, _) =>
+      CorpusReaders.routingReport(
+        CorpusReaders.readClue(s, s"${ReaderFixtures.ensure()}/clue.jsonl"))),
+    "src_newsspike" -> ((s, _) =>
+      CorpusReaders.routingReport(
+        CorpusReaders.readNewsspike(s, s"${ReaderFixtures.ensure()}/newsspike.jsonl"))),
 
     // ---- dedup family over documents --------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exact(read(s, dir, "documents"))),
@@ -220,7 +236,51 @@ object SparkEntry {
         |  COALESCE(subj, '∅') || '|' || pred || '|' || COALESCE(obj, '∅') || '|' ||
         |  COALESCE(CAST(subj_idx AS VARCHAR), '∅') || '|' || CAST(pred_idx AS VARCHAR) || '|' ||
         |  COALESCE(CAST(obj_idx AS VARCHAR), '∅')), 1, 2) <= '02'""".stripMargin
+    // the Segmenter's admission window reduced to the fixture's design:
+    // a '。'-segment is admitted iff it has >4 Chinese chars (fixtures
+    // contain no other delimiters / whitespace / long sentences)
+    def srcAdmitted(textExpr: String) =
+      s"""CAST(len(list_filter(string_split(COALESCE($textExpr, ''), '。'),
+         |    x -> length(regexp_replace(x, '[^一-鿿]', '', 'g')) > 4)) AS INTEGER)""".stripMargin
+    def srcFlat(src: String, idCol: String, payloadCol: String) =
+      s"""WITH r AS (SELECT * FROM $src),
+         |s AS (SELECT $idCol AS doc_id, ${srcAdmitted(payloadCol)} AS n FROM r)
+         |SELECT doc_id,
+         |  CASE WHEN n > 0 THEN 'ok' ELSE 'excluded' END AS status,
+         |  CASE WHEN n > 0 THEN n ELSE CAST(0 AS INTEGER) END AS n_sentences,
+         |  CASE WHEN n > 0 THEN CAST(0 AS INTEGER) ELSE CAST(-1 AS INTEGER) END AS max_chunk
+         |FROM s""".stripMargin
+    val fixtures = ReaderFixtures.Root
     Map(
+      "src_webhose" -> srcFlat(
+        s"""read_json('$fixtures/webhose.jsonl', format='newline_delimited',
+           |  columns={uuid: 'VARCHAR', title: 'VARCHAR', text: 'VARCHAR'})""".stripMargin,
+        "uuid", "text"),
+      "src_webhose_dir" -> srcFlat(
+        s"""read_json('$fixtures/webhose_dir/**/*.json', format='auto',
+           |  columns={uuid: 'VARCHAR', title: 'VARCHAR', text: 'VARCHAR'})""".stripMargin,
+        "uuid", "text"),
+      "src_clue" -> srcFlat(
+        s"""read_json('$fixtures/clue.jsonl', format='newline_delimited',
+           |  columns={news_id: 'VARCHAR', title: 'VARCHAR', content: 'VARCHAR'})""".stripMargin,
+        "news_id", "content"),
+      "src_newsspike" ->
+        s"""WITH r AS (SELECT * FROM read_json('$fixtures/newsspike.jsonl',
+           |    format='newline_delimited',
+           |    columns={id: 'VARCHAR', splitted_text: 'VARCHAR[]', split_mapping: 'INTEGER[]'})),
+           |ex AS (SELECT id, unnest(COALESCE(splitted_text, [])) AS chunk,
+           |    unnest(COALESCE(split_mapping, [])) AS m FROM r),
+           |cs AS (SELECT id, m, ${srcAdmitted("chunk")} AS n FROM ex),
+           |agg AS (SELECT id, CAST(sum(n) AS INTEGER) AS n_sents,
+           |    max(CASE WHEN n > 0 THEN m END) AS mc
+           |  FROM cs GROUP BY id)
+           |SELECT r.id AS doc_id,
+           |  CASE WHEN COALESCE(agg.n_sents, 0) > 0 THEN 'ok' ELSE 'excluded' END AS status,
+           |  CASE WHEN COALESCE(agg.n_sents, 0) > 0 THEN agg.n_sents
+           |       ELSE CAST(0 AS INTEGER) END AS n_sentences,
+           |  CASE WHEN COALESCE(agg.n_sents, 0) > 0 THEN CAST(agg.mc AS INTEGER)
+           |       ELSE CAST(-1 AS INTEGER) END AS max_chunk
+           |FROM r LEFT JOIN agg ON r.id = agg.id""".stripMargin,
       "dedup_minhash_bands" ->
         s"""WITH $bandsCte
            |SELECT doc_id, band, bucket FROM bands""".stripMargin,

@@ -84,6 +84,25 @@ object CorpusReaders {
     split(raw) { case (uuid, _, text) => preprocess(uuid, Seq(text)) }
   }
 
+  /** webhose DIRECTORY mode — the reference's actual on-disk layout: one
+    * JSON object per article file in a nested directory tree, read with
+    * json.load per file (preprocess_corpus.py:166-194). multiLine JSON +
+    * recursive lookup parses each file as one record; payload and routing
+    * are identical to the JSONL shape (CorpusReaderSpec proves dir mode ==
+    * JSONL mode on equal payloads). */
+  def readWebhoseDir(spark: SparkSession, dir: String): ReaderOutput = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("uuid", StringType), StructField("title", StringType),
+      StructField("text", StringType)))
+    val raw = spark.read
+      .option("multiLine", true).option("recursiveFileLookup", "true")
+      .schema(schema).json(dir)
+      .na.fill("", Seq("uuid", "text"))
+      .as[(String, String, String)]
+    split(raw) { case (uuid, _, text) => preprocess(uuid, Seq(text)) }
+  }
+
   /** clue news2016zh: `{news_id, title, content}` JSONL; payload = content
     * (preprocess_corpus.py:273). */
   def readClue(spark: SparkSession, path: String): ReaderOutput = {
@@ -114,6 +133,19 @@ object CorpusReaders {
       val mapping = Option(mapping0).getOrElse(chunks.indices.toSeq)
       preprocess(id, chunks, Some(mapping))
     }
+  }
+
+  /** per-doc routing report — the driver-visible surface of a reader:
+    * which field became doc_id, which entries were excluded, how many
+    * sentences were admitted, and the max original-chunk lineage id
+    * (newsspike's split_mapping threads through visibly). */
+  def routingReport(out: ReaderOutput): org.apache.spark.sql.DataFrame = {
+    val spark = out.docs.sparkSession
+    import spark.implicits._
+    out.docs.map(d => (d.doc_id, "ok", d.splitted_text.length,
+        if (d.split_mapping.isEmpty) -1 else d.split_mapping.max))
+      .union(out.excluded.map(e => (e.doc_id, "excluded", 0, -1)))
+      .toDF("doc_id", "status", "n_sentences", "max_chunk")
   }
 
   /** preprocessed docs → the engine's interleaved-docs contract: one text

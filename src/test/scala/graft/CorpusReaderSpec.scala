@@ -79,6 +79,38 @@ class CorpusReaderSpec extends SparkSpecBase {
     assert(sents.map(_.sent).toSeq == d.splitted_text)
   }
 
+  test("webhose directory mode (one JSON file per article) == JSONL mode on equal payloads") {
+    val payloads = Seq(
+      ("w1", "这是第一句话呀。这是第二句话呀！"),
+      ("w2", "short。"),
+      ("w3", "只有一句很长的中文句子在这里呀。"))
+    def obj(id: String, text: String) =
+      s"""{"uuid":"$id","title":"t","text":"$text"}"""
+    // JSONL shape
+    val jsonlDir = writeJsonl(payloads.map { case (id, t) => obj(id, t) })
+    // directory-of-files shape, nested tree (reference os.walk semantics)
+    val treeDir = Files.createTempDirectory("graft-whd").toString
+    Files.createDirectories(Paths.get(s"$treeDir/x/y"))
+    Files.write(Paths.get(s"$treeDir/a.json"), obj("w1", payloads(0)._2).getBytes("UTF-8"))
+    Files.write(Paths.get(s"$treeDir/x/b.json"), obj("w2", payloads(1)._2).getBytes("UTF-8"))
+    Files.write(Paths.get(s"$treeDir/x/y/c.json"), obj("w3", payloads(2)._2).getBytes("UTF-8"))
+    val fromJsonl = CorpusReaders.readWebhose(spark, jsonlDir)
+    val fromTree = CorpusReaders.readWebhoseDir(spark, treeDir)
+    assert(fromTree.docs.collect().sortBy(_.doc_id).toSeq ==
+           fromJsonl.docs.collect().sortBy(_.doc_id).toSeq)
+    assert(fromTree.excluded.collect().sortBy(_.doc_id).toSeq ==
+           fromJsonl.excluded.collect().sortBy(_.doc_id).toSeq)
+  }
+
+  test("routingReport routes ok/excluded and carries lineage max_chunk") {
+    val dir = writeJsonl(Seq(
+      """{"id":"n1","splitted_text":["前面完整的一个句子呀。","两个句子在一个块里呀。第二个句子也在这里呀。"],"split_mapping":[3,7]}""",
+      """{"id":"n2","splitted_text":["en only."],"split_mapping":[5]}"""))
+    val rep = CorpusReaders.routingReport(CorpusReaders.readNewsspike(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(rep == Set(("n1", "ok", 3, 7), ("n2", "excluded", 0, -1)), rep.toString)
+  }
+
   test("readers consume gzipped JSONL transparently (production corpus shape)") {
     val dir = Files.createTempDirectory("graft-corpus-gz").toString
     val out = new java.util.zip.GZIPOutputStream(
