@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.pipeline.{Mentions, Pipeline}
 import graft.sources.{CorpusReaders, ReaderFixtures}
+import scala.util.chaining._
 
 /** Driver contract: one flagship entry + one query per implemented
   * operator (SURVEY.md §2 + the training-data ops), with ANSI-SQL DuckDB
@@ -64,6 +65,12 @@ object SparkEntry {
     "kg_mentions" -> ((s, _) =>
       Mentions.detect(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)),
                       Pipeline.synthAliases(s)).toDF()),
+    "kg_mentions_join" -> ((s, _) =>
+      // the distributed entity-link variant (shuffle join on candidate
+      // surfaces, for dictionaries beyond broadcast) — same contract as
+      // kg_mentions, same oracle
+      Mentions.detectJoin(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)),
+                          Pipeline.synthAliases(s)).toDF()),
     "kg_mention_stats" -> ((s, _) =>
       Mentions.mentionStats(
         Mentions.detect(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)),
@@ -382,6 +389,8 @@ object SparkEntry {
         """SELECT rel_list, count(*) AS n_rels, count(DISTINCT doc_id) AS n_docs,
           |  count(DISTINCT pred) AS n_distinct_preds
           |FROM read_parquet('__OUT__/kg_triples/*.parquet') GROUP BY rel_list""".stripMargin,
+      // kg_mentions_join (the distributed entity-link variant) has the
+      // same contract as kg_mentions → same oracle (appended below the Map)
       "kg_mentions" ->
         // the trie's greedy longest-leftmost scan as a recursive CTE: one
         // step per character position, each step either consumes the
@@ -611,5 +620,6 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+      .pipe(m => m + ("kg_mentions_join" -> m("kg_mentions")))
   }
 }

@@ -121,6 +121,86 @@ object Mentions {
     }
   }
 
+  /** intermediate match row for detectJoin (public: Spark's codegen'd
+    * encoder projections cannot access private classes). */
+  final case class CandMatch(doc_id: String, sent_id: Int, begin: Int,
+                             alias: String, entity_id: String,
+                             canonical: String)
+
+  /** DISTRIBUTED entity-link variant for dictionaries beyond the broadcast
+    * bound (see the object doc: ~10⁷ aliases is where the per-executor trie
+    * stops fitting). Instead of shipping the dict to every executor, the
+    * SENTENCES are expanded into candidate surfaces (one per character
+    * position × distinct alias length — a narrow flatMap) and equi-joined
+    * against the dict table on the surface (shuffle join, both sides
+    * partitioned by the join key; no broadcast, no cartesian, no driver
+    * collect of the dict). Longest-leftmost semantics are reconstructed
+    * per sentence from the full match set, which is exactly the trie's
+    * match set — `detect()` equivalence is property-tested.
+    *
+    * The only driver-side pull is the DISTINCT ALIAS LENGTHS (real
+    * dictionaries have a few dozen), which bounds the candidate expansion
+    * at |lengths| × sentence chars. Duplicate alias surfaces resolve to
+    * the min (entity_id, canonical) payload — deterministic under any
+    * partitioning (the trie keeps the first-inserted payload instead;
+    * equal for duplicate-free dictionaries).
+    *
+    * Skew note: a stopword-like surface occurring everywhere concentrates
+    * its candidates on one join partition — AQE's skew-join handles the
+    * imbalance at scale since neither side is sorted by us beforehand. */
+  def detectJoin(sentences: Dataset[SentenceRow], aliases: Dataset[AliasRow]): Dataset[MentionRow] = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    val lengths: Array[Int] = aliases
+      .select(length(col("alias")).as("l")).where(col("l") > 0)
+      .distinct().as[Int].collect().sorted
+    val dict = aliases.filter(_.alias.nonEmpty)
+      .groupByKey(_.alias)
+      .reduceGroups((a, b) =>
+        if (a.entity_id < b.entity_id ||
+            (a.entity_id == b.entity_id && a.canonical <= b.canonical)) a else b)
+      .map(_._2)
+      .toDF("alias", "entity_id", "canonical")
+    val cands = sentences.flatMap { row =>
+      val s = row.sent
+      for {
+        i <- (0 until s.length).iterator
+        l <- lengths.iterator
+        if i + l <= s.length
+      } yield (row.doc_id, row.sent_id, i, s.substring(i, i + l))
+    }.toDF("doc_id", "sent_id", "begin", "surface")
+    cands.join(dict, cands("surface") === dict("alias"))
+      .select(col("doc_id"), col("sent_id"), col("begin"),
+              col("alias"), col("entity_id"), col("canonical"))
+      .as[CandMatch]
+      .groupByKey(m => (m.doc_id, m.sent_id))
+      .flatMapGroups { (key: (String, Int), it: Iterator[CandMatch]) =>
+        val (docId, sentId) = key
+        // greedy longest-leftmost over the complete match set: first
+        // match at each begin ≥ cursor is the longest (sort order)
+        val ms = it.toArray
+        scala.util.Sorting.stableSort(ms,
+          (a: CandMatch, b: CandMatch) =>
+            a.begin < b.begin || (a.begin == b.begin && a.alias.length > b.alias.length))
+        val out = scala.collection.mutable.ListBuffer.empty[MentionRow]
+        var cursor = 0
+        var k = 0
+        while (k < ms.length) {
+          val m = ms(k)
+          if (m.begin >= cursor) {
+            val score =
+              if (m.alias == m.canonical) 1000L
+              else 1000L * m.canonical.length / m.alias.length
+            out += MentionRow(docId, sentId, m.alias, m.begin,
+                              m.begin + m.alias.length, m.entity_id, m.canonical, score)
+            cursor = m.begin + m.alias.length
+          }
+          k += 1
+        }
+        out
+      }
+  }
+
   /** per-entity mention stats — the NER-label-bucket analogue
     * (main_ner.py:19-23). */
   def mentionStats(mentions: Dataset[MentionRow]): DataFrame =

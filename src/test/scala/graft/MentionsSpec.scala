@@ -62,6 +62,61 @@ class MentionsSpec extends SparkSpecBase {
     assert(Mentions.detect(sents, dictA).collect().map(_.mention).toSet == Set("张伟"))
   }
 
+  test("distributed detectJoin == broadcast-trie detect on the synth corpus") {
+    val docs = Pipeline.synthDocs(spark, 200)
+    val sentences = Pipeline.segmentDocs(docs)
+    val aliases = Pipeline.synthAliases(spark)
+    val viaTrie = Mentions.detect(sentences, aliases).collect().toSet
+    val viaJoin = Mentions.detectJoin(sentences, aliases).collect().toSet
+    assert(viaJoin == viaTrie)
+    assert(viaJoin.nonEmpty)
+  }
+
+  test("detectJoin greedy reconstruction handles shadowed and adjacent aliases") {
+    val sents = Seq(
+      graft.model.SentenceRow("d0", 0, 0, "张伟先生去了北京大学。"),
+      graft.model.SentenceRow("d0", 0, 1, "北京北京大学。")).toDS()
+    val aliases = Seq(
+      AliasRow("张伟", "E1", "张伟"),
+      AliasRow("张伟先生", "E1", "张伟"),
+      AliasRow("北京", "E2", "北京"),
+      AliasRow("北京大学", "E3", "北京大学")).toDS()
+    val got = Mentions.detectJoin(sents, aliases).collect()
+      .sortBy(m => (m.sent_id, m.begin))
+    assert(got.map(_.mention).toSeq == Seq("张伟先生", "北京大学", "北京", "北京大学"),
+           got.mkString(","))
+    // trie agreement on the same input
+    assert(got.toSet == Mentions.detect(sents, aliases).collect().toSet)
+  }
+
+  test("detectJoin plan is a real shuffle join: no broadcast of the dict, no cartesian") {
+    val docs = Pipeline.synthDocs(spark, 50)
+    val sentences = Pipeline.segmentDocs(docs)
+    val aliases = Pipeline.synthAliases(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Mentions.detectJoin(sentences, aliases)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("detectJoin resolves duplicate alias surfaces deterministically (min payload)") {
+    val sents = Seq(graft.model.SentenceRow("d0", 0, 0, "张伟来了。")).toDS()
+    val aliases = Seq(
+      AliasRow("张伟", "E9", "张伟九"),
+      AliasRow("张伟", "E1", "张伟一"),
+      AliasRow("张伟", "E1", "张伟甲")).toDS()
+    val got = Mentions.detectJoin(sents, aliases).collect()
+    assert(got.length == 1)
+    assert(got.head.entity_id == "E1")
+    assert(Set("张伟一", "张伟甲").contains(got.head.canonical))
+    // min canonical within the min entity_id ("一" < "甲" in UTF-16)
+    assert(got.head.canonical == Seq("张伟一", "张伟甲").min)
+  }
+
   test("a 100k-alias dictionary is handled via the per-executor trie") {
     val big = (0 until 100000).map { i =>
       AliasRow(f"人物$i%05d", f"E$i%06d", f"人物$i%05d")
