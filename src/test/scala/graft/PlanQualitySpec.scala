@@ -107,6 +107,39 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  // ---- round-2 perf-win regression gates: these plans cost real time to
+  // find (SortAggregate-on-strings 3→10s, ngram window-sort 6→3s, unsalted
+  // kg_edges hot pairs) — fail loudly if anyone reintroduces them.
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash/winnow aggregations never fall back to SortAggregate") {
+    for (q <- Seq("dedup_minhash_bands", "dedup_minhash_cand", "dedup_winnow")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("SortAggregate"),
+             s"$q regressed to SortAggregate (hash values must stay fixed-width longs):\n$plan")
+    }
+  }
+
+  test("dedup_ngram has no Window operator (bucket cap rides the aggregation)") {
+    val plan = executed(SparkEntry.queries("dedup_ngram")(spark, sf))
+    assert(!plan.contains("Window"), s"dedup_ngram regressed to a window sort:\n$plan")
+  }
+
+  test("kg_edges keeps the salted two-phase top-k (skew guard)") {
+    val plan = executed(SparkEntry.queries("kg_edges")(spark, sf))
+    // executedPlan abbreviates the Project holding pmod(xxhash64(...)),
+    // but the salt attribute itself shows in the Window/Exchange keys
+    assert(plan.contains("salt#"), s"kg_edges lost the salt phase:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows >= 2, s"expected salted + final Window phases, got $windows:\n$plan")
+  }
+
+  test("kg_triples query plan has zero exchanges (linear ingest at any scale)") {
+    val df = SparkEntry.queries("kg_triples")(spark, sf)
+    assert(shuffles(df) == 0, executed(df))
+  }
+
   test("relational aggregation is whole-stage codegen'd") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
