@@ -87,6 +87,30 @@ object SparkEntry {
         Pipeline.corefedSentenceTable(docs))
         .withColumn("mention_words", array_join(col("mention_words"), "|"))
     }),
+    "kg_sentence_report" -> ((s, _) => {
+      // semi-oracle for the (non-relational) segmentation core: per-doc
+      // invariants the driver's DuckDB can recompute independently over
+      // the materialized outputs — every sentence is a substring of its
+      // doc's concatenated text spans, plus sentence/text-span counts.
+      // (Synth spans contain no whitespace/'#'/'::', so tokNorm is an
+      // identity and admitted sentences stay exact substrings.)
+      val docs = Pipeline.synthDocs(s, VerifyDocs).toDF()
+      val textSpans = filter(col("spans"),
+        x => x("kind") === "text" && x("text").isNotNull)
+      val dtext = docs.select(col("doc_id"),
+        array_join(transform(textSpans, x => x("text")), "").as("doc_text"),
+        size(textSpans).as("n_text_spans"))
+      val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)).toDF()
+      val ag = sents.join(dtext, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sentences"),
+             min(when(instr(col("doc_text"), col("sent")) > 0, 1)
+                 .otherwise(0)).as("allc"))
+      dtext.join(ag, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_text_spans"),
+                coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+                coalesce(col("allc") === 1, lit(true)).as("all_contained"))
+    }),
     "kg_metrics" -> ((s, _) =>
       Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
     "kg_rel_totals" -> ((s, _) =>
@@ -464,6 +488,24 @@ object SparkEntry {
       "kg_toy_sample" ->
         s"""SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')
            |WHERE $sampleFilter""".stripMargin,
+      "kg_sentence_report" ->
+        // the segmentation-core invariants recomputed in SQL over the
+        // materialized sentences + the _aux docs table
+        """WITH d AS (SELECT doc_id,
+          |    array_to_string(list_transform(
+          |      list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL),
+          |      s -> s.text), '') AS doc_text,
+          |    CAST(len(list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL))
+          |      AS INTEGER) AS n_text_spans
+          |  FROM read_parquet('__OUT__/_aux/docs/*.parquet')),
+          |s AS (SELECT doc_id, sent FROM read_parquet('__OUT__/kg_sentences/*.parquet')),
+          |ag AS (SELECT doc_id, count(*) AS n_sentences,
+          |    min(CASE WHEN strpos(d.doc_text, s.sent) > 0 THEN 1 ELSE 0 END) AS allc
+          |  FROM s JOIN d USING (doc_id) GROUP BY doc_id)
+          |SELECT d.doc_id, d.n_text_spans,
+          |  CAST(COALESCE(ag.n_sentences, 0) AS BIGINT) AS n_sentences,
+          |  COALESCE(ag.allc = 1, true) AS all_contained
+          |FROM d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin,
       "kg_metrics" ->
         """SELECT metric, CAST(sum(n) AS BIGINT) AS total
           |FROM read_parquet('__OUT__/_aux/metric_events/*.parquet') GROUP BY metric""".stripMargin,
