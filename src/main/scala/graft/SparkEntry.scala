@@ -167,6 +167,7 @@ object SparkEntry {
     // ---- similarity search over embeddings --------------------------
     "ann_brute" -> ((s, dir) => SimilarityOps.bruteForceTopK(read(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(read(s, dir, "embeddings"), nPlanes = 4)),
+    "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(read(s, dir, "embeddings"))),
 
     // ---- text analysis over documents --------------------------------
     "text_lang_id" -> ((s, dir) => TextOps.langId(read(s, dir, "documents"))),
@@ -261,6 +262,15 @@ object SparkEntry {
          |  FROM hx GROUP BY doc_id, hi // 4)""".stripMargin
     val winnowFps = (0 until 8)
       .map(i => s"min(${duckFamilyHashLong(i, "s")}) AS fp$i").mkString(",\n  ")
+    // fixed-point cosine similarity (mirrors SimilarityOps.cosX10000 —
+    // identical left-to-right fold order keeps the doubles bit-equal)
+    def duckCos(a: String, b: String): String =
+      s"""CAST(floor(10000.0 *
+         |      list_sum(list_transform(generate_series(1, len($a)), i ->
+         |        CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
+         |     AS BIGINT)""".stripMargin
     // the deterministic toy-sample row filter (mirrors tripleSampleKey)
     val sampleFilter =
       """substr(md5(doc_id || '|' || CAST(sent_id AS VARCHAR) || '|' || rel_list || '|' ||
@@ -404,6 +414,38 @@ object SparkEntry {
            |       * sqrt(list_sum(list_transform(ne, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
            |     AS BIGINT) AS cos_x10000
            |  FROM cand),
+           |r AS (SELECT query_id, neighbor_id, cos_x10000,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_x10000 DESC, neighbor_id) AS rank
+           |  FROM s)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_x10000
+           |FROM r WHERE rank <= 5""".stripMargin,
+      "ann_ivf" ->
+        // IVF re-derived relationally: same hash-seeded codebook, same
+        // nearest-centroid assignment (cos desc, cid asc), same 2-probe
+        // query expansion, exact rerank within probed lists
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |seed AS (SELECT vec_id, embedding,
+           |    CAST(row_number() OVER (ORDER BY
+           |      ${duckMd5Long48("'ivf:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+           |      AS INTEGER) AS cid
+           |  FROM e),
+           |c AS (SELECT cid, embedding AS ce FROM seed WHERE cid < 8),
+           |ac AS (SELECT e.vec_id, e.embedding, c.cid,
+           |    ${duckCos("e.embedding", "c.ce")} AS cc
+           |  FROM e CROSS JOIN c),
+           |asg AS (SELECT vec_id, embedding, cid FROM (
+           |    SELECT vec_id, embedding, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+           |    FROM ac) WHERE rn = 1),
+           |qp AS (SELECT vec_id AS query_id, embedding AS qe, cid FROM (
+           |    SELECT vec_id, embedding, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+           |    FROM ac WHERE vec_id < 8) WHERE rn <= 2),
+           |cand AS (SELECT qp.query_id, qp.qe, a.vec_id AS neighbor_id, a.embedding AS ne
+           |  FROM asg a JOIN qp ON a.cid = qp.cid
+           |  WHERE a.vec_id <> qp.query_id),
+           |s AS (SELECT query_id, neighbor_id,
+           |    ${duckCos("qe", "ne")} AS cos_x10000 FROM cand),
            |r AS (SELECT query_id, neighbor_id, cos_x10000,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos_x10000 DESC, neighbor_id) AS rank
            |  FROM s)

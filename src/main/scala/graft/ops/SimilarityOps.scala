@@ -9,9 +9,13 @@ import graft.functions.PortableHash
   * (array<float>), Spark-first:
   *  - brute-force cosine top-k as the exactness baseline (broadcast the
   *    query side — the scan side streams, no shuffle before top-k);
-  *  - random-hyperplane LSH bucketing with single-bit multi-probe as the
+  *  - random-hyperplane LSH bucketing with single-bit multi-probe as a
   *    100 TB scale path (candidates only within probed buckets, then exact
-  *    rerank).
+  *    rerank);
+  *  - IVF (inverted-file) cluster pruning as the second scale path: a
+  *    small deterministic codebook, corpus partitioned into inverted
+  *    lists by nearest centroid, queries scan only their nProbe nearest
+  *    lists.
   * Hyperplane components are PortableHash.planeSign values — deterministic,
   * data-independent, and recomputable by the driver's DuckDB oracle — so
   * Spark folds them into literal arrays at plan time (zero per-row hashing).
@@ -94,6 +98,63 @@ object SimilarityOps {
       qbase.select(col("query_id"), col("qe"), explode(probeBuckets).as("bucket")))
     val cands = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
       .join(queries, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_x10000", cosX10000(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_x10000").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_x10000"))
+  }
+
+  /** IVF (inverted-file) ANN — cluster-pruned search:
+    *  1. coarse quantizer: `nCentroids` seed vectors chosen by a portable
+    *     content-independent hash of vec_id (deterministic AND
+    *     recomputable by the DuckDB oracle; a production deployment would
+    *     train k-means offline and broadcast the codebook through the
+    *     same literal seam);
+    *  2. every corpus vector joins the inverted list of its nearest
+    *     centroid (max fixed-point cosine, tie → lowest centroid id) —
+    *     one narrow projection over the corpus;
+    *  3. each query probes its `nProbe` nearest centroids and reranks
+    *     EXACTLY only within those lists (broadcast query side, corpus
+    *     work stays O(|corpus|), like lshTopK).
+    * The codebook is a driver collect of nCentroids rows (tiny, like a
+    * broadcast dim table); a real 100 TB corpus varies nCentroids ~
+    * sqrt(n) and the same plan holds. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val seedHash = PortableHash.md5Long48(
+      concat(lit("ivf:"), col("vec_id").cast("string")))
+    val centroids: Array[Seq[Double]] = embeddings
+      .orderBy(seedHash, col("vec_id"))
+      .limit(nCentroids)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    if (centroids.isEmpty)
+      // empty corpus → empty result with the contract schema
+      return embeddings.sparkSession.emptyDataFrame
+        .withColumn("query_id", lit(0L)).withColumn("rank", lit(0))
+        .withColumn("neighbor_id", lit(0L)).withColumn("cos_x10000", lit(0L))
+        .limit(0)
+    // (neg cosine, cid) structs over the literal codebook: array_min /
+    // array_sort give argmax-cosine with the lowest-cid tie-break
+    def cells(v: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) => struct((-cosX10000(v, typedLit(c))).as("neg"), lit(i).as("cid"))
+    }: _*)
+    def assignExpr(v: Column): Column = array_min(cells(v)).getField("cid")
+    def probeExpr(v: Column): Column =
+      slice(transform(array_sort(cells(v)), s => s.getField("cid")), 1, nProbe)
+    val assigned = embeddings.select(
+      col("vec_id"), col("embedding"), assignExpr(col("embedding")).as("cid"))
+    val queries = broadcast(
+      assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                explode(probeExpr(col("embedding"))).as("cid")))
+    val cands = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+      .join(queries, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_x10000", cosX10000(col("qe"), col("ne")))
     val w = Window.partitionBy(col("query_id"))

@@ -96,6 +96,52 @@ class OpsSpec extends SparkSpecBase {
     assert(foundExact <= found, s"exact $foundExact > multiprobe $found")
   }
 
+  test("IVF recall >= 0.9 on planted neighbors and sims agree with brute force") {
+    def vec(seed: Long, dim: Int): Array[Float] = {
+      var h = seed * 2654435761L
+      Array.tabulate(dim) { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        (((h >> 20) % 1000).toFloat / 500f) - 1f
+      }
+    }
+    val base = (0L until 200L).map(i => (i, vec(i, 16)))
+    // planted near-duplicates: a tiny perturbation keeps the nearest
+    // centroid identical with overwhelming probability — the same cell's
+    // inverted list must surface it
+    val planted = (0L until 20L).map { i =>
+      val v = vec(i, 16).clone(); v(0) = v(0) + 0.01f; (1000L + i, v)
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val res = SimilarityOps.ivfTopK(emb, nQueries = 20, k = 5, nCentroids = 8, nProbe = 2)
+      .collect()
+    val found = (0L until 20L).count { i =>
+      res.exists(r => r.getLong(0) == i && r.getLong(2) == 1000L + i)
+    }
+    assert(found >= 18, s"IVF recall $found/20 below 0.9")
+    // every IVF similarity equals the brute-force similarity (rerank is exact)
+    val brute = SimilarityOps.bruteForceTopK(emb, nQueries = 20, k = 200)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    for (r <- res) {
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.get(key).forall(_ == r.getLong(3)),
+             s"sim mismatch for $key: ivf=${r.getLong(3)} brute=${brute.get(key)}")
+    }
+    // probing more lists can only improve or keep recall (monotonicity)
+    val res1 = SimilarityOps.ivfTopK(emb, nQueries = 20, k = 5, nCentroids = 8, nProbe = 1)
+      .collect()
+    val found1 = (0L until 20L).count { i =>
+      res1.exists(r => r.getLong(0) == i && r.getLong(2) == 1000L + i)
+    }
+    assert(found1 <= found, s"nProbe=1 recall $found1 > nProbe=2 recall $found")
+  }
+
+  test("IVF on an empty corpus returns an empty result with the contract schema") {
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val res = SimilarityOps.ivfTopK(emb)
+    assert(res.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cos_x10000"))
+    assert(res.count() == 0)
+  }
+
   test("LSH embedding near-dup finds planted duplicates and agrees with brute force") {
     def vec(seed: Long, dim: Int): Array[Float] = {
       var h = seed * 2654435761L
