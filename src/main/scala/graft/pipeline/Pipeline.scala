@@ -452,23 +452,37 @@ object Pipeline {
     * rerunning against the same root with different nDocs/sentsPerDoc
     * recomputes instead of silently returning stale stage outputs. */
   def run(spark: SparkSession, checkpointRoot: String, nDocs: Long,
-          sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): RunResult =
+          sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc,
+          withCoref: Boolean = false): RunResult =
     runFromDocs(spark, checkpointRoot, synthDocs(spark, nDocs, sentsPerDoc),
                 fingerprint = s"nDocs=$nDocs,sentsPerDoc=$sentsPerDoc,buckets=64",
-                aliases = None)
+                aliases = None, withCoref = withCoref)
 
   /** end-to-end run over an ARBITRARY docs table (corpus-reader output,
     * Iceberg scan, …). `fingerprint` identifies the input + parameters for
-    * checkpoint invalidation; `aliases` defaults to the synthetic dict. */
+    * checkpoint invalidation; `aliases` defaults to the synthetic dict.
+    * `withCoref = true` adds the reference's coref second pass as its own
+    * checkpointed stage and merges the `*_corefed` relation lists into the
+    * canonicalized output (the reference's merged entry shape,
+    * merge_parsed_results.py + dudepparse.py:2149-2167) — the flag is
+    * folded into the store fingerprint so toggling it invalidates the
+    * downstream stages instead of silently reusing them. */
   def runFromDocs(spark: SparkSession, checkpointRoot: String, inputDocs: Dataset[Doc],
                   fingerprint: String,
-                  aliases: Option[Dataset[AliasRow]] = None): RunResult = {
+                  aliases: Option[Dataset[AliasRow]] = None,
+                  withCoref: Boolean = false): RunResult = {
     import spark.implicits._
-    val store = new CheckpointStore(checkpointRoot, spark, fingerprint = fingerprint)
+    val store = new CheckpointStore(checkpointRoot, spark,
+      fingerprint = s"$fingerprint,withCoref=$withCoref")
     val docs = store.runStage("docs", bucketCol = Some("doc_id"))(inputDocs)
     val sentences = store.runStage("sentences", Seq("docs"))(segmentDocs(docs))
-    val triples = store.runStage("triples", Seq("sentences"), bucketCol = Some("doc_id"))(
+    val base = store.runStage("triples", Seq("sentences"), bucketCol = Some("doc_id"))(
       extractTriples(sentences))
+    val triples =
+      if (!withCoref) base
+      else base.unionByName(
+        store.runStage("coref_triples", Seq("docs"), bucketCol = Some("doc_id"))(
+          corefTriples(docs)))
     val canonical = canonicalize(triples, aliases.getOrElse(synthAliases(spark)))
     // canonical + edges are DataFrames; checkpoint via parquet round-trip
     val canonPath = s"$checkpointRoot/canonical"

@@ -198,6 +198,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(back.count() == 50)
   }
 
+  test("withCoref run merges *_corefed lists into the canonicalized output and resumes") {
+    val root = Files.createTempDirectory("graft-coref-run").toString
+    val r1 = Pipeline.run(spark, root, nDocs = 60, withCoref = true)
+    val lists = r1.triples.select($"rel_list").distinct().collect().map(_.getString(0)).toSet
+    assert(lists.exists(_.endsWith("_corefed")), s"no corefed lists in $lists")
+    // merged total = base pass + coref second pass (set-diff lists are disjoint)
+    val docs = Pipeline.synthDocs(spark, 60)
+    val base = Pipeline.extractTriples(Pipeline.segmentDocs(docs)).count()
+    val coref = Pipeline.corefTriples(docs).count()
+    assert(coref > 0, "synth corpus must exercise the coref second pass")
+    assert(r1.triples.count() == base + coref)
+    // resume returns identical data without recompute
+    val r2 = Pipeline.run(spark, root, nDocs = 60, withCoref = true)
+    assert(r2.triples.count() == r1.triples.count())
+    // toggling the flag INVALIDATES downstream stages instead of reusing them
+    val r3 = Pipeline.run(spark, root, nDocs = 60, withCoref = false)
+    assert(r3.triples.count() == base)
+  }
+
   test("checkpointed run resumes without recomputation") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val r1 = Pipeline.run(spark, root, nDocs = 50)
