@@ -228,7 +228,29 @@ object SparkEntry {
       read(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
-             sum(col("l_quantity").cast("long")).as("sum_qty"))))
+             sum(col("l_quantity").cast("long")).as("sum_qty"))),
+
+    // ---- streaming-family operators, driver-checked in BATCH mode
+    // (Spark's unified semantics: the SAME operators run as streams in
+    // StreamingSpec over real MemoryStreams) -------------------------
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val evs = read(s, dir, "events")
+        .selectExpr("user_id", "ts", "event_type")
+        .as[graft.streaming.StreamingOps.Ev]
+      graft.streaming.StreamingOps.sessionizeBatch(evs).toDF()
+        .select(col("user_id"),
+                unix_millis(col("session_start")).as("session_start_ms"),
+                unix_millis(col("session_end")).as("session_end_ms"),
+                col("n_events"))
+    }),
+    "q_stream_windows" -> ((s, dir) =>
+      graft.streaming.StreamingOps.windowedCounts(read(s, dir, "events"))
+        // events.ts is TIMESTAMP_NTZ in parquet; the UTC session timezone
+        // makes the cast exact and equal to DuckDB's epoch_ms
+        .select(col("event_type"),
+                unix_millis(col("w_start").cast("timestamp")).as("w_start_ms"),
+                col("n_events"))))
 
   /** DuckDB oracles — same column names, integer/fixed-point arithmetic,
     * identical semantics. Ops whose hashes are PortableHash values are
@@ -703,7 +725,29 @@ object SparkEntry {
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+      "q_sessionize" ->
+        // gap-based sessionization re-derived relationally: a session
+        // break is a >30min gap to the previous event of the same user;
+        // session id = running sum of breaks (epoch millis both sides)
+        """WITH l AS (SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+          |            > 1800000
+          |      THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM l)
+          |SELECT user_id, CAST(min(epoch_ms(ts)) AS BIGINT) AS session_start_ms,
+          |  CAST(max(epoch_ms(ts)) AS BIGINT) AS session_end_ms,
+          |  CAST(count(*) AS INTEGER) AS n_events
+          |FROM g GROUP BY user_id, sid""".stripMargin,
+      "q_stream_windows" ->
+        """SELECT event_type,
+          |  CAST(epoch_ms(ts) // 60000 * 60000 AS BIGINT) AS w_start_ms,
+          |  count(*) AS n_events
+          |FROM events GROUP BY event_type, epoch_ms(ts) // 60000 * 60000""".stripMargin)
       .pipe(m => m + ("kg_mentions_join" -> m("kg_mentions")))
   }
 }
