@@ -284,6 +284,13 @@ object SparkEntry {
          |  FROM hx GROUP BY doc_id, hi // 4)""".stripMargin
     val winnowFps = (0 until 8)
       .map(i => s"min(${duckFamilyHashLong(i, "s")}) AS fp$i").mkString(",\n  ")
+    // big-endian int32 at 1-based hex-char offset `startChar` of a
+    // lowercase hex string (mirrors MultimodalOps.decodeHeader's
+    // ByteBuffer.getInt reads)
+    def duckBeInt(hexExpr: String, startChar: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, 7), bi ->
+         |    CAST(strpos('0123456789abcdef', substr($hexExpr, $startChar + bi, 1)) - 1 AS BIGINT)
+         |      * (CAST(1 AS BIGINT) << CAST((7 - bi) * 4 AS BIGINT)))) AS INTEGER)""".stripMargin
     // fixed-point cosine similarity (mirrors SimilarityOps.cosX10000 —
     // identical left-to-right fold order keeps the doubles bit-equal)
     def duckCos(a: String, b: String): String =
@@ -589,6 +596,21 @@ object SparkEntry {
           |SELECT a.doc_id,
           |  (a.spans IS NOT DISTINCT FROM COALESCE(re.spans2, a.spans[1:0])) AS preserved
           |FROM a LEFT JOIN re ON a.doc_id = re.doc_id""".stripMargin,
+      "mm_media_features" ->
+        // the decode STUB's contract checked independently: DuckDB
+        // re-parses the 20-byte big-endian header straight from the raw
+        // payload blob (hex-nibble arithmetic), so the batched
+        // mapPartitions decode path is value-verified end to end
+        s"""WITH a AS (SELECT doc_id, media_ref, kind, payload,
+           |    lower(hex(payload)) AS hx
+           |  FROM read_parquet('__OUT__/_aux/media_assets/*.parquet'))
+           |SELECT doc_id, media_ref, kind,
+           |  ${duckBeInt("hx", 9)} AS width,
+           |  ${duckBeInt("hx", 17)} AS height,
+           |  ${duckBeInt("hx", 25)} AS n_frames,
+           |  ${duckBeInt("hx", 33)} AS sample_rate,
+           |  CAST(octet_length(payload) AS BIGINT) AS byte_len
+           |FROM a""".stripMargin,
       "mm_media_stats" ->
         """SELECT kind, count(*) AS n_assets, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
           |  max(width) AS max_width, max(n_frames) AS max_frames

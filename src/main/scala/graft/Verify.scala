@@ -52,6 +52,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/nerpos")
       Pipeline.corefedSentenceTable(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/corefed")
+      graft.ops.MultimodalOps.mediaAssets(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/media_assets")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] aux tables failed: ${e.getMessage}")
     }
