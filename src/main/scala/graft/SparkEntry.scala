@@ -130,6 +130,9 @@ object SparkEntry {
     "mm_media_features" -> ((s, _) =>
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),
+    "mm_media_dedup" -> ((s, _) =>
+      MultimodalOps.dedupAssets(
+        MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))),
     "mm_media_stats" -> ((s, _) =>
       MultimodalOps.mediaStats(
         MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs))))),
@@ -611,6 +614,11 @@ object SparkEntry {
            |  ${duckBeInt("hx", 33)} AS sample_rate,
            |  CAST(octet_length(payload) AS BIGINT) AS byte_len
            |FROM a""".stripMargin,
+      "mm_media_dedup" ->
+        """SELECT kind, md5(hex(payload)) AS payload_fp,
+          |  min(doc_id) AS keeper_doc, count(*) AS n_copies
+          |FROM read_parquet('__OUT__/_aux/media_assets/*.parquet')
+          |GROUP BY kind, md5(hex(payload))""".stripMargin,
       "mm_media_stats" ->
         """SELECT kind, count(*) AS n_assets, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
           |  max(width) AS max_width, max(n_frames) AS max_frames

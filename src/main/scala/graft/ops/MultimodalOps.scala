@@ -109,6 +109,17 @@ object MultimodalOps {
     }
   }
 
+  /** exact media dedup: group identical payload BYTES by content hash
+    * (md5 over the hex rendering — portable to the SQL oracle), keep the
+    * smallest doc_id as keeper. The binary-column counterpart of
+    * DedupOps.exact — at 100 TB this is a hash groupBy over fingerprints,
+    * never a payload-byte shuffle beyond the first pass. */
+  def dedupAssets(assets: Dataset[MediaAsset]): DataFrame =
+    assets.toDF()
+      .select(col("kind"), md5(hex(col("payload"))).as("payload_fp"), col("doc_id"))
+      .groupBy(col("kind"), col("payload_fp"))
+      .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
+
   /** media stats per kind — the driver-visible aggregate. */
   def mediaStats(features: Dataset[MediaFeatures]): DataFrame =
     features.groupBy(col("kind"))

@@ -22,6 +22,7 @@ object ProfOps {
       t("ann_brute")(SimilarityOps.bruteForceTopK(emb).count())
       t("ann_lsh_exact")(SimilarityOps.lshTopK(emb, nPlanes = 4, multiProbe = false).count())
       t("ann_lsh_probe")(SimilarityOps.lshTopK(emb, nPlanes = 4).count())
+      t("ann_ivf")(SimilarityOps.ivfTopK(emb).count())
       t("lsh_buckets")(SimilarityOps.lshBuckets(emb, 4).count())
       t("winnow")(DedupOps.winnowing(docs).count())
     }

@@ -135,6 +135,20 @@ class OpsSpec extends SparkSpecBase {
     assert(found1 <= found, s"nProbe=1 recall $found1 > nProbe=2 recall $found")
   }
 
+  test("media payload dedup groups identical bytes and keeps the min doc_id") {
+    import graft.ops.MultimodalOps
+    import graft.ops.MultimodalOps.MediaAsset
+    val p1 = MultimodalOps.synthPayload("refA", "image")
+    val p2 = MultimodalOps.synthPayload("refB", "video")
+    val assets = Seq(
+      MediaAsset("d2", "refA", "image", p1),
+      MediaAsset("d1", "refA", "image", p1.clone()), // identical bytes, other doc
+      MediaAsset("d3", "refB", "video", p2)).toDS()
+    val got = MultimodalOps.dedupAssets(assets).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("image", "d1", 2L), ("video", "d3", 1L)), got.toString)
+  }
+
   test("IVF on an empty corpus returns an empty result with the contract schema") {
     val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val res = SimilarityOps.ivfTopK(emb)
