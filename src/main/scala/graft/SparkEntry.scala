@@ -627,19 +627,23 @@ object SparkEntry {
         """SELECT md5(text) AS text_fp, min(doc_id) AS keeper_id, count(*) AS n_copies
           |FROM documents GROUP BY text""".stripMargin,
       "dedup_ngram" ->
-        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-          |grams AS (SELECT doc_id,
-          |  list_distinct(CASE WHEN len(t) >= 3
-          |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-          |    ELSE [array_to_string(t, ' ')] END) AS gs FROM toks),
-          |exploded AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams),
-          |small AS (SELECT * FROM (
-          |    SELECT doc_id, n_grams, gram, count(*) OVER (PARTITION BY gram) AS bucket_n FROM exploded)
-          |  WHERE bucket_n <= 200),
-          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_grams AS n_a, y.n_grams AS n_b, count(*) AS shared
-          |  FROM small x JOIN small y USING (gram) WHERE x.doc_id < y.doc_id GROUP BY 1,2,3,4)
-          |SELECT a, b, shared, (1000 * shared) // (n_a + n_b - shared) AS jaccard_x1000
-          |FROM pairs WHERE (1000 * shared) // (n_a + n_b - shared) >= 500""".stripMargin,
+        // bucket key = the gram's 48-bit PortableHash (mirrors the Spark
+        // side's fixed-width shuffle key); n_grams stays the exact
+        // distinct-string count
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |grams AS (SELECT doc_id,
+           |  list_distinct(CASE WHEN len(t) >= 3
+           |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           |    ELSE [array_to_string(t, ' ')] END) AS gs FROM toks),
+           |exploded AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams),
+           |hashed AS (SELECT doc_id, n_grams, ${duckMd5Long48("gram")} AS gram_h FROM exploded),
+           |small AS (SELECT * FROM (
+           |    SELECT doc_id, n_grams, gram_h, count(*) OVER (PARTITION BY gram_h) AS bucket_n FROM hashed)
+           |  WHERE bucket_n <= 200),
+           |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_grams AS n_a, y.n_grams AS n_b, count(*) AS shared
+           |  FROM small x JOIN small y USING (gram_h) WHERE x.doc_id < y.doc_id GROUP BY 1,2,3,4)
+           |SELECT a, b, shared, (1000 * shared) // (n_a + n_b - shared) AS jaccard_x1000
+           |FROM pairs WHERE (1000 * shared) // (n_a + n_b - shared) >= 500""".stripMargin,
       "dedup_embed" ->
         """WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
           |SELECT x.vec_id AS a, y.vec_id AS b,
