@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.Doc
+import graft.pipeline.{Mentions, Pipeline}
+import graft.sources.CorpusReaders
+
+/** spark-submit entry point: the reference's multi-step run book
+  * (`preprocess_corpus.py --mode …` → `dudepparse.py` slices →
+  * `main_ner.py` → `merge_parsed_results.py`) as ONE submitted job over
+  * the checkpointed pipeline. Usage:
+  *
+  *   spark-submit --class graft.Main graft.jar \
+  *     --reader webhose|webhose-dir|clue|newsspike|docs-json|synth \
+  *     --input <path>            (or --docs N with --reader synth) \
+  *     --out <root>              checkpoint + output root \
+  *     [--coref]                 include the coref second pass \
+  *     [--mentions]              also materialize the mention table
+  *
+  * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
+  * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
+  * fingerprinted checkpoint (a killed job resumes; changed inputs
+  * invalidate). Under bare `sbt runMain` (no master configured) it
+  * falls back to local[*]. */
+object Main {
+
+  private def parse(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case flag @ ("--coref" | "--mentions") => m += flag.drop(2) -> "true"; i += 1
+        case key if key.startsWith("--") && i + 1 < args.length =>
+          m += key.drop(2) -> args(i + 1); i += 2
+        case other => throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args)
+    val reader = opts.getOrElse("reader",
+      throw new IllegalArgumentException("--reader is required"))
+    val outDir = opts.getOrElse("out",
+      throw new IllegalArgumentException("--out is required"))
+    def input = opts.getOrElse("input",
+      throw new IllegalArgumentException(s"--input is required for --reader $reader"))
+
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val builder = SparkSession.builder().appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    // under spark-submit the master comes from the launcher; bare runMain
+    // (dev/sandbox) falls back to local[*]
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.ZhFunctions.register(spark)
+
+    val (docs: Dataset[Doc], fingerprint: String, readerOut: Option[CorpusReaders.ReaderOutput]) =
+      reader match {
+        case "synth" =>
+          val n = opts.getOrElse("docs", "1000").toLong
+          (Pipeline.synthDocs(spark, n), s"reader=synth,docs=$n", None)
+        case "docs-json" =>
+          (Pipeline.readDocsJson(spark, input), s"reader=docs-json,input=$input", None)
+        case kind =>
+          val out = (kind match {
+            case "webhose" => CorpusReaders.readWebhose(spark, input)
+            case "webhose-dir" => CorpusReaders.readWebhoseDir(spark, input)
+            case "clue" => CorpusReaders.readClue(spark, input)
+            case "newsspike" => CorpusReaders.readNewsspike(spark, input)
+            case other => throw new IllegalArgumentException(s"unknown --reader $other")
+          }).cached() // docs + excluded sinks share one scan+segmentation
+          out.excluded.write.mode("overwrite").json(s"$outDir/excluded")
+          (CorpusReaders.toDocs(out.docs), s"reader=$kind,input=$input", Some(out))
+      }
+
+    val result = Pipeline.runFromDocs(spark, outDir, docs, fingerprint,
+      withCoref = opts.contains("coref"))
+    readerOut.foreach(_.uncache())
+
+    if (opts.contains("mentions")) {
+      Mentions.detect(Pipeline.segmentDocs(result.docsOut), Pipeline.synthAliases(spark))
+        .write.mode("overwrite").parquet(s"$outDir/mentions")
+    }
+
+    // the reference's merge-stage global stats (merge_parsed_results.py:60-74)
+    val totals = result.triples.groupBy("rel_list").count()
+      .collect().sortBy(_.getString(0))
+      .map(r => s"""    "${r.getString(0)}": ${r.getLong(1)}""")
+    val nDocs = result.docsOut.count()
+    val nEdges = spark.read.parquet(s"$outDir/edges").count()
+    val stats =
+      s"""{
+         |  "docs": $nDocs,
+         |  "edges": $nEdges,
+         |  "rel_totals": {
+         |${totals.mkString(",\n")}
+         |  }
+         |}
+         |""".stripMargin
+    // hadoop FS, not java.nio — --out may be an HDFS/object-store path
+    val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/stats.json")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(statsPath, true)
+    os.write(stats.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+    println(s"[graft] pipeline complete: $nDocs docs -> $outDir (stats.json written)")
+    // don't tear down a session we merely joined (embedding callers/tests)
+    if (preexisting.isEmpty) spark.stop()
+  }
+}

@@ -45,29 +45,41 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * stage names and the run fingerprint. `bucketCol` adds an explicit
     * hash-bucket directory layout (`_bucket=pmod(xxhash64(col), nBuckets)`)
     * — the plain-parquet analogue of Iceberg's `bucket(N, col)` partition
-    * transform: co-locates rows by key and prunes on bucket predicates. */
-  def runStage[T: Encoder](stage: String, upstream: Seq[String] = Nil,
-                           bucketCol: Option[String] = None, nBuckets: Int = 64)
-                          (compute: => Dataset[T]): Dataset[T] = {
+    * transform: co-locates rows by key and prunes on bucket predicates.
+    *
+    * The read-back always supplies the stage's KNOWN schema: an EMPTY
+    * partitionBy write produces zero part files, so schema inference
+    * would fail — and a valid pipeline stage may legitimately be empty
+    * (e.g. a coref pass over a corpus with no coreferent chains). */
+  def runStage[T](stage: String, upstream: Seq[String] = Nil,
+                  bucketCol: Option[String] = None, nBuckets: Int = 64)
+                 (compute: => Dataset[T])(implicit enc: Encoder[T]): Dataset[T] = {
+    import org.apache.spark.sql.functions._
+    val withBucket = bucketCol.isDefined
+    val storedSchema =
+      if (withBucket) enc.schema.add("_bucket", org.apache.spark.sql.types.LongType)
+      else enc.schema
     if (!isComplete(stage)) {
       val ds = compute
       bucketCol match {
         case Some(c) =>
-          import org.apache.spark.sql.functions._
-          ds.withColumn("_bucket", pmod(xxhash64(org.apache.spark.sql.functions.col(c)), lit(nBuckets.toLong)))
+          ds.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
             .write.mode("overwrite").partitionBy("_bucket").parquet(dataPath(stage))
         case None =>
           ds.write.mode("overwrite").parquet(dataPath(stage))
       }
-      markComplete(stage, upstream)
+      markComplete(stage, upstream, Some(storedSchema))
     }
-    spark.read.parquet(dataPath(stage)).drop("_bucket").as[T]
+    spark.read.schema(storedSchema).parquet(dataPath(stage)).drop("_bucket").as[T]
   }
 
   /** write the completion meta for a stage whose data was persisted by the
-    * caller (DataFrame stages that don't go through runStage). */
-  def markComplete(stage: String, upstream: Seq[String]): Unit = {
-    val df = spark.read.parquet(dataPath(stage))
+    * caller (DataFrame stages that don't go through runStage). `schema`
+    * makes the lineage pass robust to zero-file (empty partitioned)
+    * stages where inference has nothing to read. */
+  def markComplete(stage: String, upstream: Seq[String],
+                   schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val df = schema.fold(spark.read)(s => spark.read.schema(s)).parquet(dataPath(stage))
     // per-file lineage: row count per output file (parquet footer reads —
     // no data scan)
     import org.apache.spark.sql.functions._

@@ -35,9 +35,14 @@ object CorpusReaders {
   /** an entry routed to the excluded sink (no admissible sentences). */
   final case class ExcludedDoc(doc_id: String, raw_text: String)
 
+  /** concrete routed row — Spark cannot encode/deserialize the abstract
+    * `Either` across a persist boundary, so the shared map carries an
+    * Option pair instead (exactly one side set). */
+  final case class Routed(ok: Option[PreprocessedDoc], ex: Option[ExcludedDoc])
+
   final case class ReaderOutput(docs: Dataset[PreprocessedDoc],
                                 excluded: Dataset[ExcludedDoc],
-                                private val routed: Option[Dataset[_]] = None) {
+                                private[sources] val routed: Option[Dataset[Routed]] = None) {
     /** persist the SHARED routed dataset both views derive from, so
       * consuming docs AND excluded costs one scan+segmentation pass.
       * Call `uncache()` when both sinks are written. */
@@ -64,10 +69,15 @@ object CorpusReaders {
   private def split[I](input: Dataset[I])(f: I => Either[ExcludedDoc, PreprocessedDoc]): ReaderOutput = {
     val spark = input.sparkSession
     import spark.implicits._
-    val routed = input.map(f(_))
+    val routed = input.map { i =>
+      f(i) match {
+        case Right(d) => Routed(Some(d), None)
+        case Left(e) => Routed(None, Some(e))
+      }
+    }
     ReaderOutput(
-      docs = routed.flatMap(_.toOption),
-      excluded = routed.flatMap(_.left.toOption),
+      docs = routed.flatMap(_.ok),
+      excluded = routed.flatMap(_.ex),
       routed = Some(routed))
   }
 
@@ -138,14 +148,25 @@ object CorpusReaders {
   /** per-doc routing report — the driver-visible surface of a reader:
     * which field became doc_id, which entries were excluded, how many
     * sentences were admitted, and the max original-chunk lineage id
-    * (newsspike's split_mapping threads through visibly). */
+    * (newsspike's split_mapping threads through visibly). ONE pass over
+    * the shared routed dataset (not a union of the two views, which
+    * would scan + segment the corpus twice). */
   def routingReport(out: ReaderOutput): org.apache.spark.sql.DataFrame = {
     val spark = out.docs.sparkSession
     import spark.implicits._
-    out.docs.map(d => (d.doc_id, "ok", d.splitted_text.length,
-        if (d.split_mapping.isEmpty) -1 else d.split_mapping.max))
-      .union(out.excluded.map(e => (e.doc_id, "excluded", 0, -1)))
-      .toDF("doc_id", "status", "n_sentences", "max_chunk")
+    def okRow(d: PreprocessedDoc) =
+      (d.doc_id, "ok", d.splitted_text.length,
+       if (d.split_mapping.isEmpty) -1 else d.split_mapping.max)
+    val rows = out.routed match {
+      case Some(r) => r.map { row =>
+        row.ok.map(okRow)
+          .orElse(row.ex.map(e => (e.doc_id, "excluded", 0, -1)))
+          .get // exactly one side is set by construction
+      }
+      case None => // ReaderOutput assembled without the shared map
+        out.docs.map(okRow).union(out.excluded.map(e => (e.doc_id, "excluded", 0, -1)))
+    }
+    rows.toDF("doc_id", "status", "n_sentences", "max_chunk")
   }
 
   /** preprocessed docs → the engine's interleaved-docs contract: one text

@@ -102,6 +102,20 @@ class CorpusReaderSpec extends SparkSpecBase {
            fromJsonl.excluded.collect().sortBy(_.doc_id).toSeq)
   }
 
+  test("cached() reader output survives the persist boundary (both sinks, one scan)") {
+    val dir = writeJsonl(Seq(
+      """{"uuid":"p1","title":"","text":"这是第一句话呀。这是第二句话呀！"}""",
+      """{"uuid":"p2","title":"","text":"nope."}"""))
+    val out = CorpusReaders.readWebhose(spark, dir).cached()
+    try {
+      // both views consume the PERSISTED routed map — this deserializes
+      // the routed rows from the cache (the round-3 Either encoder bug)
+      assert(out.docs.collect().map(_.doc_id).toSet == Set("p1"))
+      assert(out.excluded.collect().map(_.doc_id).toSet == Set("p2"))
+      assert(CorpusReaders.routingReport(out).count() == 2)
+    } finally out.uncache()
+  }
+
   test("routingReport routes ok/excluded and carries lineage max_chunk") {
     val dir = writeJsonl(Seq(
       """{"id":"n1","splitted_text":["前面完整的一个句子呀。","两个句子在一个块里呀。第二个句子也在这里呀。"],"split_mapping":[3,7]}""",
