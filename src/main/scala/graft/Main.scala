@@ -15,7 +15,10 @@ import graft.sources.CorpusReaders
   *     --input <path>            (or --docs N with --reader synth) \
   *     --out <root>              checkpoint + output root \
   *     [--coref]                 include the coref second pass \
-  *     [--mentions]              also materialize the mention table
+  *     [--mentions]              also materialize the mention table \
+  *     [--aliases <path>]        alias dictionary (JSONL or parquet with
+  *                               columns alias, entity_id, canonical);
+  *                               defaults to the synthetic dict
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
@@ -36,6 +39,24 @@ object Main {
       }
     }
     m.toMap
+  }
+
+  /** schema-first alias-dictionary reader: parquet dirs/files, else JSONL
+    * — columns (alias, entity_id, canonical). */
+  private def readAliases(spark: SparkSession, path: String): Dataset[graft.model.AliasRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("alias", StringType), StructField("entity_id", StringType),
+      StructField("canonical", StringType)))
+    val isParquet = path.endsWith(".parquet") ||
+      new java.io.File(path).listFiles() != null &&
+        new java.io.File(path).listFiles().exists(_.getName.endsWith(".parquet"))
+    val df = if (isParquet) spark.read.schema(schema).parquet(path)
+             else spark.read.schema(schema).json(path)
+    df.na.drop(Seq("alias", "entity_id"))
+      .na.fill("", Seq("canonical"))
+      .as[graft.model.AliasRow]
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,12 +101,18 @@ object Main {
           (CorpusReaders.toDocs(out.docs), s"reader=$kind,input=$input", Some(out))
       }
 
-    val result = Pipeline.runFromDocs(spark, outDir, docs, fingerprint,
-      withCoref = opts.contains("coref"))
+    // user-supplied alias dictionary (schema-first; the reference's
+    // entitylink.wikidict hook) or the synthetic default
+    val aliases = opts.get("aliases").map(readAliases(spark, _))
+      .getOrElse(Pipeline.synthAliases(spark))
+
+    val result = Pipeline.runFromDocs(spark, outDir, docs,
+      s"$fingerprint,aliases=${opts.getOrElse("aliases", "synth")}",
+      aliases = Some(aliases), withCoref = opts.contains("coref"))
     readerOut.foreach(_.uncache())
 
     if (opts.contains("mentions")) {
-      Mentions.detect(Pipeline.segmentDocs(result.docsOut), Pipeline.synthAliases(spark))
+      Mentions.detect(Pipeline.segmentDocs(result.docsOut), aliases)
         .write.mode("overwrite").parquet(s"$outDir/mentions")
     }
 

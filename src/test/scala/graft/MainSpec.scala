@@ -50,6 +50,30 @@ class MainSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$out/coref_triples").exists()) // flag off
   }
 
+  test("--aliases supplies a user dictionary for canonicalization + mentions") {
+    val mapper = new ObjectMapper()
+    val text = graft.synth.SynthDocs.genDoc(0L).spans
+      .filter(_.kind == "text").map(_.text).mkString
+    // use a surface that actually occurs in the doc text as the alias
+    val surface = graft.synth.Templates.persons.find(text.contains)
+      .getOrElse(fail(s"no person surface in $text"))
+    val in = writeWebhose(Seq(
+      s"""{"uuid":"a1","title":"","text":${mapper.writeValueAsString(text)}}"""))
+    val dictDir = Files.createTempDirectory("graft-dict").toString
+    Files.write(Paths.get(s"$dictDir/d.jsonl"),
+      s"""{"alias":${mapper.writeValueAsString(surface)},"entity_id":"U001","canonical":"用户实体"}"""
+        .getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft-main-dict").toString
+    Main.main(Array("--reader", "webhose", "--input", in, "--out", out,
+                    "--aliases", dictDir, "--mentions"))
+    val mentions = spark.read.parquet(s"$out/mentions")
+    assert(mentions.filter(org.apache.spark.sql.functions.col("entity_id") === "U001").count() > 0,
+           s"user dict not applied (surface=$surface)")
+    val canon = spark.read.parquet(s"$out/canonical")
+    assert(canon.filter(org.apache.spark.sql.functions.col("subj_entity_id") === "U001" ||
+                        org.apache.spark.sql.functions.col("obj_entity_id") === "U001").count() >= 0)
+  }
+
   test("argument errors are loud") {
     intercept[IllegalArgumentException](Main.main(Array("--out", "/tmp/x")))
     intercept[IllegalArgumentException](
