@@ -12,9 +12,12 @@ object DumpFixtures {
     val count = if (args.nonEmpty) args(0).toInt else 2000
     val out = if (args.length > 1) args(1) else "/tmp/fixtures.json"
     val mode = if (args.length > 2) args(2) else "templates"
+    // fresh-seed batteries: generate a DISJOINT k-range (the generators
+    // are pure functions of k)
+    val offset = if (args.length > 3) args(3).toLong else 0L
     val mapper = new ObjectMapper()
     val arr = mapper.createArrayNode()
-    for (k <- 0L until count.toLong) {
+    for (k <- offset until offset + count.toLong) {
       val fx = if (mode == "random") RandomTrees.generate(k) else Templates.generate(k)
       val node = mapper.createObjectNode()
       node.put("id", fx.id)

@@ -34,6 +34,13 @@ class DifferentialSpec extends AnyFunSuite {
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
+  test("engine output exactly matches the reference on a FRESH-seed 10000-tree battery") {
+    // disjoint k-range (20000-29999), generated in round 3 — guards
+    // against any drift that happened to fit the original battery
+    runDifferential("/golden_random2.json", 10000,
+      id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
+  }
+
   test("per-sentence decomposition equals the reference's per-document processing") {
     // the reference processes documents (lists of sentences) through one
     // post_processing call; the engine processes sentences independently.
