@@ -18,7 +18,11 @@ import graft.sources.CorpusReaders
   *     [--mentions]              also materialize the mention table \
   *     [--aliases <path>]        alias dictionary (JSONL or parquet with
   *                               columns alias, entity_id, canonical);
-  *                               defaults to the synthetic dict
+  *                               defaults to the synthetic dict \
+  *     [--toy-sample]            the merge step's deterministic ~1.2%
+  *                               triple sample sink \
+  *     [--nerpos]                the main_ner-shaped per-sentence
+  *                               NER/POS ⋈ corefed-text table
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
@@ -32,7 +36,8 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--coref" | "--mentions") => m += flag.drop(2) -> "true"; i += 1
+        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos") =>
+          m += flag.drop(2) -> "true"; i += 1
         case key if key.startsWith("--") && i + 1 < args.length =>
           m += key.drop(2) -> args(i + 1); i += 2
         case other => throw new IllegalArgumentException(s"unexpected argument: $other")
@@ -114,6 +119,20 @@ object Main {
     if (opts.contains("mentions")) {
       Mentions.detect(Pipeline.segmentDocs(result.docsOut), aliases)
         .write.mode("overwrite").parquet(s"$outDir/mentions")
+    }
+    if (opts.contains("toy-sample")) {
+      // the merge step's reproducible sample sink (reference used a
+      // wall-clock seed; the content-hash filter is deterministic)
+      result.triples.filter(Pipeline.toySampleFilter)
+        .write.mode("overwrite").parquet(s"$outDir/toy_sample")
+    }
+    if (opts.contains("nerpos")) {
+      // main_ner.py's per-sentence output shape: NER/POS columns joined
+      // with the corefed text of the same (doc, sentence)
+      val sents = Pipeline.segmentDocs(result.docsOut)
+      Pipeline.corefNerPosJoin(Pipeline.nerPosTable(sents),
+                               Pipeline.corefedSentenceTable(result.docsOut))
+        .write.mode("overwrite").parquet(s"$outDir/nerpos")
     }
 
     // the reference's merge-stage global stats (merge_parsed_results.py:60-74)

@@ -22,15 +22,8 @@ object SparkEntry {
     * materializes the same docs as the `_aux/docs` oracle table). */
   val VerifyDocs = 400L
 
-  /** stable per-triple key for the deterministic toy sample — identical
-    * expression on the DuckDB side (concat of all-coalesced columns). */
-  private def tripleSampleKey =
-    concat_ws("|",
-      col("doc_id"), col("sent_id").cast("string"), col("rel_list"),
-      coalesce(col("subj"), lit("∅")), col("pred"), coalesce(col("obj"), lit("∅")),
-      coalesce(col("subj_idx").cast("string"), lit("∅")),
-      col("pred_idx").cast("string"),
-      coalesce(col("obj_idx").cast("string"), lit("∅")))
+  // the deterministic toy-sample key/filter live in Pipeline (shared with
+  // graft.Main's --toy-sample sink)
 
   /** Flagship query on sf=0.001: the full KG pipeline — synth interleaved
     * docs → sentences → triples (fine+coarse+amendments) — emitting the
@@ -126,7 +119,7 @@ object SparkEntry {
       // merge_parsed_results.py:76-78, used a wall-clock seed; a
       // content-hash filter is reproducible AND oracle-checkable)
       Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
-        .toDF().filter(substring(md5(tripleSampleKey), 1, 2) <= "02")),
+        .toDF().filter(Pipeline.toySampleFilter)),
     "mm_media_features" -> ((s, _) =>
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),

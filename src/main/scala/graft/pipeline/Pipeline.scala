@@ -401,6 +401,24 @@ object Pipeline {
       .join(corefed.toDF().withColumnRenamed("corefed", "corefed_sent"),
             Seq("doc_id", "sent_id"), "left")
 
+  // ----------------------------------------------------------- toy sample
+  /** stable per-triple key for the deterministic toy sample — identical
+    * expression on the DuckDB-oracle side (concat of all-coalesced
+    * columns). The reference's toy sample sink used a wall-clock seed
+    * (merge_parsed_results.py:76-78); a content-hash filter is
+    * reproducible AND oracle-checkable. */
+  def tripleSampleKey: org.apache.spark.sql.Column =
+    concat_ws("|",
+      col("doc_id"), col("sent_id").cast("string"), col("rel_list"),
+      coalesce(col("subj"), lit("∅")), col("pred"), coalesce(col("obj"), lit("∅")),
+      coalesce(col("subj_idx").cast("string"), lit("∅")),
+      col("pred_idx").cast("string"),
+      coalesce(col("obj_idx").cast("string"), lit("∅")))
+
+  /** the ~1.2% (3/256) deterministic Bernoulli-style sample filter. */
+  def toySampleFilter: org.apache.spark.sql.Column =
+    substring(md5(tripleSampleKey), 1, 2) <= "02"
+
   // ------------------------------------------------------ span invariant
   /** rows whose span sequence (kind, text, media_ref, order) differs
     * between the input docs table and a pipeline output docs table.

@@ -24,10 +24,13 @@ class MainSpec extends SparkSpecBase {
       """{"uuid":"m3","title":"","text":"english only, excluded."}"""))
     val out = Files.createTempDirectory("graft-main-out").toString
     Main.main(Array("--reader", "webhose", "--input", in, "--out", out,
-                    "--coref", "--mentions"))
+                    "--coref", "--mentions", "--toy-sample", "--nerpos"))
     for (stage <- Seq("docs", "sentences", "triples", "coref_triples",
-                      "canonical", "edges", "mentions"))
+                      "canonical", "edges", "mentions", "toy_sample", "nerpos"))
       assert(new java.io.File(s"$out/$stage/_SUCCESS").exists(), s"missing stage $stage")
+    // the nerpos table carries one row per sentence
+    assert(spark.read.parquet(s"$out/nerpos").count() ==
+           spark.read.parquet(s"$out/sentences").count())
     // excluded sink routed the English-only entry
     val excluded = spark.read.json(s"$out/excluded")
     assert(excluded.select("doc_id").collect().map(_.getString(0)).toSet == Set("m3"))
