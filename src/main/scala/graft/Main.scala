@@ -46,22 +46,34 @@ object Main {
     m.toMap
   }
 
-  /** schema-first alias-dictionary reader: parquet dirs/files, else JSONL
-    * — columns (alias, entity_id, canonical). */
+  /** schema-first alias-dictionary reader — columns (alias, entity_id,
+    * canonical). Format detection goes through hadoop FS (the path may be
+    * HDFS/object-store, where java.io.File would silently misroute a
+    * parquet dict into the JSON reader): any `.parquet` file in the
+    * listing, or a `.parquet` suffix, selects parquet; otherwise JSONL.
+    * An EMPTY dictionary fails loudly — it always means a wrong path or
+    * wrong column names, and running entity linking with zero aliases
+    * would silently produce an unlinked graph. */
   private def readAliases(spark: SparkSession, path: String): Dataset[graft.model.AliasRow] = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("alias", StringType), StructField("entity_id", StringType),
       StructField("canonical", StringType)))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val isParquet = path.endsWith(".parquet") ||
-      new java.io.File(path).listFiles() != null &&
-        new java.io.File(path).listFiles().exists(_.getName.endsWith(".parquet"))
+      (fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory &&
+        fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet")))
     val df = if (isParquet) spark.read.schema(schema).parquet(path)
              else spark.read.schema(schema).json(path)
-    df.na.drop(Seq("alias", "entity_id"))
+    val aliases = df.na.drop(Seq("alias", "entity_id"))
       .na.fill("", Seq("canonical"))
       .as[graft.model.AliasRow]
+    require(!aliases.isEmpty,
+      s"--aliases $path yielded an EMPTY dictionary — wrong path or wrong " +
+        "column names (expected alias, entity_id, canonical)")
+    aliases
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,8 +114,17 @@ object Main {
             case "newsspike" => CorpusReaders.readNewsspike(spark, input)
             case other => throw new IllegalArgumentException(s"unknown --reader $other")
           }).cached() // docs + excluded sinks share one scan+segmentation
-          out.excluded.write.mode("overwrite").json(s"$outDir/excluded")
-          (CorpusReaders.toDocs(out.docs), s"reader=$kind,input=$input", Some(out))
+          val fp = s"reader=$kind,input=$input"
+          // the excluded sink is a CHECKPOINTED stage too: a resumed run
+          // must not pay a full corpus re-scan just to rewrite it (the
+          // fingerprint deliberately omits aliases/coref — exclusion
+          // doesn't depend on them)
+          locally {
+            import spark.implicits._
+            new pipeline.CheckpointStore(outDir, spark, fingerprint = fp)
+              .runStage("excluded")(out.excluded)
+          }
+          (CorpusReaders.toDocs(out.docs), fp, Some(out))
       }
 
     // user-supplied alias dictionary (schema-first; the reference's
@@ -116,23 +137,30 @@ object Main {
       aliases = Some(aliases), withCoref = opts.contains("coref"))
     readerOut.foreach(_.uncache())
 
-    if (opts.contains("mentions")) {
-      Mentions.detect(Pipeline.segmentDocs(result.docsOut), aliases)
-        .write.mode("overwrite").parquet(s"$outDir/mentions")
+    if (opts.contains("mentions") || opts.contains("nerpos")) {
+      // reuse the sentences THIS run just checkpointed instead of
+      // re-segmenting the corpus once per extra sink (same fingerprint →
+      // guaranteed in sync)
+      val sentEnc = org.apache.spark.sql.Encoders.product[graft.model.SentenceRow]
+      val sentences = spark.read.schema(sentEnc.schema)
+        .parquet(s"$outDir/sentences").as[graft.model.SentenceRow](sentEnc)
+      if (opts.contains("mentions")) {
+        Mentions.detect(sentences, aliases)
+          .write.mode("overwrite").parquet(s"$outDir/mentions")
+      }
+      if (opts.contains("nerpos")) {
+        // main_ner.py's per-sentence output shape: NER/POS columns joined
+        // with the corefed text of the same (doc, sentence)
+        Pipeline.corefNerPosJoin(Pipeline.nerPosTable(sentences),
+                                 Pipeline.corefedSentenceTable(result.docsOut))
+          .write.mode("overwrite").parquet(s"$outDir/nerpos")
+      }
     }
     if (opts.contains("toy-sample")) {
       // the merge step's reproducible sample sink (reference used a
       // wall-clock seed; the content-hash filter is deterministic)
       result.triples.filter(Pipeline.toySampleFilter)
         .write.mode("overwrite").parquet(s"$outDir/toy_sample")
-    }
-    if (opts.contains("nerpos")) {
-      // main_ner.py's per-sentence output shape: NER/POS columns joined
-      // with the corefed text of the same (doc, sentence)
-      val sents = Pipeline.segmentDocs(result.docsOut)
-      Pipeline.corefNerPosJoin(Pipeline.nerPosTable(sents),
-                               Pipeline.corefedSentenceTable(result.docsOut))
-        .write.mode("overwrite").parquet(s"$outDir/nerpos")
     }
 
     // the reference's merge-stage global stats (merge_parsed_results.py:60-74)

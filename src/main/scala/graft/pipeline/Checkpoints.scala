@@ -70,8 +70,22 @@ final class CheckpointStore(root: String, spark: SparkSession,
       }
       markComplete(stage, upstream, Some(storedSchema))
     }
-    spark.read.schema(storedSchema).parquet(dataPath(stage)).drop("_bucket").as[T]
+    readStage(stage, Some(storedSchema)).drop("_bucket").as[T]
   }
+
+  /** read a stage with INFERENCE first — a checkpoint written by an older
+    * code version with a different schema must keep failing LOUDLY at
+    * analysis (an explicit schema would silently null-fill missing
+    * columns) — and fall back to the known schema only when inference has
+    * nothing to read (an EMPTY partitioned stage writes zero part files). */
+  private def readStage(stage: String,
+                        fallback: Option[org.apache.spark.sql.types.StructType]) =
+    try spark.read.parquet(dataPath(stage))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if fallback.isDefined && e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        spark.read.schema(fallback.get).parquet(dataPath(stage))
+    }
 
   /** write the completion meta for a stage whose data was persisted by the
     * caller (DataFrame stages that don't go through runStage). `schema`
@@ -79,7 +93,7 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * stages where inference has nothing to read. */
   def markComplete(stage: String, upstream: Seq[String],
                    schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    val df = schema.fold(spark.read)(s => spark.read.schema(s)).parquet(dataPath(stage))
+    val df = readStage(stage, schema)
     // per-file lineage: row count per output file (parquet footer reads —
     // no data scan)
     import org.apache.spark.sql.functions._

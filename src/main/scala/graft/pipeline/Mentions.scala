@@ -72,11 +72,13 @@ object Mentions {
 
   /** per-executor trie cache: the trie is built once per executor per
     * broadcast (NOT once per partition). The cache is a small bounded
-    * access-ordered map (4 slots) keyed by broadcast id, so CONCURRENT
+    * access-ordered map (2 slots) keyed by broadcast id, so two CONCURRENT
     * detect() jobs with different dictionaries on one executor don't evict
-    * each other and rebuild per partition; LRU eviction bounds a long-lived
-    * executor to at most 4 dictionary-sized automatons. */
-  private val TrieCacheSlots = 4
+    * each other and rebuild per partition. MEMORY BOUND: a long-lived
+    * executor retains at most 2 dictionary-sized automatons (~2× the dict
+    * heap bound in the object doc) — size executor heaps for two tries,
+    * or key jobs to one dictionary at a time. */
+  private val TrieCacheSlots = 2
   private val trieCache =
     new java.util.LinkedHashMap[Long, AliasTrie](TrieCacheSlots, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Long, AliasTrie]): Boolean =
@@ -151,9 +153,14 @@ object Mentions {
   def detectJoin(sentences: Dataset[SentenceRow], aliases: Dataset[AliasRow]): Dataset[MentionRow] = {
     val spark = sentences.sparkSession
     import spark.implicits._
+    // alias lengths in UTF-16 UNITS (JVM String.length) — NOT SQL
+    // length(), which counts code points: candidate slicing below uses
+    // String.substring, so a supplementary-plane alias (CJK Ext-B names
+    // occur in real wikidicts) must be measured in the same units or it
+    // could never match
     val lengths: Array[Int] = aliases
-      .select(length(col("alias")).as("l")).where(col("l") > 0)
-      .distinct().as[Int].collect().sorted
+      .map(_.alias.length).filter(_ > 0)
+      .distinct().collect().sorted
     val dict = aliases.filter(_.alias.nonEmpty)
       .groupByKey(_.alias)
       .reduceGroups((a, b) =>

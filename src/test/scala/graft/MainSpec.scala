@@ -31,9 +31,11 @@ class MainSpec extends SparkSpecBase {
     // the nerpos table carries one row per sentence
     assert(spark.read.parquet(s"$out/nerpos").count() ==
            spark.read.parquet(s"$out/sentences").count())
-    // excluded sink routed the English-only entry
-    val excluded = spark.read.json(s"$out/excluded")
+    // excluded sink routed the English-only entry (checkpointed parquet
+    // stage — a resumed run must not re-scan the corpus to rewrite it)
+    val excluded = spark.read.parquet(s"$out/excluded")
     assert(excluded.select("doc_id").collect().map(_.getString(0)).toSet == Set("m3"))
+    assert(new java.io.File(s"$out/excluded/_graft_meta.json").exists())
     // stats.json parses and carries per-list totals
     val stats = mapper.readTree(Files.readString(Paths.get(s"$out/stats.json")))
     assert(stats.get("docs").asLong() == 2L)

@@ -103,6 +103,18 @@ class MentionsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("detectJoin matches supplementary-plane aliases (UTF-16 length semantics)") {
+    // 𠀀 (U+20000, CJK Ext-B) is one code point but TWO UTF-16 units —
+    // candidate slicing uses String.substring, so alias lengths must be
+    // measured in the same units or this alias can never join
+    val extB = new String(Character.toChars(0x20000))
+    val sents = Seq(graft.model.SentenceRow("d0", 0, 0, s"前缀${extB}山之后。")).toDS()
+    val aliases = Seq(AliasRow(s"${extB}山", "EX1", s"${extB}山")).toDS()
+    val viaJoin = Mentions.detectJoin(sents, aliases).collect()
+    assert(viaJoin.map(_.mention).toSeq == Seq(s"${extB}山"), viaJoin.mkString(","))
+    assert(viaJoin.toSet == Mentions.detect(sents, aliases).collect().toSet)
+  }
+
   test("detectJoin resolves duplicate alias surfaces deterministically (min payload)") {
     val sents = Seq(graft.model.SentenceRow("d0", 0, 0, "张伟来了。")).toDS()
     val aliases = Seq(
