@@ -155,6 +155,11 @@ object SparkEntry {
       DedupOps.minhashCandidates(read(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(read(s, dir, "documents"))),
     "dedup_winnow" -> ((s, dir) => DedupOps.winnowing(read(s, dir, "documents"))),
+    "dedup_clusters" -> ((s, dir) =>
+      // pairs → connected components → keeper decisions; the oracle does
+      // the transitive closure over the MATERIALIZED dedup_ngram pairs
+      DedupOps.dedupClusters(
+        DedupOps.ngramJaccardPairs(read(s, dir, "documents"), n = 3, thresholdX1000 = 500))),
     "dedup_embed" -> ((s, dir) =>
       DedupOps.embeddingNearDups(read(s, dir, "embeddings"), thresholdX10000 = 4000)),
     "dedup_embed_lsh" -> ((s, dir) =>
@@ -637,6 +642,19 @@ object SparkEntry {
            |  FROM small x JOIN small y USING (gram_h) WHERE x.doc_id < y.doc_id GROUP BY 1,2,3,4)
            |SELECT a, b, shared, (1000 * shared) // (n_a + n_b - shared) AS jaccard_x1000
            |FROM pairs WHERE (1000 * shared) // (n_a + n_b - shared) >= 500""".stripMargin,
+      "dedup_clusters" ->
+        // connected components as a recursive reachability walk over the
+        // materialized pair table; cluster id = min reachable doc id
+        """WITH RECURSIVE p AS (SELECT a, b FROM read_parquet('__OUT__/dedup_ngram/*.parquet')),
+          |edges AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+          |walk AS (
+          |  SELECT u AS node, v AS reach FROM edges
+          |  UNION
+          |  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
+          |)
+          |SELECT node AS doc_id, least(node, min(reach)) AS cluster_id,
+          |  (node = least(node, min(reach))) AS is_keeper
+          |FROM walk GROUP BY node""".stripMargin,
       "dedup_embed" ->
         """WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
           |SELECT x.vec_id AS a, y.vec_id AS b,

@@ -288,4 +288,47 @@ object DedupOps {
         } yield (sorted(i)._1, sorted(j)._1, c)
       }.toDF("a", "b", "cos_x10000")
   }
+
+  /** candidate-duplicate PAIRS → dedup CLUSTERS: connected components
+    * with cluster id = the component's min doc id, keeper = that min —
+    * the step that turns any pairwise dedup op's output into "keep this
+    * row, drop those" decisions.
+    *
+    * Min-label propagation: every round joins labels to the edge list
+    * and takes each node's min neighbor label (2 bounded shuffles per
+    * round, per-round `localCheckpoint` truncates the join lineage).
+    * Duplicate clusters are near-cliques, so the component minimum
+    * reaches everything in 1-3 rounds; `maxIters` guards pathological
+    * chains and the op FAILS LOUDLY if it hasn't converged (a silent cap
+    * would emit wrong clusters). At planet scale the same join primitive
+    * runs the large-star/small-star variant; the shape here is already
+    * all-shuffle-bounded, no cartesian, no driver-side graph. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .union(pairs.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = labels.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("vlbl")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl2"))
+        .localCheckpoint()
+      converged = updated.filter(col("lbl2") < col("lbl")).isEmpty
+      labels = updated.select(col("node"), col("lbl2").as("lbl")).localCheckpoint()
+      it += 1
+    }
+    require(converged,
+      s"dedupClusters did not converge within $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+                  (col("node") === col("lbl")).as("is_keeper"))
+  }
 }

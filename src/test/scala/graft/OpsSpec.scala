@@ -135,6 +135,26 @@ class OpsSpec extends SparkSpecBase {
     assert(found1 <= found, s"nProbe=1 recall $found1 > nProbe=2 recall $found")
   }
 
+  test("dedupClusters: components, keepers, long chains, and loud non-convergence") {
+    // chain 1-2-3 plus isolated pair 10-11 → two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = DedupOps.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+                      (10L, 10L, true), (11L, 10L, false)), got.toString)
+    // a 12-node chain needs ~11 propagation rounds — converges under the cap
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = DedupOps.dedupClusters(chain).collect()
+    assert(cc.forall(_.getLong(1) == 1L), cc.mkString(","))
+    assert(cc.count(_.getBoolean(2)) == 1)
+    // non-convergence fails loudly instead of emitting wrong clusters
+    intercept[IllegalArgumentException] {
+      DedupOps.dedupClusters(chain, maxIters = 3)
+    }
+    // empty pair set → empty clusters (no iteration)
+    assert(DedupOps.dedupClusters(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
   test("media payload dedup groups identical bytes and keeps the min doc_id") {
     import graft.ops.MultimodalOps
     import graft.ops.MultimodalOps.MediaAsset
