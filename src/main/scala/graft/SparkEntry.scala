@@ -18,6 +18,13 @@ object SparkEntry {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** the ONE definition of the driver-visible ngram pair set — shared by
+    * dedup_ngram and dedup_clusters, whose oracle compares clusters built
+    * from the MATERIALIZED dedup_ngram parquet (parameter drift between
+    * two call sites would silently desynchronize them). */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(read(s, dir, "documents"), n = 3, thresholdX1000 = 500)
+
   /** docs synthesized for the KG queries at verify scale (Verify.scala
     * materializes the same docs as the `_aux/docs` oracle table). */
   val VerifyDocs = 400L
@@ -147,8 +154,7 @@ object SparkEntry {
 
     // ---- dedup family over documents --------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exact(read(s, dir, "documents"))),
-    "dedup_ngram" -> ((s, dir) =>
-      DedupOps.ngramJaccardPairs(read(s, dir, "documents"), n = 3, thresholdX1000 = 500)),
+    "dedup_ngram" -> ((s, dir) => ngramPairs(s, dir)),
     "dedup_minhash_bands" -> ((s, dir) =>
       DedupOps.minhashBands(read(s, dir, "documents"))),
     "dedup_minhash_cand" -> ((s, dir) =>
@@ -158,8 +164,10 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       // pairs → connected components → keeper decisions; the oracle does
       // the transitive closure over the MATERIALIZED dedup_ngram pairs
-      DedupOps.dedupClusters(
-        DedupOps.ngramJaccardPairs(read(s, dir, "documents"), n = 3, thresholdX1000 = 500))),
+      // (same ngramPairs definition). NOTE: this operator is EAGER — it
+      // iterates to convergence when constructed; its plan-audit unit is
+      // the per-round join, not the final projection.
+      DedupOps.dedupClusters(ngramPairs(s, dir))),
     "dedup_embed" -> ((s, dir) =>
       DedupOps.embeddingNearDups(read(s, dir, "embeddings"), thresholdX10000 = 4000)),
     "dedup_embed_lsh" -> ((s, dir) =>

@@ -294,15 +294,17 @@ object DedupOps {
     * the step that turns any pairwise dedup op's output into "keep this
     * row, drop those" decisions.
     *
-    * Min-label propagation: every round joins labels to the edge list
-    * and takes each node's min neighbor label (2 bounded shuffles per
-    * round, per-round `localCheckpoint` truncates the join lineage).
-    * Duplicate clusters are near-cliques, so the component minimum
-    * reaches everything in 1-3 rounds; `maxIters` guards pathological
-    * chains and the op FAILS LOUDLY if it hasn't converged (a silent cap
-    * would emit wrong clusters). At planet scale the same join primitive
-    * runs the large-star/small-star variant; the shape here is already
-    * all-shuffle-bounded, no cartesian, no driver-side graph. */
+    * Min-label propagation WITH POINTER JUMPING: every round each node
+    * takes the min of its neighbors' labels, then additionally adopts
+    * its (new) label's own label — so label information travels
+    * multiplicatively and rounds scale with log(diameter), not diameter
+    * (the pointer-jumping half of large-star/small-star). Per round: 3
+    * bounded shuffles, ONE eager localCheckpoint (lineage truncation;
+    * superseded round checkpoints are dereferenced and freed by Spark's
+    * ContextCleaner), one cheap convergence probe over the cached
+    * result. The op FAILS LOUDLY if it hasn't converged within
+    * `maxIters` (a silent cap would emit wrong clusters); no cartesian,
+    * no driver-side graph. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .union(pairs.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
@@ -317,17 +319,23 @@ object DedupOps {
         .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min(col("vlbl")).as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lbl"),
-                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl2"))
+                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("mid"))
+      // pointer jump: label values are themselves node ids in this table,
+      // so each node can adopt its label's label within the same round
+      val s2 = stepped.select(col("node").as("j_node"), col("mid").as("j_lbl"))
+      val jumped = stepped.join(s2, stepped("mid") === s2("j_node"), "left")
+        .select(stepped("node"), stepped("lbl"),
+                least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl2"))
         .localCheckpoint()
-      converged = updated.filter(col("lbl2") < col("lbl")).isEmpty
-      labels = updated.select(col("node"), col("lbl2").as("lbl")).localCheckpoint()
+      converged = jumped.filter(col("lbl2") < col("lbl")).isEmpty
+      labels = jumped.select(col("node"), col("lbl2").as("lbl"))
       it += 1
     }
     require(converged,
       s"dedupClusters did not converge within $maxIters rounds — component " +
-        "diameter exceeds the bound; raise maxIters")
+        "diameter exceeds ~2^rounds; raise maxIters")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
                   (col("node") === col("lbl")).as("is_keeper"))
   }

@@ -142,15 +142,20 @@ class OpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
                       (10L, 10L, true), (11L, 10L, false)), got.toString)
-    // a 12-node chain needs ~11 propagation rounds — converges under the cap
+    // a 12-node chain: pointer jumping converges in ~log2(11) rounds
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
     val cc = DedupOps.dedupClusters(chain).collect()
     assert(cc.forall(_.getLong(1) == 1L), cc.mkString(","))
     assert(cc.count(_.getBoolean(2)) == 1)
     // non-convergence fails loudly instead of emitting wrong clusters
+    // (a 100-node chain cannot converge in 3 jumped rounds)
+    val longChain = (1L until 100L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
-      DedupOps.dedupClusters(chain, maxIters = 3)
+      DedupOps.dedupClusters(longChain, maxIters = 3)
     }
+    // ...but converges correctly under the default cap
+    val lc = DedupOps.dedupClusters(longChain).collect()
+    assert(lc.forall(_.getLong(1) == 1L) && lc.length == 100)
     // empty pair set → empty clusters (no iteration)
     assert(DedupOps.dedupClusters(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
   }
