@@ -93,6 +93,27 @@ object StreamingOps {
   def streamingTriples(docs: Dataset[graft.model.Doc]): Dataset[graft.model.TripleRow] =
     graft.pipeline.Pipeline.extractTriples(graft.pipeline.Pipeline.segmentDocs(docs))
 
+  /** streaming exact dedup: the FIRST occurrence of each text fingerprint
+    * passes, later duplicates are dropped — ACROSS micro-batches, via
+    * keyed dedup state on the md5 fingerprint.
+    *  - with `tsCol`: `dropDuplicatesWithinWatermark` — state for a
+    *    fingerprint is dropped once the watermark passes it, so state is
+    *    BOUNDED (the 100 TB continuous-ingest shape: duplicates arrive
+    *    near their originals; a re-crawl beyond the watermark re-admits,
+    *    and the batch dedup pass downstream catches those);
+    *  - without: exact global dedup, state grows with distinct
+    *    fingerprints (fine for bounded backfills, not endless streams).
+    * Runs identically over a static DataFrame (unified semantics). */
+  def streamingExactDedup(docs: DataFrame, tsCol: Option[String] = None,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val fp = docs.withColumn("text_fp", md5(col("text")))
+    tsCol match {
+      case Some(c) => fp.withWatermark(c, watermark)
+                        .dropDuplicatesWithinWatermark("text_fp")
+      case None => fp.dropDuplicates("text_fp")
+    }
+  }
+
   /** batch-equivalent sessionization: same gap semantics but the trailing
     * (still-open) session of every user is flushed — the right shape for
     * a BATCH analytics pass over a closed dataset, and NOT a streaming

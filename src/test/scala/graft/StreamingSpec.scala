@@ -75,6 +75,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming exact dedup drops duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingExactDedup(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(("d1", "相同的文本"), ("d2", "不同的文本"))
+    q.processAllAvailable()
+    // the duplicate arrives in a LATER batch — keyed state must drop it
+    input.addData(("d3", "相同的文本"), ("d4", "第三种文本"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 3, rows.mkString(","))
+    assert(rows.map(_._2).toSet == Set("相同的文本", "不同的文本", "第三种文本"))
+    assert(!rows.map(_._1).contains("d3"), "cross-batch duplicate leaked through")
+  }
+
+  test("watermarked streaming dedup bounds state and re-admits past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val q = StreamingOps.streamingExactDedup(
+        input.toDF().toDF("doc_id", "ts", "text"),
+        tsCol = Some("ts"), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    input.addData(("d1", ts(0), "去重的文本"))
+    q.processAllAvailable()
+    // duplicate WITHIN the watermark window → dropped
+    input.addData(("d2", ts(2), "去重的文本"))
+    q.processAllAvailable()
+    // advance the watermark far past the original...
+    input.addData(("d3", ts(60), "推进水位的文本"))
+    q.processAllAvailable()
+    // ...the fingerprint's state has been dropped → re-admitted
+    input.addData(("d4", ts(61), "去重的文本"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm_out").collect().map(_.getString(0)).toSet
+    assert(ids == Set("d1", "d3", "d4"), ids.toString)
+  }
+
   test("streaming sessionize emits a cross-batch session exactly once, on gap expiry") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
