@@ -111,6 +111,14 @@ object SparkEntry {
                 coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
                 coalesce(col("allc") === 1, lit(true)).as("all_contained"))
     }),
+    "kg_coref_totals" -> ((s, _) =>
+      // the coref second pass's per-list totals, checked relationally
+      // over the materialized kg_coref parquet (the extraction itself is
+      // diff-tested; this puts its aggregate shape under the driver)
+      Pipeline.corefTriples(Pipeline.synthDocs(s, VerifyDocs)).toDF()
+        .groupBy(col("rel_list"))
+        .agg(count(lit(1)).as("n_rels"),
+             countDistinct(col("doc_id")).as("n_docs"))),
     "kg_metrics" -> ((s, _) =>
       Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
     "kg_rel_totals" -> ((s, _) =>
@@ -586,6 +594,9 @@ object SparkEntry {
           |  CAST(COALESCE(ag.n_sentences, 0) AS BIGINT) AS n_sentences,
           |  COALESCE(ag.allc = 1, true) AS all_contained
           |FROM d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin,
+      "kg_coref_totals" ->
+        """SELECT rel_list, count(*) AS n_rels, count(DISTINCT doc_id) AS n_docs
+          |FROM read_parquet('__OUT__/kg_coref/*.parquet') GROUP BY rel_list""".stripMargin,
       "kg_metrics" ->
         """SELECT metric, CAST(sum(n) AS BIGINT) AS total
           |FROM read_parquet('__OUT__/_aux/metric_events/*.parquet') GROUP BY metric""".stripMargin,

@@ -99,6 +99,39 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("dedupClusters equals brute-force union-find on random graphs") {
+    val caseGen = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(1, 40)
+      pairs <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes.toLong - 1)
+        b <- Gen.choose(0L, nNodes.toLong - 1)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield pairs.distinct
+    for ((pairs, ci) <- samples(caseGen, 6, 0xCAFE).zipWithIndex if pairs.nonEmpty) {
+      val got = graft.ops.DedupOps.dedupClusters(pairs.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- pairs) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // canonicalize union-find roots to the component MIN id
+      val byRoot = nodes.groupBy(find)
+      val expected = byRoot.values.flatMap { members =>
+        val m = members.min; members.map(_ -> m)
+      }.toMap
+      assert(got == expected, s"case $ci pairs=$pairs")
+    }
+  }
+
   test("span round trip preserves randomized docs (dup offsets, empty arrays, media spans)") {
     val spanGen = for {
       kind <- Gen.oneOf("text", "image", "video")
