@@ -21,9 +21,16 @@ import graft.functions.PortableHash
   */
 object DedupOps {
 
+  /** THE dedup fingerprint of a document text — one definition shared by
+    * the batch pass and the streaming pass (the streaming op's bounded
+    * watermark state relies on the downstream batch pass catching
+    * re-admitted duplicates, which only holds while both key on the SAME
+    * fingerprint). */
+  def textFp: Column = md5(col("text"))
+
   /** exact dedup: one row per distinct text with keeper id + group size. */
   def exact(documents: DataFrame): DataFrame =
-    documents.groupBy(md5(col("text")).as("text_fp"))
+    documents.groupBy(textFp.as("text_fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** under-partitioned-scan guard for the shingle/hash-heavy ops: when the

@@ -93,23 +93,33 @@ object StreamingOps {
   def streamingTriples(docs: Dataset[graft.model.Doc]): Dataset[graft.model.TripleRow] =
     graft.pipeline.Pipeline.extractTriples(graft.pipeline.Pipeline.segmentDocs(docs))
 
-  /** streaming exact dedup: the FIRST occurrence of each text fingerprint
-    * passes, later duplicates are dropped — ACROSS micro-batches, via
-    * keyed dedup state on the md5 fingerprint.
+  /** streaming exact dedup: the first-arriving occurrence of each text
+    * fingerprint passes, later duplicates are dropped — ACROSS
+    * micro-batches, via keyed dedup state on `DedupOps.textFp` (the SAME
+    * fingerprint the batch pass keys on — the two passes must never
+    * drift).
     *  - with `tsCol`: `dropDuplicatesWithinWatermark` — state for a
     *    fingerprint is dropped once the watermark passes it, so state is
     *    BOUNDED (the 100 TB continuous-ingest shape: duplicates arrive
     *    near their originals; a re-crawl beyond the watermark re-admits,
-    *    and the batch dedup pass downstream catches those);
-    *  - without: exact global dedup, state grows with distinct
-    *    fingerprints (fine for bounded backfills, not endless streams).
-    * Runs identically over a static DataFrame (unified semantics). */
+    *    and the downstream batch `DedupOps.exact` pass catches those).
+    *    STREAM-ONLY: Spark rejects dropDuplicatesWithinWatermark on batch
+    *    DataFrames, so a batch input fails here with guidance instead of
+    *    a deep analyzer error;
+    *  - without: keyed dedup with unbounded state (fine for bounded
+    *    backfills, not endless streams). On a BATCH input this keeps an
+    *    ARBITRARY row per fingerprint (no arrival order exists) — use
+    *    `DedupOps.exact` when a deterministic keeper matters. */
   def streamingExactDedup(docs: DataFrame, tsCol: Option[String] = None,
                           watermark: String = "10 minutes"): DataFrame = {
-    val fp = docs.withColumn("text_fp", md5(col("text")))
+    val fp = docs.withColumn("text_fp", graft.ops.DedupOps.textFp)
     tsCol match {
-      case Some(c) => fp.withWatermark(c, watermark)
-                        .dropDuplicatesWithinWatermark("text_fp")
+      case Some(c) =>
+        require(docs.isStreaming,
+          "streamingExactDedup(tsCol=...) is stream-only (Spark rejects " +
+            "dropDuplicatesWithinWatermark on batch inputs) — for batch " +
+            "dedup use DedupOps.exact")
+        fp.withWatermark(c, watermark).dropDuplicatesWithinWatermark("text_fp")
       case None => fp.dropDuplicates("text_fp")
     }
   }

@@ -118,6 +118,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids == Set("d1", "d3", "d4"), ids.toString)
   }
 
+  test("watermarked dedup rejects batch inputs loudly (stream-only op)") {
+    val batch = Seq(("d1", ts(0), "文本")).toDF("doc_id", "ts", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.streamingExactDedup(batch, tsCol = Some("ts"))
+    }
+    assert(e.getMessage.contains("DedupOps.exact"), e.getMessage)
+  }
+
   test("streaming sessionize emits a cross-batch session exactly once, on gap expiry") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
