@@ -22,7 +22,9 @@ import graft.sources.CorpusReaders
   *     [--toy-sample]            the merge step's deterministic ~1.2%
   *                               triple sample sink \
   *     [--nerpos]                the main_ner-shaped per-sentence
-  *                               NER/POS ⋈ corefed-text table
+  *                               NER/POS ⋈ corefed-text table \
+  *     [--export-jsonl]          canonical triples additionally as JSONL
+  *                               (the reference's output wire format)
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
@@ -36,7 +38,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos") =>
+        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl") =>
           m += flag.drop(2) -> "true"; i += 1
         case key if key.startsWith("--") && i + 1 < args.length =>
           m += key.drop(2) -> args(i + 1); i += 2
@@ -155,6 +157,10 @@ object Main {
                                  Pipeline.corefedSentenceTable(result.docsOut))
           .write.mode("overwrite").parquet(s"$outDir/nerpos")
       }
+    }
+    if (opts.contains("export-jsonl")) {
+      // the reference's output wire format (one JSON object per line)
+      result.triples.write.mode("overwrite").json(s"$outDir/triples_jsonl")
     }
     if (opts.contains("toy-sample")) {
       // the merge step's reproducible sample sink (reference used a

@@ -247,6 +247,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
              sum(col("l_quantity").cast("long")).as("sum_qty"))),
 
+    "q_cube" -> ((s, dir) =>
+      read(s, dir, "events")
+        .withColumn("user_bucket", col("user_id") % 4)
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(floor(col("value") * 100).cast("long")).as("sum_value_x100"))),
+
     // ---- streaming-family operators, driver-checked in BATCH mode
     // (Spark's unified semantics: the SAME operators run as streams in
     // StreamingSpec over real MemoryStreams) -------------------------
@@ -790,6 +797,10 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+      "q_cube" ->
+        """SELECT event_type, user_id % 4 AS user_bucket, count(*) AS n_events,
+          |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+          |FROM events GROUP BY CUBE(event_type, user_id % 4)""".stripMargin,
       "q_sessionize" ->
         // gap-based sessionization re-derived relationally: a session
         // break is a >30min gap to the previous event of the same user;

@@ -24,7 +24,8 @@ class MainSpec extends SparkSpecBase {
       """{"uuid":"m3","title":"","text":"english only, excluded."}"""))
     val out = Files.createTempDirectory("graft-main-out").toString
     Main.main(Array("--reader", "webhose", "--input", in, "--out", out,
-                    "--coref", "--mentions", "--toy-sample", "--nerpos"))
+                    "--coref", "--mentions", "--toy-sample", "--nerpos",
+                    "--export-jsonl"))
     for (stage <- Seq("docs", "sentences", "triples", "coref_triples",
                       "canonical", "edges", "mentions", "toy_sample", "nerpos"))
       assert(new java.io.File(s"$out/$stage/_SUCCESS").exists(), s"missing stage $stage")
@@ -42,6 +43,8 @@ class MainSpec extends SparkSpecBase {
     assert(stats.get("rel_totals").size() > 0)
     val triples1 = spark.read.parquet(s"$out/canonical").count()
     assert(triples1 > 0)
+    // the JSONL export carries the same rows as the canonical table
+    assert(spark.read.json(s"$out/triples_jsonl").count() == triples1)
     // second invocation resumes from checkpoints and reproduces the data
     Main.main(Array("--reader", "webhose", "--input", in, "--out", out,
                     "--coref", "--mentions"))

@@ -135,6 +135,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(windows >= 2, s"expected salted + final Window phases, got $windows:\n$plan")
   }
 
+  test("ANN scale paths keep corpus work narrow (bounded exchanges, no cartesian)") {
+    for (q <- Seq("ann_lsh", "ann_ivf")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = executed(df)
+      assert(shuffles(df) <= 2, s"$q grew extra shuffles:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+    }
+  }
+
   test("kg_triples query plan has zero exchanges (linear ingest at any scale)") {
     val df = SparkEntry.queries("kg_triples")(spark, sf)
     assert(shuffles(df) == 0, executed(df))
