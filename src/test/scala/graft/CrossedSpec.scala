@@ -68,6 +68,12 @@ class CrossedSpec extends AnyFunSuite {
                            k => RandomTrees.generate(k)) == 8000)
   }
 
+  test("crossed lists exactly match the reference on a FRESH-seed random battery") {
+    // disjoint k-range (30000-34999), generated in round 3
+    assert(runDifferential("/golden_crossed_random2.json",
+                           k => RandomTrees.generate(k)) == 5000)
+  }
+
   test("shipped config (flag off) emits empty crossed lists — schema parity") {
     val fx = Templates.generate(0L)
     val rels = PostProcess.processSentence(fx.parse, Some(fx.posTags))
