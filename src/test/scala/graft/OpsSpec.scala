@@ -147,15 +147,16 @@ class OpsSpec extends SparkSpecBase {
     val cc = DedupOps.dedupClusters(chain).collect()
     assert(cc.forall(_.getLong(1) == 1L), cc.mkString(","))
     assert(cc.count(_.getBoolean(2)) == 1)
-    // non-convergence fails loudly instead of emitting wrong clusters
-    // (a 100-node chain cannot converge in 3 jumped rounds)
-    val longChain = (1L until 100L).map(i => (i, i + 1)).toDF("a", "b")
+    // non-convergence fails loudly instead of emitting wrong clusters:
+    // 3 jumped rounds cover label distance ≤ 14 (d_k = 2·d_{k-1}+2),
+    // short of a 40-node chain's diameter 39
+    val longChain = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
       DedupOps.dedupClusters(longChain, maxIters = 3)
     }
     // ...but converges correctly under the default cap
     val lc = DedupOps.dedupClusters(longChain).collect()
-    assert(lc.forall(_.getLong(1) == 1L) && lc.length == 100)
+    assert(lc.forall(_.getLong(1) == 1L) && lc.length == 40)
     // empty pair set → empty clusters (no iteration)
     assert(DedupOps.dedupClusters(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
   }
