@@ -50,8 +50,24 @@ object PortableHash {
   def familyHashLong(i: Int, s: Column): Column =
     (md5Long48(s) * lit(affineA(i)) + lit(i.toLong)).bitwiseAND(lit(Mask48))
 
-  /** 48-bit non-negative long from the first 12 hex chars of md5(s). */
+  /** 48-bit non-negative long from the first 12 hex chars of md5(s) —
+    * the native codegen'd expression (one digest, no hex-string /
+    * substring / conv intermediates; equivalence with the composed form
+    * is property-tested in PortableHashSpec). Requires the function
+    * registered in the session — every op that builds this column calls
+    * `ZhFunctions.register` (idempotent) on its input's session.
+    * Honest measurement note: an interleaved local[32] A/B against the
+    * composed form was INCONCLUSIVE (runs swing ±30% with box noise,
+    * mins landed on either side across experiments) — the native form is
+    * kept for its allocation profile (no 32-char hex UTF8String +
+    * substring + base-16 parse per hashed value), which matters on
+    * CPU-bound cluster hash stages, not for a claimed local speedup. */
   def md5Long48(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("md5_long48", s)
+
+  /** the original Catalyst-built-in composition — kept as the equivalence
+    * reference and for registry-less sessions. */
+  def md5Long48Composed(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
 
   // ------------------------------------------------------------ JVM twins

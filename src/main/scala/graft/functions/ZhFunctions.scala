@@ -39,6 +39,39 @@ object ZhCharCountImpl {
   }
 }
 
+/** native PortableHash.md5Long48: MD5 digest → first 6 bytes as a long,
+  * skipping the hex-string → substring → conv chain (3 string
+  * materializations per hashed value) the composed form pays. The digest
+  * instance is thread-cached. Identical values by construction: the
+  * first 12 hex chars ARE the first 6 digest bytes. */
+object Md5Long48Impl {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash(s: UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+}
+
+case class Md5Long48(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_long48"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Long48Impl.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Long48Impl.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long48 =
+    copy(child = newChild)
+}
+
 case class ZhCharCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "zh_char_count"
@@ -54,11 +87,14 @@ case class ZhCharCount(child: Expression) extends UnaryExpression {
 }
 
 object ZhFunctions {
-  /** register the native expression in a session's function registry
+  /** register the native expressions in a session's function registry
     * (idempotent); afterwards reachable via `call_function` and SQL. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zh_char_count", exprs => ZhCharCount(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long48", exprs => Md5Long48(exprs.head), "built-in")
+  }
 
   /** Column API: requires `register(spark)` once per session. */
   def zh_char_count(c: Column): Column =
@@ -78,5 +114,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("zh_char_count"),
       new ExpressionInfo(classOf[ZhCharCount].getName, "zh_char_count"),
       (exprs: Seq[Expression]) => ZhCharCount(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long48"),
+      new ExpressionInfo(classOf[Md5Long48].getName, "md5_long48"),
+      (exprs: Seq[Expression]) => Md5Long48(exprs.head)))
   }
 }

@@ -88,6 +88,7 @@ object DedupOps {
                         thresholdX1000: Int = 500,
                         maxBucketSize: Int = 200): DataFrame = {
     val spark = documents.sparkSession
+    graft.functions.ZhFunctions.register(spark) // native md5_long48 (idempotent)
     import spark.implicits._
     val grams = parallelized(documents)
       .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
@@ -121,6 +122,7 @@ object DedupOps {
     * LSH pre-join shape. numHashes = bands * rowsPerBand. */
   def minhashBands(documents: DataFrame, shingleN: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48
     val grams = parallelized(documents).select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
     val sigCols = (0 until bands * rowsPerBand)
       .map(i => min(PortableHash.familyHashLong(i, col("gram"))).as(s"h$i"))
@@ -219,6 +221,7 @@ object DedupOps {
   /** winnowing-style document fingerprint: minimum family hash over char
     * 8-gram shingles — k small integer fingerprints per doc. */
   def winnowing(documents: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48
     val shingles = when(length(col("text")) >= 8,
       transform(sequence(lit(0), length(col("text")) - 8),
                 i => col("text").substr(i + 1, lit(8))))

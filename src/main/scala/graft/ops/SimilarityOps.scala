@@ -124,6 +124,7 @@ object SimilarityOps {
     * sqrt(n) and the same plan holds. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    graft.functions.ZhFunctions.register(embeddings.sparkSession) // native md5_long48
     val seedHash = PortableHash.md5Long48(
       concat(lit("ivf:"), col("vec_id").cast("string")))
     val centroids: Array[Seq[Double]] = embeddings

@@ -34,6 +34,20 @@ class PortableHashSpec extends SparkSpecBase {
       assert(got(s) == PortableHash.md5Long48Jvm(s), s"md5Long48 drift on '${s.take(20)}'")
   }
 
+  test("native md5_long48 expression equals the composed Catalyst form (and is codegen'd)") {
+    val df = battery.toDF("s")
+    val rows = df.select(
+        PortableHash.md5Long48(col("s")).as("native"),
+        PortableHash.md5Long48Composed(col("s")).as("composed"))
+      .collect()
+    for (r <- rows)
+      assert(r.getLong(0) == r.getLong(1), s"native/composed drift: ${r.toSeq}")
+    // stays inside whole-stage codegen (no CodegenFallback regression)
+    val gen = df.select(PortableHash.md5Long48(col("s"))).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("WholeStageCodegen"), gen.take(400))
+  }
+
   test("familyHashLong stays within 48 bits and families are distinct") {
     val df = battery.filter(_.nonEmpty).toDF("s")
     val cols = (0 until 8).map(i => PortableHash.familyHashLong(i, col("s")).as(s"h$i"))
