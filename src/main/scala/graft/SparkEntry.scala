@@ -121,6 +121,25 @@ object SparkEntry {
              countDistinct(col("doc_id")).as("n_docs"))),
     "kg_metrics" -> ((s, _) =>
       Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
+    "kg_skew_report" -> ((s, _) => {
+      // shuffle-key skew diagnostic over the predicate column — the key
+      // kg_edges shuffles on (and salts); what an operator runs before
+      // picking salt factors. Oracle recomputes relationally over the
+      // materialized kg_canonical parquet.
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      graft.ops.SkewOps.keySkew(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s)), "pred")
+    }),
+    "kg_cooc_components" -> ((s, _) => {
+      // connected components over the top-K strongest entity
+      // co-occurrence edges (bounded edge set = the scale contract);
+      // same EAGER caveat as dedup_clusters — iterates to convergence
+      // when constructed. Oracle: recursive reachability walk over the
+      // materialized kg_canonical parquet.
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      graft.ops.GraphOps.coocComponents(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
+    }),
     "kg_rel_totals" -> ((s, _) =>
       // the merge-stage global stats (reference merge_parsed_results.py:60-74)
       Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
@@ -580,6 +599,44 @@ object SparkEntry {
           |SELECT pred_src, pred_dst, CAST(sum(pw) AS BIGINT) AS weight,
           |  count(*) AS n_arg_pairs
           |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin,
+      "kg_skew_report" ->
+        // fixed-point integer math on both sides: Spark's (k*n)/total is
+        // double division cast to long == DuckDB's // floor for these
+        // positive sub-2^53 magnitudes; total is re-cast to BIGINT so
+        // the hugeint sum doesn't leak into result dtypes
+        """WITH k AS (SELECT pred AS key, count(*) AS n_rows
+          |  FROM read_parquet('__OUT__/kg_canonical/*.parquet') GROUP BY pred),
+          |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM k),
+          |top AS (SELECT key, n_rows FROM k ORDER BY n_rows DESC, key LIMIT 100)
+          |SELECT key, n_rows,
+          |  CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INTEGER) AS rank,
+          |  CAST((10000 * n_rows) // total AS BIGINT) AS share_x10000,
+          |  CAST((1000 * n_rows * n_keys) // total AS BIGINT) AS mult_x1000,
+          |  (1000 * n_rows * n_keys > 8000 * total) AS is_hot
+          |FROM top, t""".stripMargin,
+      "kg_cooc_components" ->
+        // same recursive reachability walk as dedup_clusters, over the
+        // top-2000 strongest co-occurrence edges; least/greatest and min
+        // are binary UTF-8 string order in BOTH engines (Spark compares
+        // UTF8String bytes), so component ids agree exactly
+        """WITH RECURSIVE c AS (SELECT subj_canonical, obj_canonical
+          |    FROM read_parquet('__OUT__/kg_canonical/*.parquet')
+          |    WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
+          |      AND subj_canonical <> obj_canonical),
+          |ew AS (SELECT least(subj_canonical, obj_canonical) AS ent_a,
+          |       greatest(subj_canonical, obj_canonical) AS ent_b, count(*) AS n_cooc
+          |  FROM c GROUP BY 1, 2),
+          |top AS (SELECT ent_a, ent_b FROM ew ORDER BY n_cooc DESC, ent_a, ent_b LIMIT 2000),
+          |edges AS (SELECT ent_a AS u, ent_b AS v FROM top
+          |          UNION ALL SELECT ent_b, ent_a FROM top),
+          |walk AS (
+          |  SELECT u AS node, v AS reach FROM edges
+          |  UNION
+          |  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
+          |)
+          |SELECT node AS entity, least(node, min(reach)) AS component_id,
+          |  (node = least(node, min(reach))) AS is_root
+          |FROM walk GROUP BY node""".stripMargin,
       "kg_toy_sample" ->
         s"""SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')
            |WHERE $sampleFilter""".stripMargin,

@@ -302,51 +302,14 @@ object DedupOps {
   /** candidate-duplicate PAIRS → dedup CLUSTERS: connected components
     * with cluster id = the component's min doc id, keeper = that min —
     * the step that turns any pairwise dedup op's output into "keep this
-    * row, drop those" decisions.
-    *
-    * Min-label propagation WITH POINTER JUMPING: every round each node
-    * takes the min of its neighbors' labels, then additionally adopts
-    * its (new) label's own label — so label information travels
-    * multiplicatively and rounds scale with log(diameter), not diameter
-    * (the pointer-jumping half of large-star/small-star). Per round: 3
-    * bounded shuffles, ONE eager localCheckpoint (lineage truncation;
-    * superseded round checkpoints are dereferenced and freed by Spark's
-    * ContextCleaner), one cheap convergence probe over the cached
-    * result. The op FAILS LOUDLY if it hasn't converged within
-    * `maxIters` (a silent cap would emit wrong clusters); no cartesian,
-    * no driver-side graph. */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
-      .union(pairs.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
-    var converged = labels.isEmpty
-    var it = 0
-    while (!converged && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
-        .groupBy(col("u").as("node"))
-        .agg(min(col("vlbl")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl"),
-                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("mid"))
-      // pointer jump: label values are themselves node ids in this table,
-      // so each node can adopt its label's label within the same round
-      val s2 = stepped.select(col("node").as("j_node"), col("mid").as("j_lbl"))
-      val jumped = stepped.join(s2, stepped("mid") === s2("j_node"), "left")
-        .select(stepped("node"), stepped("lbl"),
-                least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl2"))
-        .localCheckpoint()
-      converged = jumped.filter(col("lbl2") < col("lbl")).isEmpty
-      labels = jumped.select(col("node"), col("lbl2").as("lbl"))
-      it += 1
-    }
-    require(converged,
-      s"dedupClusters did not converge within $maxIters rounds — component " +
-        "diameter exceeds ~2^rounds; raise maxIters")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-                  (col("node") === col("lbl")).as("is_keeper"))
-  }
+    * row, drop those" decisions. The algorithm (min-label propagation
+    * with pointer jumping, log-diameter rounds, loud non-convergence
+    * failure) lives in [[GraphOps.connectedComponents]] — this is the
+    * long-doc-id instantiation. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    GraphOps.connectedComponents(
+      pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
+      maxIters)
+      .select(col("node").as("doc_id"), col("component_id").as("cluster_id"),
+              col("is_root").as("is_keeper"))
 }

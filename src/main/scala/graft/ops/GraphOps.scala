@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over the constructed knowledge graph.
+  *
+  * The reference stops at triple lists (its downstream, the entailment
+  * graph builder, consumes merged rel files — `merge_parsed_results.py`);
+  * at 100 TB the first thing a KG consumer asks of the triple table is
+  * "which entities form one connected story?" — so components over the
+  * entity co-occurrence graph ship as a first-class op, built on the same
+  * pointer-jumped min-label propagation that backs dedup clustering.
+  */
+object GraphOps {
+
+  /** Connected components by min-label propagation WITH POINTER JUMPING
+    * (the generic core behind `DedupOps.dedupClusters`, hoisted so it
+    * serves any orderable node type — long doc ids there, string entity
+    * names here; component id = the component's MIN node under the
+    * column type's ordering).
+    *
+    * `pairs` carries one row per undirected edge in columns (u, v);
+    * symmetrization happens inside. Every round each node takes the min
+    * of its neighbors' labels, then adopts its (new) label's own label —
+    * label information travels multiplicatively, so rounds scale with
+    * log(diameter), not diameter (the pointer-jumping half of
+    * large-star/small-star). Per round: 3 bounded shuffles, ONE eager
+    * localCheckpoint (lineage truncation; superseded round checkpoints
+    * are dereferenced and freed by Spark's ContextCleaner), one cheap
+    * convergence probe over the cached result. FAILS LOUDLY if not
+    * converged within `maxIters` (a silent cap would emit wrong
+    * components); no cartesian, no driver-side graph.
+    *
+    * Output: (node, component_id, is_root) — node's type preserved.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = labels.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("vlbl")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("mid"))
+      // pointer jump: label values are themselves node ids in this table,
+      // so each node can adopt its label's label within the same round
+      val s2 = stepped.select(col("node").as("j_node"), col("mid").as("j_lbl"))
+      val jumped = stepped.join(s2, stepped("mid") === s2("j_node"), "left")
+        .select(stepped("node"), stepped("lbl"),
+                least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl2"))
+        .localCheckpoint()
+      converged = jumped.filter(col("lbl2") < col("lbl")).isEmpty
+      labels = jumped.select(col("node"), col("lbl2").as("lbl"))
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds — component " +
+        "diameter exceeds ~2^rounds; raise maxIters")
+    labels.select(col("node"), col("lbl").as("component_id"),
+                  (col("node") === col("lbl")).as("is_root"))
+  }
+
+  /** Entity co-occurrence edges from the canonical triple table: one
+    * undirected edge per (subj_canonical, obj_canonical) pair, weighted
+    * by triple count, restricted to the `topK` STRONGEST edges under a
+    * deterministic total order (weight desc, then pair). The cap is the
+    * scale contract: components below run over a bounded edge set no
+    * matter how large the corpus — the global top-k is a
+    * TakeOrderedAndProject (per-partition heap + driver merge), never a
+    * full sort. String order note: pair normalization and the tiebreak
+    * use binary string order, identical across Spark and DuckDB for the
+    * BMP-only corpus (same caveat as entailmentEdges). */
+  def coocEdges(canonical: DataFrame, topK: Int = 2000): DataFrame =
+    canonical
+      .filter(col("subj_canonical").isNotNull && col("obj_canonical").isNotNull &&
+              col("subj_canonical") =!= col("obj_canonical"))
+      .select(least(col("subj_canonical"), col("obj_canonical")).as("ent_a"),
+              greatest(col("subj_canonical"), col("obj_canonical")).as("ent_b"))
+      .groupBy(col("ent_a"), col("ent_b"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy(desc("n_cooc"), col("ent_a"), col("ent_b"))
+      .limit(topK)
+
+  /** Components of the strongest-co-occurrence entity graph:
+    * (entity, component_id, is_root), component id = min entity name. */
+  def coocComponents(canonical: DataFrame, topK: Int = 2000,
+                     maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      coocEdges(canonical, topK).select(col("ent_a").as("u"), col("ent_b").as("v")),
+      maxIters)
+      .select(col("node").as("entity"), col("component_id"), col("is_root"))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, GraphOps, SkewOps}
+
+/** Connected components over entity graphs + shuffle-skew diagnostics. */
+class GraphOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("connectedComponents: string nodes, two components, min-name root") {
+    // chain b-c-d-e (forces >1 propagation round) and pair x-y
+    val pairs = Seq(("c", "b"), ("c", "d"), ("d", "e"), ("y", "x"))
+      .toDF("u", "v")
+    val got = GraphOps.connectedComponents(pairs)
+      .as[(String, String, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("b", "b", true), ("c", "b", false), ("d", "b", false), ("e", "b", false),
+      ("x", "x", true), ("y", "x", false)))
+  }
+
+  test("connectedComponents: long chain converges within log-bounded rounds") {
+    // path graph of 200 nodes: diameter 199, pointer jumping must close it
+    // well inside maxIters=20 (plain propagation would need 199 rounds)
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = GraphOps.connectedComponents(pairs, maxIters = 20)
+    assert(got.filter(col("component_id") =!= 0L).isEmpty)
+    assert(got.count() == 200)
+  }
+
+  test("dedupClusters still matches its contract after the refactor") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L)).toDF("a", "b")
+    val got = DedupOps.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (30L, 30L, true), (31L, 30L, false)))
+  }
+
+  test("coocEdges: normalized, weighted, deterministic top-k") {
+    val canonical = Seq(
+      ("A", "B"), ("B", "A"), ("A", "B"),   // same undirected edge ×3
+      ("B", "C"), ("C", "D"), ("C", "D"),
+      ("E", "E"),                            // self loop dropped
+      (null, "F"), ("F", null)               // null dropped
+    ).toDF("subj_canonical", "obj_canonical")
+    val all = GraphOps.coocEdges(canonical, topK = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(all == Seq(("A", "B", 3L), ("C", "D", 2L), ("B", "C", 1L)))
+    // the cap keeps the strongest edges under the same total order
+    val capped = GraphOps.coocEdges(canonical, topK = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(capped == all.take(2))
+  }
+
+  test("coocComponents: components of the strongest-edge graph") {
+    val canonical = Seq(
+      ("甲", "乙"), ("乙", "丙"), ("丁", "戊")
+    ).toDF("subj_canonical", "obj_canonical")
+    val got = GraphOps.coocComponents(canonical)
+      .as[(String, String, Boolean)].collect().toSet
+    val minA = Seq("甲", "乙", "丙").min
+    val minB = Seq("丁", "戊").min
+    assert(got == Set(
+      ("甲", minA, "甲" == minA), ("乙", minA, "乙" == minA), ("丙", minA, "丙" == minA),
+      ("丁", minB, "丁" == minB), ("戊", minB, "戊" == minB)))
+  }
+
+  test("keySkew: counts, ranks, fixed-point shares, hot flag") {
+    // 90 rows of 'hot', 5 of 'a', 5 of 'b' → 3 keys, total 100, mean 33.3
+    val rows = (Seq.fill(90)("hot") ++ Seq.fill(5)("a") ++ Seq.fill(5)("b"))
+      .toDF("pred")
+    val got = SkewOps.keySkew(rows, "pred", topN = 2, hotMultX1000 = 2000L)
+      .as[(String, Long, Int, Long, Long, Boolean)].collect().toSeq
+    // hot: share 9000/10000, multiple 2.7× mean → hot at 2× threshold;
+    // 'a' ties 'b' on count, wins rank 2 lexicographically (topN = 2 cap)
+    assert(got == Seq(
+      ("hot", 90L, 1, 9000L, 2700L, true),
+      ("a", 5L, 2, 500L, 150L, false)))
+  }
+}
