@@ -110,6 +110,75 @@ final class CheckpointStore(root: String, spark: SparkSession,
     out.close()
   }
 
+  private def listDataFiles(stage: String): Seq[Path] = {
+    val dir = new Path(dataPath(stage))
+    if (!fs.exists(dir)) Nil
+    else {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) buf += p
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Rewrite a completed stage's data files into `maxRecordsPerFile`-sized
+    * files — the plain-parquet analogue of Iceberg's rewrite_data_files
+    * maintenance action. A 10^12-doc checkpointed run accumulates small
+    * files (per-slice sinks, skewed buckets, streaming micro-batches);
+    * compaction restores scan efficiency without recomputing the stage.
+    *
+    * Layout is preserved: a `_bucket=`-partitioned stage is rewritten
+    * bucket-aligned (repartition on `_bucket`, so pruning keeps working);
+    * an unbucketed stage is rewritten to ceil(rows / maxRecordsPerFile)
+    * files. Rows are verified identical BEFORE the swap — on any failure
+    * the original files stay untouched. The swap itself is
+    * delete-then-rename with the lineage meta rewritten last, so a crash
+    * mid-swap leaves the stage INCOMPLETE (recomputed on next run) rather
+    * than silently half-compacted; in production this whole method is one
+    * atomic Iceberg snapshot commit. Fingerprint and upstream lineage
+    * carry through; only file lineage and snapshot id change. */
+  def compact(stage: String, maxRecordsPerFile: Long = 1L << 20): CompactionReport = {
+    require(isComplete(stage), s"compact($stage): stage is not complete")
+    val before = listDataFiles(stage)
+    if (before.isEmpty) return CompactionReport(stage, 0L, 0L, 0, 0)
+    val df = readStage(stage, None)
+    val bucketed = df.columns.contains("_bucket")
+    val rows = df.count()
+    val upstream = readMeta(stage).toSeq.flatMap { m =>
+      """"upstream":\[([^\]]*)\]""".r.findFirstMatchIn(m).toSeq.flatMap(
+        _.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty))
+    }
+    val tmp = new Path(root, s"$stage._compacting")
+    fs.delete(tmp, true)
+    import org.apache.spark.sql.functions.col
+    if (bucketed)
+      df.repartition(col("_bucket"))
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+    else {
+      val nFiles = math.max(1L, (rows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+      df.repartition(nFiles)
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite").parquet(tmp.toString)
+    }
+    val rowsAfter = spark.read.parquet(tmp.toString).count()
+    require(rowsAfter == rows,
+      s"compact($stage): rewrite produced $rowsAfter rows, expected $rows — " +
+        "original files left untouched")
+    val dst = new Path(dataPath(stage))
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
+    markComplete(stage, upstream)
+    CompactionReport(stage, rows, rowsAfter, before.size, listDataFiles(stage).size)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }
+
+final case class CompactionReport(stage: String, rowsBefore: Long, rowsAfter: Long,
+                                  filesBefore: Int, filesAfter: Int)

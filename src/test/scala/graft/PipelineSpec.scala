@@ -251,6 +251,50 @@ class PipelineSpec extends SparkSpecBase {
     assert(meta.contains("\"fingerprint\":\"nDocs=45,"), meta)
   }
 
+  test("compact rewrites a fragmented stage into fewer files, preserving data + resume") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "c=1")
+    var computed = 0
+    def stage() = store.runStage[Long]("nums", upstream = Seq("src")) {
+      computed += 1; spark.range(500).repartition(16).as[Long]
+    }
+    val before = stage().collect().sorted.toSeq
+    assert(computed == 1)
+    val rep = store.compact("nums", maxRecordsPerFile = 1000000L)
+    assert(rep.rowsBefore == 500 && rep.rowsAfter == 500)
+    assert(rep.filesBefore == 16 && rep.filesAfter == 1,
+           s"expected 16 -> 1 files, got ${rep.filesBefore} -> ${rep.filesAfter}")
+    // still complete under the same fingerprint: resume, don't recompute
+    val after = stage().collect().sorted.toSeq
+    assert(computed == 1, "compaction must not invalidate the checkpoint")
+    assert(after == before)
+    // lineage meta rewritten: one file, upstream carried through
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/nums/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"rows\":500") && meta.contains("\"upstream\":[\"src\"]"), meta)
+  }
+
+  test("compact preserves the bucketed layout of a keyed stage") {
+    val root = Files.createTempDirectory("graft-compact-b").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "c=2")
+    val ds = store.runStage[(String, Long)]("keyed", bucketCol = Some("_1"), nBuckets = 8) {
+      spark.range(400).map(i => (s"k${i % 50}", i.toLong)).repartition(16)
+    }
+    val before = ds.collect().sortBy(_._2).toSeq
+    val rep = store.compact("keyed")
+    assert(rep.rowsBefore == 400 && rep.rowsAfter == 400)
+    assert(rep.filesAfter < rep.filesBefore)
+    val bucketDirs = new java.io.File(s"$root/keyed").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_bucket="))
+    assert(bucketDirs > 1, s"bucket layout lost: $bucketDirs dirs")
+    // at most one data file per bucket after compaction
+    assert(rep.filesAfter <= 8, s"expected <= 8 files, got ${rep.filesAfter}")
+    val after = store.runStage[(String, Long)]("keyed", bucketCol = Some("_1"), nBuckets = 8) {
+      fail("must resume, not recompute")
+    }.collect().sortBy(_._2).toSeq
+    assert(after == before)
+  }
+
   test("a corrupted (incomplete) checkpoint stage is recomputed, not trusted") {
     val root = Files.createTempDirectory("graft-ckpt-corrupt").toString
     val r1 = Pipeline.run(spark, root, nDocs = 30)
