@@ -149,6 +149,24 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(df) == 0, executed(df))
   }
 
+  test("top-N report ops stay TakeOrderedAndProject, never a global sort") {
+    // keySkew's report head and coocEdges' strongest-edge cap must keep
+    // the per-partition-heap shape: a full Sort before the limit would
+    // be a scale killer on high-cardinality keys
+    val skew = graft.ops.SkewOps.keySkew(
+      spark.read.parquet(s"$sf/documents.parquet").select(col("lang").as("k")), "k")
+    val skewPlan = executed(skew)
+    assert(skewPlan.contains("TakeOrderedAndProject"),
+           s"keySkew lost the top-N heap:\n$skewPlan")
+    val cooc = graft.ops.GraphOps.coocEdges(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("string").as("subj_canonical"),
+                col("lang").as("obj_canonical")))
+    val coocPlan = executed(cooc)
+    assert(coocPlan.contains("TakeOrderedAndProject"),
+           s"coocEdges lost the top-K heap:\n$coocPlan")
+  }
+
   test("relational aggregation is whole-stage codegen'd") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
