@@ -121,6 +121,17 @@ object SparkEntry {
              countDistinct(col("doc_id")).as("n_docs"))),
     "kg_metrics" -> ((s, _) =>
       Pipeline.extractionMetrics(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))),
+    "kg_slice_merge" -> ((s, _) => {
+      // overlapping slice re-submission: docs [0,300) already merged,
+      // docs [200,400) arrive as a fresh slice; the doc-granular
+      // idempotent merge must equal the one-shot full extraction — the
+      // oracle compares against the materialized kg_triples parquet
+      val merged = Pipeline.extractTriples(
+        Pipeline.segmentDocs(Pipeline.synthDocsRange(s, 0, 300))).toDF()
+      val fresh = Pipeline.extractTriples(
+        Pipeline.segmentDocs(Pipeline.synthDocsRange(s, 200, VerifyDocs))).toDF()
+      Pipeline.mergeSliceIncrement(merged, fresh)
+    }),
     "kg_skew_report" -> ((s, _) => {
       // shuffle-key skew diagnostic over the predicate column — the key
       // kg_edges shuffles on (and salts); what an operator runs before
@@ -599,6 +610,10 @@ object SparkEntry {
           |SELECT pred_src, pred_dst, CAST(sum(pw) AS BIGINT) AS weight,
           |  count(*) AS n_arg_pairs
           |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin,
+      "kg_slice_merge" ->
+        // idempotence IS the oracle: overlapping-slice merge must equal
+        // the one-shot 400-doc extraction exactly (rows+schema+hash)
+        "SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')",
       "kg_skew_report" ->
         // fixed-point integer math on both sides: Spark's (k*n)/total is
         // double division cast to long == DuckDB's // floor for these

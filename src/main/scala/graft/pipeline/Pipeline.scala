@@ -38,6 +38,29 @@ object Pipeline {
     spark.range(0, nDocs).map(i => SynthDocs.genDoc(i, sentsPerDoc))
   }
 
+  /** synthDocs over an explicit id range — corpus SLICES for the
+    * incremental-merge path (same per-id generator, so slice extraction
+    * equals filtered full-corpus extraction). */
+  def synthDocsRange(spark: SparkSession, fromId: Long, untilId: Long,
+                     sentsPerDoc: Int = SynthDocs.DefaultSentsPerDoc): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(fromId, untilId).map(i => SynthDocs.genDoc(i, sentsPerDoc))
+  }
+
+  /** Idempotent incremental slice merge: an already-merged triple store
+    * plus a fresh slice that may OVERLAP it (re-submitted or re-split
+    * slices — the failure mode of the reference's manual file-level merge,
+    * merge_parsed_results.py:55-90, where a re-run slice would double its
+    * docs). Fresh rows for doc_ids already present are dropped WHOLESALE
+    * (doc-granular: a doc's triples are an atomic unit, never mixed
+    * across runs) via a doc-keyed left-anti join — one bounded shuffle
+    * on doc_id, no distinct over triple payloads. */
+  def mergeSliceIncrement(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    existing.unionByName(
+      fresh.join(existing.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
+  }
+
   /** schema-first JSONL docs reader (the reference's corpus readers,
     * preprocess_corpus.py:166-340, consume JSON lines; dynamic-schema
     * inference is deliberately avoided — SURVEY.md §1.4). */

@@ -251,6 +251,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(meta.contains("\"fingerprint\":\"nDocs=45,"), meta)
   }
 
+  test("incremental slice merge is idempotent under overlap and doc-granular") {
+    def triples(from: Long, until: Long) =
+      Pipeline.extractTriples(Pipeline.segmentDocs(
+        Pipeline.synthDocsRange(spark, from, until))).toDF()
+    val full = triples(0, 60).collect().toSet
+    // overlapping re-submission: [0,40) merged, [25,60) fresh → full set
+    val merged = Pipeline.mergeSliceIncrement(triples(0, 40), triples(25, 60))
+    assert(merged.collect().toSet == full)
+    // disjoint slices: plain union
+    val disjoint = Pipeline.mergeSliceIncrement(triples(0, 30), triples(30, 60))
+    assert(disjoint.collect().toSet == full)
+    // total overlap: no duplicates, existing wins
+    val dup = Pipeline.mergeSliceIncrement(triples(0, 60), triples(0, 60))
+    assert(dup.collect().toSet == full && dup.count() == full.size)
+  }
+
   test("compact rewrites a fragmented stage into fewer files, preserving data + resume") {
     val root = Files.createTempDirectory("graft-compact").toString
     val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "c=1")
