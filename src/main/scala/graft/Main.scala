@@ -24,7 +24,9 @@ import graft.sources.CorpusReaders
   *     [--nerpos]                the main_ner-shaped per-sentence
   *                               NER/POS ⋈ corefed-text table \
   *     [--export-jsonl]          canonical triples additionally as JSONL
-  *                               (the reference's output wire format)
+  *                               (the reference's output wire format) \
+  *     [--compact]               post-run small-file compaction of every
+  *                               completed stage (resume-safe)
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
@@ -38,7 +40,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl") =>
+        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl" | "--compact") =>
           m += flag.drop(2) -> "true"; i += 1
         case key if key.startsWith("--") && i + 1 < args.length =>
           m += key.drop(2) -> args(i + 1); i += 2
@@ -134,8 +136,8 @@ object Main {
     val aliases = opts.get("aliases").map(readAliases(spark, _))
       .getOrElse(Pipeline.synthAliases(spark))
 
-    val result = Pipeline.runFromDocs(spark, outDir, docs,
-      s"$fingerprint,aliases=${opts.getOrElse("aliases", "synth")}",
+    val fullFp = s"$fingerprint,aliases=${opts.getOrElse("aliases", "synth")}"
+    val result = Pipeline.runFromDocs(spark, outDir, docs, fullFp,
       aliases = Some(aliases), withCoref = opts.contains("coref"))
     readerOut.foreach(_.uncache())
 
@@ -190,6 +192,17 @@ object Main {
     val os = fs.create(statsPath, true)
     os.write(stats.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     os.close()
+    if (opts.contains("compact")) {
+      // post-run maintenance: rewrite accumulated small files in place
+      // (rewrite_data_files analogue; resume fingerprints survive)
+      val reports = Pipeline.compactRun(spark, outDir, fullFp,
+        withCoref = opts.contains("coref")) ++
+        // the excluded sink checkpoints under the reader-only fingerprint
+        Some(new pipeline.CheckpointStore(outDir, spark, fingerprint = fingerprint))
+          .filter(_.isComplete("excluded")).map(_.compact("excluded"))
+      reports.foreach(r => println(
+        s"[graft] compacted ${r.stage}: ${r.filesBefore} -> ${r.filesAfter} files (${r.rowsAfter} rows)"))
+    }
     println(s"[graft] pipeline complete: $nDocs docs -> $outDir (stats.json written)")
     // don't tear down a session we merely joined (embedding callers/tests)
     if (preexisting.isEmpty) spark.stop()

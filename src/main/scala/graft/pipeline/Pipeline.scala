@@ -539,4 +539,20 @@ object Pipeline {
     }
     RunResult(canonBack, spark.read.parquet(edgesPath), docs)
   }
+
+  /** Compact every completed stage of a `runFromDocs` checkpoint root —
+    * the post-run maintenance pass (per-slice sinks and skewed buckets
+    * leave small files behind; see [[CheckpointStore.compact]]). Must be
+    * called with the SAME fingerprint/withCoref the run used, or the
+    * completeness check refuses (by design — compacting someone else's
+    * half-written root would be data loss). */
+  def compactRun(spark: SparkSession, checkpointRoot: String, fingerprint: String,
+                 withCoref: Boolean = false,
+                 maxRecordsPerFile: Long = 1L << 20): Seq[CompactionReport] = {
+    val store = new CheckpointStore(checkpointRoot, spark,
+      fingerprint = s"$fingerprint,withCoref=$withCoref")
+    Seq("docs", "sentences", "triples", "coref_triples", "canonical", "edges")
+      .filter(store.isComplete)
+      .map(st => store.compact(st, maxRecordsPerFile))
+  }
 }

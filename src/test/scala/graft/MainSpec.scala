@@ -58,6 +58,26 @@ class MainSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$out/coref_triples").exists()) // flag off
   }
 
+  test("--compact rewrites stage files post-run without breaking resume") {
+    val out = Files.createTempDirectory("graft-main-compact").toString
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", out))
+    def parquetFiles(stage: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$out/$stage"))
+    }
+    val sentencesBefore = parquetFiles("sentences")
+    val rows = spark.read.parquet(s"$out/triples").count()
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", out, "--compact"))
+    assert(parquetFiles("sentences") <= sentencesBefore)
+    assert(parquetFiles("sentences") >= 1)
+    assert(spark.read.parquet(s"$out/triples").count() == rows)
+    // compaction must not invalidate: a third run still resumes
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", out))
+    assert(spark.read.parquet(s"$out/triples").count() == rows)
+  }
+
   test("--aliases supplies a user dictionary for canonicalization + mentions") {
     val mapper = new ObjectMapper()
     val text = graft.synth.SynthDocs.genDoc(0L).spans
