@@ -75,6 +75,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming triples canonicalize against the static alias dict (stream-static broadcast join)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.Doc
+    val input = MemoryStream[Doc]
+    val aliases = graft.pipeline.Pipeline.synthAliases(spark)
+    // the full streaming KG path: docs stream → segment → extract →
+    // canonicalize (the broadcast join is stream-static, state-free)
+    val q = graft.pipeline.Pipeline.canonicalize(
+        StreamingOps.streamingTriples(input.toDS()), aliases)
+      .writeStream.format("memory").queryName("stream_canonical")
+      .outputMode("append").start()
+    val docs = (0L until 20L).map(graft.synth.SynthDocs.genDoc(_))
+    input.addData(docs.take(12): _*); q.processAllAvailable()
+    input.addData(docs.drop(12): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_canonical").collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Pipeline.canonicalize(
+      graft.pipeline.Pipeline.extractTriples(
+        graft.pipeline.Pipeline.segmentDocs(spark.createDataset(docs))), aliases)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // entity linking actually fired in the stream
+    assert(streamed.exists(_.contains("E00000")) ||
+           spark.table("stream_canonical")
+             .filter($"subj_entity_id".isNotNull || $"obj_entity_id".isNotNull)
+             .count() > 0)
+  }
+
   test("streaming exact dedup drops duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
