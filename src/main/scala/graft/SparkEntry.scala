@@ -151,6 +151,15 @@ object SparkEntry {
       graft.ops.GraphOps.coocComponents(
         Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
     }),
+    "kg_entity_rank" -> ((s, _) => {
+      // entity importance: fixed-point integer PageRank over the same
+      // bounded co-occurrence graph as kg_cooc_components — pure BIGINT
+      // arithmetic, so the oracle's unrolled 10-iteration CTE chain
+      // reproduces every rank bit-exactly (EAGER like the CC ops)
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      graft.ops.GraphOps.entityPageRank(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
+    }),
     "kg_rel_totals" -> ((s, _) =>
       // the merge-stage global stats (reference merge_parsed_results.py:60-74)
       Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
@@ -315,6 +324,34 @@ object SparkEntry {
     * kg_triples, kg_coref, mm_media_features) stay oracle-less — those
     * are differentially verified against the reference implementation
     * itself (DifferentialSpec and friends). */
+  /** the kg_entity_rank oracle: the same bounded co-occurrence edge set
+    * as kg_cooc_components, then PageRank's 10 power iterations UNROLLED
+    * as a chain of plain GROUP BY CTEs (aggregation is illegal in a
+    * recursive CTE term) — legal everywhere, and bit-exact because the
+    * op is pure BIGINT fixed-point arithmetic. */
+  private def pageRankOracleSql: String = {
+    val base =
+      """WITH c AS (SELECT subj_canonical, obj_canonical
+        |    FROM read_parquet('__OUT__/kg_canonical/*.parquet')
+        |    WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
+        |      AND subj_canonical <> obj_canonical),
+        |ew AS (SELECT least(subj_canonical, obj_canonical) AS ent_a,
+        |       greatest(subj_canonical, obj_canonical) AS ent_b, count(*) AS n_cooc
+        |  FROM c GROUP BY 1, 2),
+        |top AS (SELECT ent_a, ent_b FROM ew ORDER BY n_cooc DESC, ent_a, ent_b LIMIT 2000),
+        |edges AS (SELECT ent_a AS u, ent_b AS v FROM top
+        |          UNION ALL SELECT ent_b, ent_a FROM top),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        |it0 AS (SELECT u AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg)""".stripMargin
+    val its = (1 to 10).map { i =>
+      s"""it$i AS (SELECT e.v AS node,
+         |  CAST(150000000 + (850 * sum(p.pr // d.d)) // 1000 AS BIGINT) AS pr
+         |  FROM edges e JOIN it${i - 1} p ON p.node = e.u JOIN deg d ON d.u = e.u
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node AS entity, pr AS rank_x1e9 FROM it10"
+  }
+
   def oracleSql: Map[String, String] = {
     import graft.functions.PortableHash.{duckFamilyHashLong, duckMd5Long48, duckPlaneSign}
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
@@ -610,6 +647,7 @@ object SparkEntry {
           |SELECT pred_src, pred_dst, CAST(sum(pw) AS BIGINT) AS weight,
           |  count(*) AS n_arg_pairs
           |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin,
+      "kg_entity_rank" -> pageRankOracleSql,
       "kg_slice_merge" ->
         // idempotence IS the oracle: overlapping-slice merge must equal
         // the one-shot 400-doc extraction exactly (rows+schema+hash)

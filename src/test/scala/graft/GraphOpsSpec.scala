@@ -65,6 +65,27 @@ class GraphOpsSpec extends SparkSpecBase {
       ("丁", minB, "丁" == minB), ("戊", minB, "戊" == minB)))
   }
 
+  test("entityPageRank: a ring is an exact fixed point at 10^9") {
+    // cycle A-B-C-D: every node degree 2, contribution pr/2 from two
+    // neighbors → 150000000 + (850 * pr) div 1000 == pr exactly at 10^9
+    val ring = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "A"))
+      .toDF("subj_canonical", "obj_canonical")
+    val got = GraphOps.entityPageRank(ring)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1000000000L, "B" -> 1000000000L,
+                      "C" -> 1000000000L, "D" -> 1000000000L))
+  }
+
+  test("entityPageRank: star center outranks leaves; leaves tie exactly") {
+    val star = Seq(("X", "a"), ("X", "b"), ("X", "c"))
+      .toDF("subj_canonical", "obj_canonical")
+    val got = GraphOps.entityPageRank(star)
+      .as[(String, Long)].collect().toMap
+    assert(got("X") > got("a"))
+    assert(got("a") == got("b") && got("b") == got("c"))
+    assert(got.size == 4)
+  }
+
   test("keySkew: counts, ranks, fixed-point shares, hot flag") {
     // 90 rows of 'hot', 5 of 'a', 5 of 'b' → 3 keys, total 100, mean 33.3
     val rows = (Seq.fill(90)("hot") ++ Seq.fill(5)("a") ++ Seq.fill(5)("b"))
