@@ -171,7 +171,12 @@ final class CheckpointStore(root: String, spark: SparkSession,
         "original files left untouched")
     val dst = new Path(dataPath(stage))
     fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    // a false return (HDFS-style silent failure) must not masquerade as
+    // success — the stage is already gone, so fail loudly; the store's
+    // completeness check then forces a recompute on the next run
+    require(fs.rename(tmp, dst),
+      s"compact($stage): rename $tmp -> $dst failed; stage left incomplete " +
+        "(will recompute on next run)")
     markComplete(stage, upstream)
     CompactionReport(stage, rows, rowsAfter, before.size, listDataFiles(stage).size)
   }
