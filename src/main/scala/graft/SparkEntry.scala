@@ -653,19 +653,19 @@ object SparkEntry {
         // the one-shot 400-doc extraction exactly (rows+schema+hash)
         "SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')",
       "kg_skew_report" ->
-        // fixed-point integer math on both sides: Spark's (k*n)/total is
-        // double division cast to long == DuckDB's // floor for these
-        // positive sub-2^53 magnitudes; total is re-cast to BIGINT so
-        // the hugeint sum doesn't leak into result dtypes
+        // fixed-point integer math on both sides, overflow-proof at the
+        // petascale design point: Spark takes products in DECIMAL(38,0)
+        // with `div` (integral quotient), DuckDB mirrors in HUGEINT with
+        // `//` — identical floors for these positive values
         """WITH k AS (SELECT pred AS key, count(*) AS n_rows
           |  FROM read_parquet('__OUT__/kg_canonical/*.parquet') GROUP BY pred),
           |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM k),
           |top AS (SELECT key, n_rows FROM k ORDER BY n_rows DESC, key LIMIT 100)
           |SELECT key, n_rows,
           |  CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INTEGER) AS rank,
-          |  CAST((10000 * n_rows) // total AS BIGINT) AS share_x10000,
-          |  CAST((1000 * n_rows * n_keys) // total AS BIGINT) AS mult_x1000,
-          |  (1000 * n_rows * n_keys > 8000 * total) AS is_hot
+          |  CAST((10000 * CAST(n_rows AS HUGEINT)) // total AS BIGINT) AS share_x10000,
+          |  CAST((1000 * CAST(n_rows AS HUGEINT) * n_keys) // total AS BIGINT) AS mult_x1000,
+          |  (1000 * CAST(n_rows AS HUGEINT) * n_keys > 8000 * CAST(total AS HUGEINT)) AS is_hot
           |FROM top, t""".stripMargin,
       "kg_cooc_components" ->
         // same recursive reachability walk as dedup_clusters, over the

@@ -29,7 +29,11 @@ object SkewOps {
     * ≤ topN already-selected rows, so the single-partition window sort
     * is bounded by the report size, not the key cardinality. All derived
     * measures are fixed-point integer math so an external engine can
-    * recompute them bit-exactly.
+    * recompute them bit-exactly: products are taken in DECIMAL(38,0)
+    * (1000·n_rows·n_keys exceeds a long right at the 10^12-row/10^6-key
+    * design point this report exists for) and divisions use `div`, whose
+    * integral-quotient semantics on decimals match BIGINT/HUGEINT floor
+    * division for these positive values.
     */
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 100,
               hotMultX1000: Long = 8000L): DataFrame = {
@@ -37,14 +41,24 @@ object SkewOps {
       .agg(count(lit(1)).as("n_rows"))
     val totals = keyed.agg(sum(col("n_rows")).as("total"),
                            count(lit(1)).as("n_keys"))
-    keyed.orderBy(desc("n_rows"), col("key")).limit(topN)
-      .crossJoin(broadcast(totals))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("n_rows"), col("key"))))
-      .select(col("key"), col("n_rows"), col("rank"),
-        ((lit(10000L) * col("n_rows")) / col("total")).cast("long").as("share_x10000"),
-        ((lit(1000L) * col("n_rows") * col("n_keys")) / col("total")).cast("long").as("mult_x1000"),
-        (lit(1000L) * col("n_rows") * col("n_keys") >
-          lit(hotMultX1000) * col("total")).as("is_hot"))
+    skewMeasures(
+      keyed.orderBy(desc("n_rows"), col("key")).limit(topN)
+        .crossJoin(broadcast(totals))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("n_rows"), col("key")))),
+      hotMultX1000)
+  }
+
+  /** the measure projection over (key, n_rows, rank, total, n_keys) —
+    * split out so its overflow behavior is unit-testable with planted
+    * petascale counts no test can materialize as rows. */
+  private[graft] def skewMeasures(report: DataFrame,
+                                  hotMultX1000: Long): DataFrame = {
+    val big = "CAST(1000 AS DECIMAL(38,0))"
+    report.select(col("key"), col("n_rows"), col("rank"),
+      expr(s"CAST((CAST(10000 AS DECIMAL(38,0)) * n_rows) div total AS BIGINT)").as("share_x10000"),
+      expr(s"CAST(($big * n_rows * n_keys) div total AS BIGINT)").as("mult_x1000"),
+      expr(s"$big * n_rows * n_keys > CAST($hotMultX1000 AS DECIMAL(38,0)) * total")
+        .as("is_hot"))
   }
 }

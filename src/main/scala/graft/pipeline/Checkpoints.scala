@@ -40,6 +40,18 @@ final class CheckpointStore(root: String, spark: SparkSession,
     fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&
       readMeta(stage).exists(_.contains(s""""fingerprint":${jstr(fingerprint)}"""))
 
+  /** every stage under this root that is COMPLETE under THIS store's
+    * fingerprint — the maintenance-pass work list (derived, never
+    * hardcoded: a stage added to the pipeline can't silently escape
+    * compaction). */
+  def completeStages: Seq[String] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.endsWith("._compacting"))
+      .filter(isComplete).sorted.toSeq
+  }
+
   /** run (or resume) a stage; the dataset is persisted as parquet with a
     * meta sidecar carrying row count, partition/file lineage, the upstream
     * stage names and the run fingerprint. `bucketCol` adds an explicit
@@ -133,7 +145,9 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * Layout is preserved: a `_bucket=`-partitioned stage is rewritten
     * bucket-aligned (repartition on `_bucket`, so pruning keeps working);
     * an unbucketed stage is rewritten to ceil(rows / maxRecordsPerFile)
-    * files. Rows are verified identical BEFORE the swap — on any failure
+    * files. The rewrite's row COUNT is verified against the stage's
+    * recorded lineage (`"rows"` in `_graft_meta.json` — no pre-scan of a
+    * TB-scale stage just to recount it) BEFORE the swap — on any failure
     * the original files stay untouched. The swap itself is
     * delete-then-rename with the lineage meta rewritten last, so a crash
     * mid-swap leaves the stage INCOMPLETE (recomputed on next run) rather
@@ -146,8 +160,13 @@ final class CheckpointStore(root: String, spark: SparkSession,
     if (before.isEmpty) return CompactionReport(stage, 0L, 0L, 0, 0)
     val df = readStage(stage, None)
     val bucketed = df.columns.contains("_bucket")
-    val rows = df.count()
-    val upstream = readMeta(stage).toSeq.flatMap { m =>
+    val meta = readMeta(stage)
+    // expected rows come from the recorded lineage; a complete stage
+    // always has them (markComplete writes them) — fall back to a scan
+    // only for a hand-written meta
+    val rows = meta.flatMap(""""rows":(\d+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong).getOrElse(df.count())
+    val upstream = meta.toSeq.flatMap { m =>
       """"upstream":\[([^\]]*)\]""".r.findFirstMatchIn(m).toSeq.flatMap(
         _.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty))

@@ -54,11 +54,17 @@ object Pipeline {
     * docs). Fresh rows for doc_ids already present are dropped WHOLESALE
     * (doc-granular: a doc's triples are an atomic unit, never mixed
     * across runs) via a doc-keyed left-anti join — one bounded shuffle
-    * on doc_id, no distinct over triple payloads. */
+    * on doc_id, no distinct over triple payloads. The checkpoint
+    * implementation column `_bucket` is stripped from both sides first
+    * (an existing store is naturally `spark.read.parquet(root/triples)`,
+    * which carries it; a fresh extraction doesn't) — any OTHER schema
+    * mismatch still fails loudly in unionByName. */
   def mergeSliceIncrement(existing: DataFrame, fresh: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    existing.unionByName(
-      fresh.join(existing.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
+    val ex = existing.drop("_bucket")
+    ex.unionByName(
+      fresh.drop("_bucket")
+        .join(ex.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
   }
 
   /** schema-first JSONL docs reader (the reference's corpus readers,
@@ -551,8 +557,9 @@ object Pipeline {
                  maxRecordsPerFile: Long = 1L << 20): Seq[CompactionReport] = {
     val store = new CheckpointStore(checkpointRoot, spark,
       fingerprint = s"$fingerprint,withCoref=$withCoref")
-    Seq("docs", "sentences", "triples", "coref_triples", "canonical", "edges")
-      .filter(store.isComplete)
-      .map(st => store.compact(st, maxRecordsPerFile))
+    // the work list is DERIVED from the store (every directory complete
+    // under this fingerprint) — a stage added to the pipeline can never
+    // silently escape compaction
+    store.completeStages.map(st => store.compact(st, maxRecordsPerFile))
   }
 }

@@ -86,6 +86,16 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got.size == 4)
   }
 
+  test("keySkew measures survive petascale counts (no long overflow, exact floors)") {
+    // 1000 * 1e10 * 1e6 = 1e19 overflows a long (9.22e18): the decimal
+    // `div` path must still produce the exact integer floors
+    val row = Seq(("hot", 10000000000L, 1, 20000000000L, 1000000L))
+      .toDF("key", "n_rows", "rank", "total", "n_keys")
+    val got = SkewOps.skewMeasures(row, 8000L)
+      .as[(String, Long, Int, Long, Long, Boolean)].head()
+    assert(got == (("hot", 10000000000L, 1, 5000L, 500000000L, true)))
+  }
+
   test("keySkew: counts, ranks, fixed-point shares, hot flag") {
     // 90 rows of 'hot', 5 of 'a', 5 of 'b' → 3 keys, total 100, mean 33.3
     val rows = (Seq.fill(90)("hot") ++ Seq.fill(5)("a") ++ Seq.fill(5)("b"))

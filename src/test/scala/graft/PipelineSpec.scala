@@ -267,6 +267,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(dup.collect().toSet == full && dup.count() == full.size)
   }
 
+  test("slice merge accepts a bucketed checkpoint read as the existing store") {
+    val root = Files.createTempDirectory("graft-merge-ckpt").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "m=1")
+    store.runStage[TripleRow]("triples", bucketCol = Some("doc_id")) {
+      Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocsRange(spark, 0, 40)))
+    }
+    val existing = spark.read.parquet(s"$root/triples") // carries _bucket
+    assert(existing.columns.contains("_bucket"))
+    val fresh = Pipeline.extractTriples(Pipeline.segmentDocs(
+      Pipeline.synthDocsRange(spark, 25, 60))).toDF()
+    val merged = Pipeline.mergeSliceIncrement(existing, fresh)
+    val full = Pipeline.extractTriples(Pipeline.segmentDocs(
+      Pipeline.synthDocsRange(spark, 0, 60))).toDF()
+    assert(!merged.columns.contains("_bucket"))
+    assert(merged.select(full.columns.map(org.apache.spark.sql.functions.col): _*)
+             .collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+  }
+
   test("compact rewrites a fragmented stage into fewer files, preserving data + resume") {
     val root = Files.createTempDirectory("graft-compact").toString
     val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "c=1")
