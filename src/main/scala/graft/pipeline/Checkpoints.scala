@@ -85,6 +85,38 @@ final class CheckpointStore(root: String, spark: SparkSession,
     readStage(stage, Some(storedSchema)).drop("_bucket").as[T]
   }
 
+  /** the DataFrame (dynamic-schema) variant of [[runStage]], same
+    * completeness/resume/bucketing semantics. `compute` is only ever
+    * PLANNED on resume (schema fallback for an empty partitioned stage
+    * derives from the lazy plan, no job runs); the `_bucket` column is
+    * dropped from the returned read-back. */
+  def runStageDF(stage: String, upstream: Seq[String] = Nil,
+                 bucketCol: Option[String] = None, nBuckets: Int = 64)
+                (compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    lazy val computed = compute
+    def stored = bucketCol match {
+      case Some(_) => computed.schema.add("_bucket", org.apache.spark.sql.types.LongType)
+      case None => computed.schema
+    }
+    if (!isComplete(stage)) {
+      bucketCol match {
+        case Some(c) =>
+          computed.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
+            .write.mode("overwrite").partitionBy("_bucket").parquet(dataPath(stage))
+        case None =>
+          computed.write.mode("overwrite").parquet(dataPath(stage))
+      }
+      markComplete(stage, upstream, Some(stored))
+    }
+    (try spark.read.parquet(dataPath(stage))
+     catch {
+       case e: org.apache.spark.sql.AnalysisException
+           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+         spark.read.schema(stored).parquet(dataPath(stage))
+     }).drop("_bucket")
+  }
+
   /** read a stage with INFERENCE first — a checkpoint written by an older
     * code version with a different schema must keep failing LOUDLY at
     * analysis (an explicit schema would silently null-fill missing

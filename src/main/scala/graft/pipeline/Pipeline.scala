@@ -530,20 +530,17 @@ object Pipeline {
       else base.unionByName(
         store.runStage("coref_triples", Seq("docs"), bucketCol = Some("doc_id"))(
           corefTriples(docs)))
-    val canonical = canonicalize(triples, aliases.getOrElse(synthAliases(spark)))
-    // canonical + edges are DataFrames; checkpoint via parquet round-trip
-    val canonPath = s"$checkpointRoot/canonical"
-    val edgesPath = s"$checkpointRoot/edges"
-    if (!store.isComplete("canonical")) {
-      canonical.write.mode("overwrite").parquet(canonPath)
-      store.markComplete("canonical", Seq("triples"))
-    }
-    val canonBack = spark.read.parquet(canonPath)
-    if (!store.isComplete("edges")) {
-      entailmentEdges(canonBack).write.mode("overwrite").parquet(edgesPath)
-      store.markComplete("edges", Seq("canonical"))
-    }
-    RunResult(canonBack, spark.read.parquet(edgesPath), docs)
+    // canonical + edges are DataFrame stages, checkpointed with the same
+    // explicit bucketed layout as the typed stages: canonical by doc_id
+    // (co-located with triples), edges by pred_src — the entailment-graph
+    // consumer reads by predicate, so bucket predicates prune its scans
+    val canonBack = store.runStageDF("canonical", Seq("triples"),
+      bucketCol = Some("doc_id"))(
+      canonicalize(triples, aliases.getOrElse(synthAliases(spark))))
+    val edgesBack = store.runStageDF("edges", Seq("canonical"),
+      bucketCol = Some("pred_src"))(
+      entailmentEdges(canonBack))
+    RunResult(canonBack, edgesBack, docs)
   }
 
   /** Compact every completed stage of a `runFromDocs` checkpoint root —

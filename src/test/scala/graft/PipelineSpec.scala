@@ -226,10 +226,16 @@ class PipelineSpec extends SparkSpecBase {
     val r2 = Pipeline.run(spark, root, nDocs = 50)
     assert(r2.triples.count() == t1)
     assert(new java.io.File(s"$root/triples/_graft_meta.json").exists())
-    // explicit bucketed layout on the keyed stages
-    val bucketDirs = new java.io.File(s"$root/triples").listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("_bucket="))
-    assert(bucketDirs > 1, s"expected hash-bucket directories, found $bucketDirs")
+    // explicit bucketed layout on the keyed stages — including the
+    // DataFrame stages (canonical by doc_id, edges by pred_src)
+    for (stage <- Seq("triples", "canonical", "edges")) {
+      val bucketDirs = new java.io.File(s"$root/$stage").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("_bucket="))
+      assert(bucketDirs > 1, s"$stage: expected hash-bucket directories, found $bucketDirs")
+    }
+    // the bucket column is an implementation detail — not in the read-back
+    assert(!r2.triples.columns.contains("_bucket") &&
+           !r2.edges.columns.contains("_bucket"))
     // lineage metadata carries rows + upstream refs
     val meta = new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/triples/_graft_meta.json")), "UTF-8")
