@@ -151,4 +151,22 @@ class PropertySpec extends SparkSpecBase {
     val bad = report.filter(!org.apache.spark.sql.functions.col("preserved")).collect()
     assert(bad.isEmpty, bad.mkString(","))
   }
+
+  test("mergeSliceIncrement: doc set is the union, existing rows always win") {
+    import org.apache.spark.sql.functions.col
+    val docIds: Gen[Set[Int]] =
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.choose(0, 30))).map(_.toSet)
+    for (seed <- 0 until 40) {
+      val Seq(exIds, frIds) = Seq(0, 1).map(k =>
+        samples(docIds, 1, 0xD0C5EED + seed * 2 + k).head)
+      // payload marks provenance: existing rows tagged "E", fresh "F"
+      val ex = exIds.toSeq.map(i => (s"d$i", "E")).toDF("doc_id", "src")
+      val fr = frIds.toSeq.map(i => (s"d$i", "F")).toDF("doc_id", "src")
+      val merged = Pipeline.mergeSliceIncrement(ex, fr)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val expected = exIds.map(i => (s"d$i", "E")) ++
+        (frIds -- exIds).map(i => (s"d$i", "F"))
+      assert(merged == expected, s"seed=$seed ex=$exIds fr=$frIds")
+    }
+  }
 }
