@@ -176,7 +176,10 @@ object Main {
       .collect().sortBy(_.getString(0))
       .map(r => s"""    "${r.getString(0)}": ${r.getLong(1)}""")
     val nDocs = result.docsOut.count()
-    val nEdges = spark.read.parquet(s"$outDir/edges").count()
+    // result.edges is the store's schema-fallback-safe read-back — a raw
+    // parquet read here would fail inference on an EMPTY partitioned
+    // edges stage (tiny corpus with no co-occurring argument pairs)
+    val nEdges = result.edges.count()
     val stats =
       s"""{
          |  "docs": $nDocs,

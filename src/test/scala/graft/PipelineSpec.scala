@@ -314,6 +314,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(meta.contains("\"rows\":500") && meta.contains("\"upstream\":[\"src\"]"), meta)
   }
 
+  test("runStageDF writes and resumes an EMPTY bucketed stage (zero part files)") {
+    val root = Files.createTempDirectory("graft-df-empty").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "e=1")
+    def empty = Seq.empty[(String, Long)].toDF("k", "v")
+    val r1 = store.runStageDF("e", bucketCol = Some("k"))(empty)
+    assert(r1.count() == 0 && r1.columns.toSeq == Seq("k", "v"))
+    // resume path: inference has zero files to read — schema falls back
+    // to the (planned, never executed) compute
+    val r2 = store.runStageDF("e", bucketCol = Some("k"))(empty)
+    assert(r2.count() == 0 && r2.columns.toSeq == Seq("k", "v"))
+  }
+
   test("compact preserves the bucketed layout of a keyed stage") {
     val root = Files.createTempDirectory("graft-compact-b").toString
     val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "c=2")
