@@ -66,20 +66,11 @@ final class CheckpointStore(root: String, spark: SparkSession,
   def runStage[T](stage: String, upstream: Seq[String] = Nil,
                   bucketCol: Option[String] = None, nBuckets: Int = 64)
                  (compute: => Dataset[T])(implicit enc: Encoder[T]): Dataset[T] = {
-    import org.apache.spark.sql.functions._
-    val withBucket = bucketCol.isDefined
     val storedSchema =
-      if (withBucket) enc.schema.add("_bucket", org.apache.spark.sql.types.LongType)
+      if (bucketCol.isDefined) enc.schema.add("_bucket", org.apache.spark.sql.types.LongType)
       else enc.schema
     if (!isComplete(stage)) {
-      val ds = compute
-      bucketCol match {
-        case Some(c) =>
-          ds.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
-            .write.mode("overwrite").partitionBy("_bucket").parquet(dataPath(stage))
-        case None =>
-          ds.write.mode("overwrite").parquet(dataPath(stage))
-      }
+      writeStage(compute.toDF(), stage, bucketCol, nBuckets)
       markComplete(stage, upstream, Some(storedSchema))
     }
     readStage(stage, Some(storedSchema)).drop("_bucket").as[T]
@@ -93,41 +84,45 @@ final class CheckpointStore(root: String, spark: SparkSession,
   def runStageDF(stage: String, upstream: Seq[String] = Nil,
                  bucketCol: Option[String] = None, nBuckets: Int = 64)
                 (compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
     lazy val computed = compute
     def stored = bucketCol match {
       case Some(_) => computed.schema.add("_bucket", org.apache.spark.sql.types.LongType)
       case None => computed.schema
     }
     if (!isComplete(stage)) {
-      bucketCol match {
-        case Some(c) =>
-          computed.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
-            .write.mode("overwrite").partitionBy("_bucket").parquet(dataPath(stage))
-        case None =>
-          computed.write.mode("overwrite").parquet(dataPath(stage))
-      }
+      writeStage(computed, stage, bucketCol, nBuckets)
       markComplete(stage, upstream, Some(stored))
     }
-    (try spark.read.parquet(dataPath(stage))
-     catch {
-       case e: org.apache.spark.sql.AnalysisException
-           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-         spark.read.schema(stored).parquet(dataPath(stage))
-     }).drop("_bucket")
+    readStage(stage, Some(stored)).drop("_bucket")
+  }
+
+  /** the ONE writer for stage data: plain parquet, or the explicit
+    * hash-bucket directory layout when `bucketCol` is set. */
+  private def writeStage(df: org.apache.spark.sql.DataFrame, stage: String,
+                         bucketCol: Option[String], nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    bucketCol match {
+      case Some(c) =>
+        df.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
+          .write.mode("overwrite").partitionBy("_bucket").parquet(dataPath(stage))
+      case None =>
+        df.write.mode("overwrite").parquet(dataPath(stage))
+    }
   }
 
   /** read a stage with INFERENCE first — a checkpoint written by an older
     * code version with a different schema must keep failing LOUDLY at
     * analysis (an explicit schema would silently null-fill missing
     * columns) — and fall back to the known schema only when inference has
-    * nothing to read (an EMPTY partitioned stage writes zero part files). */
+    * nothing to read (an EMPTY partitioned stage writes zero part files).
+    * `fallback` is by-name: runStageDF's fallback plans its compute, which
+    * must stay untouched on the inference happy path. */
   private def readStage(stage: String,
-                        fallback: Option[org.apache.spark.sql.types.StructType]) =
+                        fallback: => Option[org.apache.spark.sql.types.StructType]) =
     try spark.read.parquet(dataPath(stage))
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if fallback.isDefined && e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" && fallback.isDefined =>
         spark.read.schema(fallback.get).parquet(dataPath(stage))
     }
 
@@ -138,12 +133,13 @@ final class CheckpointStore(root: String, spark: SparkSession,
   def markComplete(stage: String, upstream: Seq[String],
                    schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val df = readStage(stage, schema)
-    // per-file lineage: row count per output file (parquet footer reads —
-    // no data scan)
+    // per-file lineage: row count per output file, ONE pass — the stage
+    // total is the sum of the per-file counts, not a second scan
     import org.apache.spark.sql.functions._
-    val perFile = df.groupBy(input_file_name().as("file")).count().collect()
-      .map(r => s"""{"file":${jstr(new Path(r.getString(0)).getName)},"rows":${r.getLong(1)}}""")
-    val total = df.count()
+    val perFileRows = df.groupBy(input_file_name().as("file")).count().collect()
+      .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+    val perFile = perFileRows.map { case (f, n) => s"""{"file":${jstr(f)},"rows":$n}""" }
+    val total = perFileRows.map(_._2).sum
     val meta =
       s"""{"stage":${jstr(stage)},"snapshot_id":${System.currentTimeMillis()},
          |"fingerprint":${jstr(fingerprint)},
