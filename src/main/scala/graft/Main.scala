@@ -26,7 +26,9 @@ import graft.sources.CorpusReaders
   *     [--export-jsonl]          canonical triples additionally as JSONL
   *                               (the reference's output wire format) \
   *     [--compact]               post-run small-file compaction of every
-  *                               completed stage (resume-safe)
+  *                               completed stage (resume-safe) \
+  *     [--skew-report]           materialize the predicate-key skew
+  *                               diagnostic (salt-factor tuning input)
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
@@ -40,7 +42,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl" | "--compact") =>
+        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl" | "--compact" | "--skew-report") =>
           m += flag.drop(2) -> "true"; i += 1
         case key if key.startsWith("--") && i + 1 < args.length =>
           m += key.drop(2) -> args(i + 1); i += 2
@@ -195,6 +197,13 @@ object Main {
     val os = fs.create(statsPath, true)
     os.write(stats.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     os.close()
+    if (opts.contains("skew-report")) {
+      // the pre-salting diagnostic over the edges shuffle key: run it
+      // here, on the corpus you're about to build edges for, BEFORE
+      // tuning entailmentEdges(saltBuckets=…) on a bigger one
+      graft.ops.SkewOps.keySkew(result.triples, "pred")
+        .write.mode("overwrite").parquet(s"$outDir/skew_report")
+    }
     if (opts.contains("compact")) {
       // post-run maintenance: rewrite accumulated small files in place
       // (rewrite_data_files analogue; resume fingerprints survive)

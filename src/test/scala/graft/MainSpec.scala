@@ -58,6 +58,20 @@ class MainSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$out/coref_triples").exists()) // flag off
   }
 
+  test("--skew-report materializes the predicate skew diagnostic") {
+    val out = Files.createTempDirectory("graft-main-skew").toString
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", out, "--skew-report"))
+    val rep = spark.read.parquet(s"$out/skew_report")
+    assert(rep.count() > 0)
+    assert(rep.columns.toSet ==
+      Set("key", "n_rows", "rank", "share_x10000", "mult_x1000", "is_hot"))
+    // ranks are 1..n heaviest-first
+    val ranked = rep.orderBy("rank").collect()
+    assert(ranked.head.getAs[Int]("rank") == 1)
+    assert(ranked.map(_.getAs[Long]("n_rows")).sliding(2).forall(
+      p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("--compact rewrites stage files post-run without breaking resume") {
     val out = Files.createTempDirectory("graft-main-compact").toString
     Main.main(Array("--reader", "synth", "--docs", "40", "--out", out))
