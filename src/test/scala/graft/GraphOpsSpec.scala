@@ -86,6 +86,19 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got.size == 4)
   }
 
+  test("entityPageRank is partition-invariant (integer sums have no order hazard)") {
+    val canonical = Seq(
+      ("甲", "乙"), ("乙", "丙"), ("丙", "丁"), ("甲", "丙"), ("戊", "己"),
+      ("乙", "丁"), ("甲", "乙"), ("丁", "戊")
+    ).toDF("subj_canonical", "obj_canonical")
+    val a = GraphOps.entityPageRank(canonical.repartition(1))
+      .as[(String, Long)].collect().toMap
+    val b = GraphOps.entityPageRank(canonical.repartition(7))
+      .as[(String, Long)].collect().toMap
+    assert(a == b, "ranks must not depend on partitioning")
+    assert(a.nonEmpty)
+  }
+
   test("keySkew measures survive petascale counts (no long overflow, exact floors)") {
     // 1000 * 1e10 * 1e6 = 1e19 overflows a long (9.22e18): the decimal
     // `div` path must still produce the exact integer floors
