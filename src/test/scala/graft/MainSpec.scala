@@ -72,6 +72,28 @@ class MainSpec extends SparkSpecBase {
       p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("all post-run flags compose in one submitted job") {
+    val out = Files.createTempDirectory("graft-main-all").toString
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", out,
+      "--coref", "--toy-sample", "--export-jsonl", "--skew-report", "--compact"))
+    for (dir <- Seq("canonical", "edges", "coref_triples", "toy_sample",
+                    "triples_jsonl", "skew_report"))
+      assert(new java.io.File(s"$out/$dir").exists(), s"missing $dir")
+    // compaction ran over the checkpointed stages only — the plain sinks
+    // (skew_report, toy_sample) have no lineage meta and are untouched
+    assert(new java.io.File(s"$out/stats.json").exists())
+    assert(spark.read.parquet(s"$out/canonical").count() > 0)
+  }
+
+  test("compact refuses a stage owned by different run parameters") {
+    val out = Files.createTempDirectory("graft-main-fpguard").toString
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", out))
+    val wrongStore = new graft.pipeline.CheckpointStore(out, spark,
+      fingerprint = "reader=synth,docs=999")
+    assert(wrongStore.completeStages.isEmpty)
+    intercept[IllegalArgumentException](wrongStore.compact("triples"))
+  }
+
   test("--compact rewrites stage files post-run without breaking resume") {
     val out = Files.createTempDirectory("graft-main-compact").toString
     Main.main(Array("--reader", "synth", "--docs", "40", "--out", out))
