@@ -151,6 +151,20 @@ object SparkEntry {
       graft.ops.GraphOps.coocComponents(
         Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
     }),
+    "kg_edges_incr" -> ((s, _) => {
+      // the incremental edge-maintenance path: the additive stage-1
+      // aggregates of two corpus slices folded together, then the
+      // (non-additive) cap/expansion re-derived — must equal the batch
+      // kg_edges exactly, so it SHARES kg_edges' oracle SQL
+      def canon(from: Long, until: Long) = Pipeline.canonicalize(
+        Pipeline.extractTriples(Pipeline.segmentDocs(
+          Pipeline.synthDocsRange(s, from, until))),
+        Pipeline.synthAliases(s))
+      Pipeline.edgesFromPairPred(
+        Pipeline.mergePairPred(
+          Pipeline.pairPredAggregate(canon(0, 250)),
+          Pipeline.pairPredAggregate(canon(250, VerifyDocs))))
+    }),
     "kg_entity_rank" -> ((s, _) => {
       // entity importance: fixed-point integer PageRank over the same
       // bounded co-occurrence graph as kg_cooc_components — pure BIGINT
@@ -354,6 +368,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     import graft.functions.PortableHash.{duckFamilyHashLong, duckMd5Long48, duckPlaneSign}
+    // shared by kg_edges and kg_edges_incr (incremental == batch is the
+    // contract). Pair orientation (pred_src < pred_dst) relies on
+    // BMP-only predicates, where DuckDB's UTF-8 byte order == JVM
+    // UTF-16 order
+    val kgEdgesSql =
+      """WITH pp AS (SELECT subj_canonical AS arg_s, obj_canonical AS arg_o, pred,
+        |    count(*) AS support
+        |  FROM read_parquet('__OUT__/kg_canonical/*.parquet')
+        |  WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |capped AS (SELECT arg_s, arg_o, pred, support FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY arg_s, arg_o
+        |                                 ORDER BY support DESC, pred) AS rk FROM pp)
+        |  WHERE rk <= 32),
+        |pairs AS (SELECT x.pred AS pred_src, y.pred AS pred_dst,
+        |    least(x.support, y.support) AS pw
+        |  FROM capped x JOIN capped y
+        |    ON x.arg_s = y.arg_s AND x.arg_o = y.arg_o AND x.pred < y.pred)
+        |SELECT pred_src, pred_dst, CAST(sum(pw) AS BIGINT) AS weight,
+        |  count(*) AS n_arg_pairs
+        |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
     val gramsCte =
@@ -628,25 +663,10 @@ object SparkEntry {
           |  sa.entity_id AS subj_entity_id, COALESCE(sa.canonical, t.subj) AS subj_canonical,
           |  oa.entity_id AS obj_entity_id, COALESCE(oa.canonical, t.obj) AS obj_canonical
           |FROM t LEFT JOIN a sa ON t.subj = sa.alias LEFT JOIN a oa ON t.obj = oa.alias""".stripMargin,
-      "kg_edges" ->
-        // pair orientation (pred_src < pred_dst) relies on BMP-only
-        // predicates, where DuckDB's UTF-8 byte order == JVM UTF-16 order
-        """WITH pp AS (SELECT subj_canonical AS arg_s, obj_canonical AS arg_o, pred,
-          |    count(*) AS support
-          |  FROM read_parquet('__OUT__/kg_canonical/*.parquet')
-          |  WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
-          |  GROUP BY 1, 2, 3),
-          |capped AS (SELECT arg_s, arg_o, pred, support FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY arg_s, arg_o
-          |                                 ORDER BY support DESC, pred) AS rk FROM pp)
-          |  WHERE rk <= 32),
-          |pairs AS (SELECT x.pred AS pred_src, y.pred AS pred_dst,
-          |    least(x.support, y.support) AS pw
-          |  FROM capped x JOIN capped y
-          |    ON x.arg_s = y.arg_s AND x.arg_o = y.arg_o AND x.pred < y.pred)
-          |SELECT pred_src, pred_dst, CAST(sum(pw) AS BIGINT) AS weight,
-          |  count(*) AS n_arg_pairs
-          |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin,
+      "kg_edges" -> kgEdgesSql,
+      // the incremental maintenance path must land on the IDENTICAL edge
+      // table — proven by sharing the batch oracle verbatim
+      "kg_edges_incr" -> kgEdgesSql,
       "kg_entity_rank" -> pageRankOracleSql,
       "kg_slice_merge" ->
         // idempotence IS the oracle: overlapping-slice merge must equal

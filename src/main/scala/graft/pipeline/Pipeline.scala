@@ -175,13 +175,39 @@ object Pipeline {
     * shuffle(groupBy pair+pred) → window(same partitioning) →
     * shuffle(groupBy src,dst). */
   def entailmentEdges(canonical: DataFrame, maxPredsPerPair: Int = 32,
-                      saltBuckets: Int = 8): DataFrame = {
-    val spark = canonical.sparkSession
-    import spark.implicits._
-    val pairPred = canonical
+                      saltBuckets: Int = 8): DataFrame =
+    edgesFromPairPred(pairPredAggregate(canonical), maxPredsPerPair, saltBuckets)
+
+  /** Stage 1 of the edge build: the (arg pair, pred) SUPPORT aggregate.
+    * This is the incrementally-maintainable half — supports are pure
+    * counts, so a new corpus slice's aggregate folds in by summation
+    * ([[mergePairPred]]) without rescanning the triple history. The
+    * top-k cap and pairwise expansion (stage 2) are NOT additive (a
+    * predicate can enter or leave a pair's top-k as supports grow), so
+    * they are always re-derived from the merged aggregate — which is
+    * triples-sized ÷ dedup factor, a tiny fraction of the corpus. */
+  def pairPredAggregate(canonical: DataFrame): DataFrame =
+    canonical
       .filter(col("subj_canonical").isNotNull && col("obj_canonical").isNotNull)
       .groupBy(col("subj_canonical").as("arg_s"), col("obj_canonical").as("arg_o"), col("pred"))
       .agg(count(lit(1)).as("support"))
+
+  /** fold a NEW slice's pair-pred aggregate into the maintained one
+    * (plain additive merge: one shuffle over the two aggregates). The
+    * delta must come from NEW docs only — overlap handling is upstream
+    * ([[mergeSliceIncrement]]). */
+  def mergePairPred(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.unionByName(delta)
+      .groupBy(col("arg_s"), col("arg_o"), col("pred"))
+      .agg(sum(col("support")).as("support"))
+
+  /** Stage 2 of the edge build: deterministic top-k cap per argument
+    * pair (salted two-phase under skew) + local pairwise expansion +
+    * final edge aggregation. See [[entailmentEdges]] for the plan notes. */
+  def edgesFromPairPred(pairPred: DataFrame, maxPredsPerPair: Int = 32,
+                        saltBuckets: Int = 8): DataFrame = {
+    val spark = pairPred.sparkSession
+    import spark.implicits._
     // top-k predicates per argument pair. saltBuckets > 1 selects the
     // salted two-phase variant for skewed corpora: phase 1 takes top-k
     // within (pair, hash(pred) % S) — bounding any single window

@@ -273,6 +273,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(dup.collect().toSet == full && dup.count() == full.size)
   }
 
+  test("incremental edge maintenance equals the batch edge build exactly") {
+    def canon(from: Long, until: Long) = Pipeline.canonicalize(
+      Pipeline.extractTriples(Pipeline.segmentDocs(
+        Pipeline.synthDocsRange(spark, from, until))),
+      Pipeline.synthAliases(spark))
+    val batch = Pipeline.entailmentEdges(canon(0, 80)).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // maintain stage 1 additively across two slices, re-derive stage 2
+    val incr = Pipeline.edgesFromPairPred(
+      Pipeline.mergePairPred(
+        Pipeline.pairPredAggregate(canon(0, 50)),
+        Pipeline.pairPredAggregate(canon(50, 80))))
+    assert(incr.collect().map(_.toSeq).toSet == batch)
+    // three-way fold too (merge is associative)
+    val incr3 = Pipeline.edgesFromPairPred(
+      Pipeline.mergePairPred(
+        Pipeline.mergePairPred(
+          Pipeline.pairPredAggregate(canon(0, 30)),
+          Pipeline.pairPredAggregate(canon(30, 50))),
+        Pipeline.pairPredAggregate(canon(50, 80))))
+    assert(incr3.collect().map(_.toSeq).toSet == batch)
+  }
+
   test("slice merge accepts a bucketed checkpoint read as the existing store") {
     val root = Files.createTempDirectory("graft-merge-ckpt").toString
     val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "m=1")
