@@ -79,9 +79,17 @@ object Bench {
       } else if (p.exitValue() != 0) None
       else {
         reader.join(5000)
-        val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
-        """"sents_per_sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq.lastOption
-          .map(_.group(1).toDouble).filter(_ > 0)
+        if (reader.isAlive) {
+          // the reader thread is still draining (or wedged) — parsing the
+          // buffer now would race a concurrent write; degrade to a failed
+          // trial instead of reading a torn/partial buffer
+          System.err.println("[bench] scaling child output not quiesced after 5s — trial skipped")
+          None
+        } else {
+          val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+          """"sents_per_sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq.lastOption
+            .map(_.group(1).toDouble).filter(_ > 0)
+        }
       }
     }
     // both configurations are measured as peak sustained throughput over

@@ -59,9 +59,18 @@ object Main {
     * listing, or a `.parquet` suffix, selects parquet; otherwise JSONL.
     * An EMPTY dictionary fails loudly — it always means a wrong path or
     * wrong column names, and running entity linking with zero aliases
-    * would silently produce an unlinked graph. */
+    * would silently produce an unlinked graph.
+    *
+    * DUPLICATE alias surfaces (one surface → several entities is the norm
+    * in real entity-link dictionaries) are resolved here to ONE row per
+    * surface by the min (entity_id, canonical) rule — the SAME rule
+    * `Mentions.detectJoin` applies — so `Pipeline.canonicalize`'s
+    * left-joins stay row-preserving (a duplicated surface would otherwise
+    * silently multiply every matching triple) and mention detection and
+    * canonicalization agree on which entity a surface links to. */
   private def readAliases(spark: SparkSession, path: String): Dataset[graft.model.AliasRow] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min, struct}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("alias", StringType), StructField("entity_id", StringType),
@@ -75,6 +84,11 @@ object Main {
              else spark.read.schema(schema).json(path)
     val aliases = df.na.drop(Seq("alias", "entity_id"))
       .na.fill("", Seq("canonical"))
+      // struct min = lexicographic (entity_id, canonical) — detectJoin's rule
+      .groupBy(col("alias"))
+      .agg(min(struct(col("entity_id"), col("canonical"))).as("m"))
+      .select(col("alias"), col("m.entity_id").as("entity_id"),
+              col("m.canonical").as("canonical"))
       .as[graft.model.AliasRow]
     require(!aliases.isEmpty,
       s"--aliases $path yielded an EMPTY dictionary — wrong path or wrong " +

@@ -174,6 +174,20 @@ object SparkEntry {
       graft.ops.GraphOps.entityPageRank(
         Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
     }),
+    "kg_entity_rank_full" -> ((s, _) => {
+      // the UNCAPPED full-graph route: PageRank over EVERY co-occurrence
+      // edge with support ≥ 2 (weight-threshold edge derivation — no
+      // global top-K, no sort/limit in the plan; PlanQualitySpec gates it)
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      graft.ops.GraphOps.entityPageRankFull(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
+    }),
+    "kg_cooc_full" -> ((s, _) => {
+      // connected components over the SAME uncapped threshold graph
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      graft.ops.GraphOps.coocComponentsFull(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
+    }),
     "kg_rel_totals" -> ((s, _) =>
       // the merge-stage global stats (reference merge_parsed_results.py:60-74)
       Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
@@ -338,21 +352,29 @@ object SparkEntry {
     * kg_triples, kg_coref, mm_media_features) stay oracle-less — those
     * are differentially verified against the reference implementation
     * itself (DifferentialSpec and friends). */
-  /** the kg_entity_rank oracle: the same bounded co-occurrence edge set
-    * as kg_cooc_components, then PageRank's 10 power iterations UNROLLED
-    * as a chain of plain GROUP BY CTEs (aggregation is illegal in a
-    * recursive CTE term) — legal everywhere, and bit-exact because the
-    * op is pure BIGINT fixed-point arithmetic. */
-  private def pageRankOracleSql: String = {
+  /** the co-occurrence edge-derivation CTEs shared by every graph oracle:
+    * `ew` is the full weighted pair table; `top` selects either the
+    * global top-2000 (the capped contract) or everything over a support
+    * floor (the uncapped contract) depending on `topSelect`. */
+  private val CoocTop2000 =
+    "SELECT ent_a, ent_b FROM ew ORDER BY n_cooc DESC, ent_a, ent_b LIMIT 2000"
+  private val CoocThreshold2 = "SELECT ent_a, ent_b FROM ew WHERE n_cooc >= 2"
+
+  /** the kg_entity_rank / kg_entity_rank_full oracle: the co-occurrence
+    * edge set selected by `topSelect`, then PageRank's 10 power
+    * iterations UNROLLED as a chain of plain GROUP BY CTEs (aggregation
+    * is illegal in a recursive CTE term) — legal everywhere, and
+    * bit-exact because the op is pure BIGINT fixed-point arithmetic. */
+  private def pageRankOracleSql(topSelect: String): String = {
     val base =
-      """WITH c AS (SELECT subj_canonical, obj_canonical
+      s"""WITH c AS (SELECT subj_canonical, obj_canonical
         |    FROM read_parquet('__OUT__/kg_canonical/*.parquet')
         |    WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
         |      AND subj_canonical <> obj_canonical),
         |ew AS (SELECT least(subj_canonical, obj_canonical) AS ent_a,
         |       greatest(subj_canonical, obj_canonical) AS ent_b, count(*) AS n_cooc
         |  FROM c GROUP BY 1, 2),
-        |top AS (SELECT ent_a, ent_b FROM ew ORDER BY n_cooc DESC, ent_a, ent_b LIMIT 2000),
+        |top AS ($topSelect),
         |edges AS (SELECT ent_a AS u, ent_b AS v FROM top
         |          UNION ALL SELECT ent_b, ent_a FROM top),
         |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
@@ -365,6 +387,28 @@ object SparkEntry {
     }.mkString(",\n")
     s"$base,\n$its\nSELECT node AS entity, pr AS rank_x1e9 FROM it10"
   }
+
+  /** the kg_cooc_components / kg_cooc_full oracle: recursive reachability
+    * walk + min label over the `topSelect`-derived edge set. */
+  private def coocComponentsOracleSql(topSelect: String): String =
+    s"""WITH RECURSIVE c AS (SELECT subj_canonical, obj_canonical
+       |    FROM read_parquet('__OUT__/kg_canonical/*.parquet')
+       |    WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
+       |      AND subj_canonical <> obj_canonical),
+       |ew AS (SELECT least(subj_canonical, obj_canonical) AS ent_a,
+       |       greatest(subj_canonical, obj_canonical) AS ent_b, count(*) AS n_cooc
+       |  FROM c GROUP BY 1, 2),
+       |top AS ($topSelect),
+       |edges AS (SELECT ent_a AS u, ent_b AS v FROM top
+       |          UNION ALL SELECT ent_b, ent_a FROM top),
+       |walk AS (
+       |  SELECT u AS node, v AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
+       |)
+       |SELECT node AS entity, least(node, min(reach)) AS component_id,
+       |  (node = least(node, min(reach))) AS is_root
+       |FROM walk GROUP BY node""".stripMargin
 
   def oracleSql: Map[String, String] = {
     import graft.functions.PortableHash.{duckFamilyHashLong, duckMd5Long48, duckPlaneSign}
@@ -667,7 +711,8 @@ object SparkEntry {
       // the incremental maintenance path must land on the IDENTICAL edge
       // table — proven by sharing the batch oracle verbatim
       "kg_edges_incr" -> kgEdgesSql,
-      "kg_entity_rank" -> pageRankOracleSql,
+      "kg_entity_rank" -> pageRankOracleSql(CoocTop2000),
+      "kg_entity_rank_full" -> pageRankOracleSql(CoocThreshold2),
       "kg_slice_merge" ->
         // idempotence IS the oracle: overlapping-slice merge must equal
         // the one-shot 400-doc extraction exactly (rows+schema+hash)
@@ -687,29 +732,13 @@ object SparkEntry {
           |  CAST((1000 * CAST(n_rows AS HUGEINT) * n_keys) // total AS BIGINT) AS mult_x1000,
           |  (1000 * CAST(n_rows AS HUGEINT) * n_keys > 8000 * CAST(total AS HUGEINT)) AS is_hot
           |FROM top, t""".stripMargin,
-      "kg_cooc_components" ->
-        // same recursive reachability walk as dedup_clusters, over the
-        // top-2000 strongest co-occurrence edges; least/greatest and min
-        // are binary UTF-8 string order in BOTH engines (Spark compares
-        // UTF8String bytes), so component ids agree exactly
-        """WITH RECURSIVE c AS (SELECT subj_canonical, obj_canonical
-          |    FROM read_parquet('__OUT__/kg_canonical/*.parquet')
-          |    WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
-          |      AND subj_canonical <> obj_canonical),
-          |ew AS (SELECT least(subj_canonical, obj_canonical) AS ent_a,
-          |       greatest(subj_canonical, obj_canonical) AS ent_b, count(*) AS n_cooc
-          |  FROM c GROUP BY 1, 2),
-          |top AS (SELECT ent_a, ent_b FROM ew ORDER BY n_cooc DESC, ent_a, ent_b LIMIT 2000),
-          |edges AS (SELECT ent_a AS u, ent_b AS v FROM top
-          |          UNION ALL SELECT ent_b, ent_a FROM top),
-          |walk AS (
-          |  SELECT u AS node, v AS reach FROM edges
-          |  UNION
-          |  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
-          |)
-          |SELECT node AS entity, least(node, min(reach)) AS component_id,
-          |  (node = least(node, min(reach))) AS is_root
-          |FROM walk GROUP BY node""".stripMargin,
+      // same recursive reachability walk as dedup_clusters, over either
+      // the top-2000 strongest co-occurrence edges (capped contract) or
+      // every support-≥2 edge (uncapped); least/greatest and min are
+      // binary UTF-8 string order in BOTH engines (Spark compares
+      // UTF8String bytes), so component ids agree exactly
+      "kg_cooc_components" -> coocComponentsOracleSql(CoocTop2000),
+      "kg_cooc_full" -> coocComponentsOracleSql(CoocThreshold2),
       "kg_toy_sample" ->
         s"""SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')
            |WHERE $sampleFilter""".stripMargin,

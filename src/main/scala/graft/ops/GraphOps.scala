@@ -21,23 +21,27 @@ object GraphOps {
     * column type's ordering).
     *
     * `pairs` carries one row per undirected edge in columns (u, v);
-    * symmetrization happens inside. Every round each node takes the min
-    * of its neighbors' labels, then adopts its (new) label's own label —
-    * label information travels multiplicatively, so rounds scale with
-    * log(diameter), not diameter (the pointer-jumping half of
-    * large-star/small-star). Per round: 3 bounded shuffles, ONE eager
-    * localCheckpoint (lineage truncation; superseded round checkpoints
-    * are dereferenced and freed by Spark's ContextCleaner), one cheap
-    * convergence probe over the cached result. FAILS LOUDLY if not
+    * symmetrization happens inside — the INPUT plan is checkpointed FIRST
+    * and the reversed direction derived from the checkpoint, so an
+    * expensive upstream pair generator (shingle hashing, LSH banding)
+    * runs exactly once, not once per union branch. Every round each node
+    * takes the min of its neighbors' labels, then adopts its (new)
+    * label's own label — label information travels multiplicatively, so
+    * rounds scale with log(diameter), not diameter (the pointer-jumping
+    * half of large-star/small-star). Per round: 3 bounded shuffles and
+    * ONE eager job — the round result is marked for LAZY local
+    * checkpointing (lineage truncation; superseded round checkpoints are
+    * dereferenced and freed by Spark's ContextCleaner) and the action
+    * that materializes it IS the convergence probe (count of decreased
+    * labels), so there is no separate probe job. FAILS LOUDLY if not
     * converged within `maxIters` (a silent cap would emit wrong
     * components); no cartesian, no driver-side graph.
     *
     * Output: (node, component_id, is_root) — node's type preserved.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("u"), col("v"))
-      .union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val p0 = pairs.select(col("u"), col("v")).localCheckpoint()
+    val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
@@ -54,11 +58,14 @@ object GraphOps {
       // pointer jump: label values are themselves node ids in this table,
       // so each node can adopt its label's label within the same round
       val s2 = stepped.select(col("node").as("j_node"), col("mid").as("j_lbl"))
+      // LAZY checkpoint: the convergence count below is the first action,
+      // so one job both materializes the round's partitions (cached by the
+      // local-checkpoint mechanism) and answers "any label decreased?"
       val jumped = stepped.join(s2, stepped("mid") === s2("j_node"), "left")
         .select(stepped("node"), stepped("lbl"),
                 least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl2"))
-        .localCheckpoint()
-      converged = jumped.filter(col("lbl2") < col("lbl")).isEmpty
+        .localCheckpoint(false)
+      converged = jumped.filter(col("lbl2") < col("lbl")).count() == 0
       labels = jumped.select(col("node"), col("lbl2").as("lbl"))
       it += 1
     }
@@ -90,13 +97,45 @@ object GraphOps {
       .orderBy(desc("n_cooc"), col("ent_a"), col("ent_b"))
       .limit(topK)
 
+  /** Entity co-occurrence edges bounded by a WEIGHT THRESHOLD instead of
+    * a global top-K: every pair co-occurring at least `minCooc` times.
+    * This is the UNCAPPED-coverage alternative to [[coocEdges]] for a
+    * consumer that needs the whole graph above a support floor (top-K
+    * keeps the K strongest edges globally; a threshold keeps every edge
+    * that clears the bar, however many). The plan is one aggregation plus
+    * a post-aggregation filter — NO global sort, NO limit appears
+    * anywhere (gated in PlanQualitySpec), so it scales like any groupBy:
+    * the output is bounded by the support floor, not by a constant.
+    * Pick `minCooc` from a [[SkewOps.keySkew]]-style support histogram —
+    * at 100 TB, minCooc=1 would keep every hapax pair (the full quadratic
+    * fringe); real corpora concentrate mass, so a small floor drops the
+    * overwhelmingly-singleton tail while keeping ALL repeated structure. */
+  def coocEdgesByThreshold(canonical: DataFrame, minCooc: Long = 2): DataFrame =
+    canonical
+      .filter(col("subj_canonical").isNotNull && col("obj_canonical").isNotNull &&
+              col("subj_canonical") =!= col("obj_canonical"))
+      .select(least(col("subj_canonical"), col("obj_canonical")).as("ent_a"),
+              greatest(col("subj_canonical"), col("obj_canonical")).as("ent_b"))
+      .groupBy(col("ent_a"), col("ent_b"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCooc)
+
   /** Components of the strongest-co-occurrence entity graph:
     * (entity, component_id, is_root), component id = min entity name. */
   def coocComponents(canonical: DataFrame, topK: Int = 2000,
                      maxIters: Int = 20): DataFrame =
+    componentsOnEdges(coocEdges(canonical, topK), maxIters)
+
+  /** [[coocComponents]] over the UNCAPPED weight-threshold graph
+    * ([[coocEdgesByThreshold]]): full coverage above the support floor,
+    * same pointer-jumped CC core, no global sort in the edge derivation. */
+  def coocComponentsFull(canonical: DataFrame, minCooc: Long = 2,
+                         maxIters: Int = 20): DataFrame =
+    componentsOnEdges(coocEdgesByThreshold(canonical, minCooc), maxIters)
+
+  private def componentsOnEdges(edges: DataFrame, maxIters: Int): DataFrame =
     connectedComponents(
-      coocEdges(canonical, topK).select(col("ent_a").as("u"), col("ent_b").as("v")),
-      maxIters)
+      edges.select(col("ent_a").as("u"), col("ent_b").as("v")), maxIters)
       .select(col("node").as("entity"), col("component_id"), col("is_root"))
 
   /** Entity importance: PageRank over the strongest-co-occurrence graph
@@ -110,8 +149,20 @@ object GraphOps {
     * against the (bounded, top-K) edge set + one aggregation, lineage
     * truncated per round like [[connectedComponents]]. */
   def entityPageRank(canonical: DataFrame, topK: Int = 2000,
-                     iters: Int = 10): DataFrame = {
-    val e0 = coocEdges(canonical, topK)
+                     iters: Int = 10): DataFrame =
+    pageRankOnEdges(coocEdges(canonical, topK), iters)
+
+  /** [[entityPageRank]] over the UNCAPPED weight-threshold graph
+    * ([[coocEdgesByThreshold]]) — the documented route for ranking the
+    * ENTIRE entailment-relevant co-occurrence graph, not just the K
+    * strongest edges. Same fixed-point BIGINT arithmetic (bit-exactly
+    * reproducible), same per-iteration join+agg shape; the edge set is
+    * bounded by the support floor instead of a constant. */
+  def entityPageRankFull(canonical: DataFrame, minCooc: Long = 2,
+                         iters: Int = 10): DataFrame =
+    pageRankOnEdges(coocEdgesByThreshold(canonical, minCooc), iters)
+
+  private def pageRankOnEdges(e0: DataFrame, iters: Int): DataFrame = {
     val edges = e0.select(col("ent_a").as("u"), col("ent_b").as("v"))
       .union(e0.select(col("ent_b").as("u"), col("ent_a").as("v")))
     val withDeg = edges

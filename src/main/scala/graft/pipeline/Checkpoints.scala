@@ -119,12 +119,24 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * must stay untouched on the inference happy path. */
   private def readStage(stage: String,
                         fallback: => Option[org.apache.spark.sql.types.StructType]) =
-    try spark.read.parquet(dataPath(stage))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" && fallback.isDefined =>
-        spark.read.schema(fallback.get).parquet(dataPath(stage))
-    }
+    // an EMPTY partitioned stage writes zero part files: probe for that
+    // explicitly (version-independent) instead of keying only off the
+    // AnalysisException condition string — a Spark build that reports a
+    // different condition must not break the empty-stage resume path
+    if (fallback.isDefined && fs.exists(new Path(dataPath(stage))) &&
+        listDataFiles(stage).isEmpty)
+      spark.read.schema(fallback.get).parquet(dataPath(stage))
+    else
+      try spark.read.parquet(dataPath(stage))
+      catch {
+        // belt for listings that race the probe; match the modern error
+        // condition AND the legacy message text
+        case e: org.apache.spark.sql.AnalysisException
+            if fallback.isDefined &&
+               (e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+                e.getMessage.contains("Unable to infer schema")) =>
+          spark.read.schema(fallback.get).parquet(dataPath(stage))
+      }
 
   /** write the completion meta for a stage whose data was persisted by the
     * caller (DataFrame stages that don't go through runStage). `schema`

@@ -65,6 +65,54 @@ class GraphOpsSpec extends SparkSpecBase {
       ("丁", minB, "丁" == minB), ("戊", minB, "戊" == minB)))
   }
 
+  test("coocEdgesByThreshold keeps every edge over the floor, drops the rest") {
+    val canonical = Seq(
+      ("A", "B"), ("B", "A"), ("A", "B"),   // weight 3
+      ("B", "C"), ("C", "D"), ("C", "D"),   // weights 1, 2
+      (null, "F"), ("F", null)
+    ).toDF("subj_canonical", "obj_canonical")
+    val got = GraphOps.coocEdgesByThreshold(canonical, minCooc = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("A", "B", 3L), ("C", "D", 2L)))
+    // floor 1 = the whole graph — same edge set as an uncapped top-K
+    val all = GraphOps.coocEdgesByThreshold(canonical, minCooc = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(all == GraphOps.coocEdges(canonical, topK = 100)
+      .as[(String, String, Long)].collect().toSet)
+  }
+
+  test("full-graph components/pagerank == capped variants when nothing is capped") {
+    val canonical = Seq(
+      ("甲", "乙"), ("甲", "乙"), ("乙", "丙"), ("乙", "丙"), ("丁", "戊"), ("丁", "戊")
+    ).toDF("subj_canonical", "obj_canonical")
+    val full = GraphOps.coocComponentsFull(canonical, minCooc = 2)
+      .as[(String, String, Boolean)].collect().toSet
+    val capped = GraphOps.coocComponents(canonical)
+      .as[(String, String, Boolean)].collect().toSet
+    assert(full == capped)
+    val rFull = GraphOps.entityPageRankFull(canonical, minCooc = 2)
+      .as[(String, Long)].collect().toMap
+    val rCapped = GraphOps.entityPageRank(canonical)
+      .as[(String, Long)].collect().toMap
+    assert(rFull == rCapped)
+  }
+
+  test("full-graph variants cover edges the top-K cap would drop") {
+    // 3 strong pairs + K=2 cap: the capped graph loses pair (c1,c2); the
+    // threshold graph keeps it
+    val canonical = Seq(
+      ("a1", "a2"), ("a1", "a2"), ("a1", "a2"),
+      ("b1", "b2"), ("b1", "b2"), ("b1", "b2"),
+      ("c1", "c2"), ("c1", "c2")
+    ).toDF("subj_canonical", "obj_canonical")
+    val capped = GraphOps.coocComponents(canonical, topK = 2)
+      .as[(String, String, Boolean)].collect().map(_._1).toSet
+    val full = GraphOps.coocComponentsFull(canonical, minCooc = 2)
+      .as[(String, String, Boolean)].collect().map(_._1).toSet
+    assert(!capped.contains("c1") && full.contains("c1"))
+    assert(full == Set("a1", "a2", "b1", "b2", "c1", "c2"))
+  }
+
   test("entityPageRank: a ring is an exact fixed point at 10^9") {
     // cycle A-B-C-D: every node degree 2, contribution pr/2 from two
     // neighbors → 150000000 + (850 * pr) div 1000 == pr exactly at 10^9

@@ -133,9 +133,48 @@ class MainSpec extends SparkSpecBase {
     val mentions = spark.read.parquet(s"$out/mentions")
     assert(mentions.filter(org.apache.spark.sql.functions.col("entity_id") === "U001").count() > 0,
            s"user dict not applied (surface=$surface)")
+    // the chosen surface occurs in the doc text (persons head synth
+    // sentences, so it lands in an argument slot) — the user dictionary
+    // must actually flow into canonicalization, not just mentions
     val canon = spark.read.parquet(s"$out/canonical")
     assert(canon.filter(org.apache.spark.sql.functions.col("subj_entity_id") === "U001" ||
-                        org.apache.spark.sql.functions.col("obj_entity_id") === "U001").count() >= 0)
+                        org.apache.spark.sql.functions.col("obj_entity_id") === "U001").count() > 0,
+           s"user dict not applied to canonicalization (surface=$surface)")
+  }
+
+  test("duplicate alias surfaces dedup to the min (entity_id, canonical) row") {
+    val mapper = new ObjectMapper()
+    val text = graft.synth.SynthDocs.genDoc(0L).spans
+      .filter(_.kind == "text").map(_.text).mkString
+    val surface = graft.synth.Templates.persons.find(text.contains)
+      .getOrElse(fail(s"no person surface in $text"))
+    val in = writeWebhose(Seq(
+      s"""{"uuid":"a1","title":"","text":${mapper.writeValueAsString(text)}}"""))
+    val sj = mapper.writeValueAsString(surface)
+    // the same surface mapped to TWO entities — the real-dictionary norm;
+    // the min (entity_id, canonical) row must win, detectJoin's rule
+    val dictDir = Files.createTempDirectory("graft-dup-dict").toString
+    Files.write(Paths.get(s"$dictDir/d.jsonl"), Seq(
+      s"""{"alias":$sj,"entity_id":"U900","canonical":"后者"}""",
+      s"""{"alias":$sj,"entity_id":"U100","canonical":"前者"}""").mkString("\n")
+        .getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft-main-dup").toString
+    Main.main(Array("--reader", "webhose", "--input", in, "--out", out,
+                    "--aliases", dictDir, "--mentions"))
+    import org.apache.spark.sql.functions.col
+    // mentions link only to the min entity
+    val ments = spark.read.parquet(s"$out/mentions")
+      .filter(col("mention") === surface)
+    assert(ments.count() > 0)
+    assert(ments.select("entity_id").distinct().collect().map(_.getString(0)).toSet
+           == Set("U100"))
+    // canonicalize stayed row-preserving: one canonical row per triple —
+    // a duplicated surface must not multiply matching triples
+    assert(spark.read.parquet(s"$out/canonical").count() ==
+           spark.read.parquet(s"$out/triples").count())
+    assert(spark.read.parquet(s"$out/canonical")
+      .filter(col("subj_entity_id") === "U900" || col("obj_entity_id") === "U900")
+      .count() == 0)
   }
 
   test("argument errors are loud") {

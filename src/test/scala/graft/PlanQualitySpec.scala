@@ -167,6 +167,21 @@ class PlanQualitySpec extends SparkSpecBase {
            s"coocEdges lost the top-K heap:\n$coocPlan")
   }
 
+  test("threshold edge derivation has NO sort and NO limit (uncapped contract)") {
+    // coocEdgesByThreshold is the full-graph route: one aggregation + a
+    // post-agg filter — a Sort/TakeOrdered/CollectLimit here would mean
+    // the "uncapped" path silently reintroduced a global ordering step
+    val full = graft.ops.GraphOps.coocEdgesByThreshold(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("string").as("subj_canonical"),
+                col("lang").as("obj_canonical")))
+    val plan = executed(full)
+    assert(!plan.contains("Sort") && !plan.contains("TakeOrdered") &&
+           !plan.contains("CollectLimit"),
+           s"threshold edge derivation grew a sort/limit:\n$plan")
+    assert(shuffles(full) == 1, s"expected exactly the groupBy exchange:\n$plan")
+  }
+
   test("relational aggregation is whole-stage codegen'd") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
