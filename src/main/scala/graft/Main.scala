@@ -28,7 +28,15 @@ import graft.sources.CorpusReaders
   *     [--compact]               post-run small-file compaction of every
   *                               completed stage (resume-safe) \
   *     [--skew-report]           materialize the predicate-key skew
-  *                               diagnostic (salt-factor tuning input)
+  *                               diagnostic (salt-factor tuning input) \
+  *     [--incremental]           treat --out as an EXISTING run root and
+  *                               FOLD the new input into it: doc-granular
+  *                               append to triples/canonical, additive
+  *                               pairpred merge, edge re-derivation —
+  *                               never re-extracts history \
+  *     [--docs-from N]           with --reader synth: generate the id
+  *                               range [N, --docs) — explicit corpus
+  *                               slices for the incremental path
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
@@ -42,7 +50,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl" | "--compact" | "--skew-report") =>
+        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl" | "--compact" | "--skew-report" | "--incremental") =>
           m += flag.drop(2) -> "true"; i += 1
         case key if key.startsWith("--") && i + 1 < args.length =>
           m += key.drop(2) -> args(i + 1); i += 2
@@ -96,6 +104,31 @@ object Main {
     aliases
   }
 
+  /** the reference's merge-stage global stats file
+    * (merge_parsed_results.py:60-74): docs, edges, per-list triple totals.
+    * hadoop FS, not java.nio — --out may be an HDFS/object-store path. */
+  private def writeStats(spark: SparkSession, outDir: String, nDocs: Long,
+                         nEdges: Long,
+                         triples: org.apache.spark.sql.DataFrame): Unit = {
+    val totals = triples.groupBy("rel_list").count()
+      .collect().sortBy(_.getString(0))
+      .map(r => s"""    "${r.getString(0)}": ${r.getLong(1)}""")
+    val stats =
+      s"""{
+         |  "docs": $nDocs,
+         |  "edges": $nEdges,
+         |  "rel_totals": {
+         |${totals.mkString(",\n")}
+         |  }
+         |}
+         |""".stripMargin
+    val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/stats.json")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(statsPath, true)
+    os.write(stats.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = parse(args)
     val reader = opts.getOrElse("reader",
@@ -123,7 +156,11 @@ object Main {
       reader match {
         case "synth" =>
           val n = opts.getOrElse("docs", "1000").toLong
-          (Pipeline.synthDocs(spark, n), s"reader=synth,docs=$n", None)
+          // --docs-from gives the synth reader explicit id-range SLICES
+          // (the incremental-fold test surface: overlapping re-submission)
+          val from = opts.getOrElse("docs-from", "0").toLong
+          val fp = s"reader=synth,docs=$n" + (if (from != 0) s",from=$from" else "")
+          (Pipeline.synthDocsRange(spark, from, n), fp, None)
         case "docs-json" =>
           (Pipeline.readDocsJson(spark, input), s"reader=docs-json,input=$input", None)
         case kind =>
@@ -153,6 +190,29 @@ object Main {
       .getOrElse(Pipeline.synthAliases(spark))
 
     val fullFp = s"$fingerprint,aliases=${opts.getOrElse("aliases", "synth")}"
+
+    if (opts.contains("incremental")) {
+      // fold the fresh slice into an EXISTING run root (doc-granular
+      // append + additive pairpred merge + edge re-derivation) — the
+      // run-book surface of kg_slice_merge / kg_edges_incr. The extra
+      // sinks operate per-slice and don't compose with a fold; keep the
+      // contract narrow and loud.
+      require(!opts.contains("coref") && !opts.contains("mentions") &&
+              !opts.contains("nerpos") && !opts.contains("toy-sample"),
+        "--incremental maintains the core triples/canonical/pairpred/edges " +
+          "stores only; run --coref/--mentions/--nerpos/--toy-sample as " +
+          "one-shot jobs")
+      val res = Pipeline.incrementalFold(spark, outDir, docs,
+        fingerprint = s"$fullFp,incremental", aliases = Some(aliases))
+      readerOut.foreach(_.uncache())
+      writeStats(spark, outDir,
+        nDocs = res.triples.select("doc_id").distinct().count(),
+        nEdges = res.edges.count(), triples = res.triples)
+      println(s"[graft] incremental fold complete: ${res.newDocs} new docs -> $outDir (stats.json refreshed)")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+
     val result = Pipeline.runFromDocs(spark, outDir, docs, fullFp,
       aliases = Some(aliases), withCoref = opts.contains("coref"))
     readerOut.foreach(_.uncache())
@@ -188,29 +248,12 @@ object Main {
     }
 
     // the reference's merge-stage global stats (merge_parsed_results.py:60-74)
-    val totals = result.triples.groupBy("rel_list").count()
-      .collect().sortBy(_.getString(0))
-      .map(r => s"""    "${r.getString(0)}": ${r.getLong(1)}""")
     val nDocs = result.docsOut.count()
     // result.edges is the store's schema-fallback-safe read-back — a raw
     // parquet read here would fail inference on an EMPTY partitioned
     // edges stage (tiny corpus with no co-occurring argument pairs)
-    val nEdges = result.edges.count()
-    val stats =
-      s"""{
-         |  "docs": $nDocs,
-         |  "edges": $nEdges,
-         |  "rel_totals": {
-         |${totals.mkString(",\n")}
-         |  }
-         |}
-         |""".stripMargin
-    // hadoop FS, not java.nio — --out may be an HDFS/object-store path
-    val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/stats.json")
-    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(statsPath, true)
-    os.write(stats.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    os.close()
+    writeStats(spark, outDir, nDocs, nEdges = result.edges.count(),
+               triples = result.triples)
     if (opts.contains("skew-report")) {
       // the pre-salting diagnostic over the edges shuffle key: run it
       // here, on the corpus you're about to build edges for, BEFORE

@@ -99,15 +99,44 @@ final class CheckpointStore(root: String, spark: SparkSession,
   /** the ONE writer for stage data: plain parquet, or the explicit
     * hash-bucket directory layout when `bucketCol` is set. */
   private def writeStage(df: org.apache.spark.sql.DataFrame, stage: String,
-                         bucketCol: Option[String], nBuckets: Int): Unit = {
-    import org.apache.spark.sql.functions._
+                         bucketCol: Option[String], nBuckets: Int): Unit =
+    writeStageMode(df, stage, bucketCol, nBuckets, "overwrite")
+
+  private def writeStageMode(df: org.apache.spark.sql.DataFrame, stage: String,
+                             bucketCol: Option[String], nBuckets: Int,
+                             saveMode: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     bucketCol match {
       case Some(c) =>
         df.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
-          .write.mode("overwrite").partitionBy("_bucket").parquet(dataPath(stage))
+          .write.mode(saveMode).partitionBy("_bucket").parquet(dataPath(stage))
       case None =>
-        df.write.mode("overwrite").parquet(dataPath(stage))
+        df.write.mode(saveMode).parquet(dataPath(stage))
     }
+  }
+
+  /** APPEND rows into an existing bucketed stage — the incremental-
+    * maintenance write (Iceberg analogue: `writeTo(table).append()`).
+    * New files land in the same `_bucket=` directory layout, so bucket
+    * pruning and co-located reads keep working; the meta sidecar is
+    * re-derived afterwards (per-file lineage over old + new files) and
+    * stamped with THIS store's fingerprint — an incremental fold changes
+    * what the stage contains, so the previous run's fingerprint must not
+    * keep claiming it (a later rerun of the original one-shot command
+    * sees the mismatch and recomputes rather than silently reusing the
+    * folded store). Caller guarantees appended rows are disjoint from
+    * the stage's contents (doc-granular anti-join upstream). */
+  def appendStage(df: org.apache.spark.sql.DataFrame, stage: String,
+                  upstream: Seq[String] = Nil,
+                  bucketCol: Option[String] = None, nBuckets: Int = 64): Unit = {
+    require(fs.exists(new Path(dataPath(stage), "_SUCCESS")),
+      s"appendStage($stage): no existing completed stage at ${dataPath(stage)}")
+    writeStageMode(df, stage, bucketCol, nBuckets, "append")
+    val stored = bucketCol match {
+      case Some(_) => df.schema.add("_bucket", org.apache.spark.sql.types.LongType)
+      case None => df.schema
+    }
+    markComplete(stage, upstream, Some(stored))
   }
 
   /** read a stage with INFERENCE first — a checkpoint written by an older

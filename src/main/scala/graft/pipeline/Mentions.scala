@@ -140,12 +140,19 @@ object Mentions {
     * per sentence from the full match set, which is exactly the trie's
     * match set — `detect()` equivalence is property-tested.
     *
-    * The only driver-side pull is the DISTINCT ALIAS LENGTHS (real
-    * dictionaries have a few dozen), which bounds the candidate expansion
-    * at |lengths| × sentence chars. Duplicate alias surfaces resolve to
-    * the min (entity_id, canonical) payload — deterministic under any
-    * partitioning (the trie keeps the first-inserted payload instead;
-    * equal for duplicate-free dictionaries).
+    * The only driver-side pulls are the DISTINCT ALIAS LENGTHS (real
+    * dictionaries have a few dozen) and the FIRST-CHARACTER set of the
+    * dictionary (bounded by the alphabet — a few thousand code units even
+    * for a 10⁷-alias CJK wikidict, an 8 KB bitset). Candidates are only
+    * emitted at positions whose character can START an alias, cutting the
+    * shuffled candidate table from |lengths| × sentence chars to
+    * |lengths| × matching positions — 10-50× on real text, where most
+    * characters begin no dictionary entry. Exactness is free: a surface
+    * whose first unit is outside the set can never equi-join the dict.
+    * Duplicate alias surfaces resolve to the min (entity_id, canonical)
+    * payload — deterministic under any partitioning (the trie keeps the
+    * first-inserted payload instead; equal for duplicate-free
+    * dictionaries).
     *
     * Skew note: a stopword-like surface occurring everywhere concentrates
     * its candidates on one join partition — AQE's skew-join handles the
@@ -161,6 +168,15 @@ object Mentions {
     val lengths: Array[Int] = aliases
       .map(_.alias.length).filter(_ > 0)
       .distinct().collect().sorted
+    // first-UTF-16-unit membership bitset (same unit space as the
+    // candidate slicing below — a supplementary-plane alias contributes
+    // its high surrogate, so its candidates still survive the filter)
+    val firstUnits: Array[Int] = aliases
+      .filter(_.alias.nonEmpty).map(_.alias.charAt(0).toInt)
+      .distinct().collect()
+    val fcBits = new java.util.BitSet(1 << 16)
+    firstUnits.foreach(fcBits.set)
+    val bcFirst = spark.sparkContext.broadcast(fcBits)
     val dict = aliases.filter(_.alias.nonEmpty)
       .groupByKey(_.alias)
       .reduceGroups((a, b) =>
@@ -170,8 +186,10 @@ object Mentions {
       .toDF("alias", "entity_id", "canonical")
     val cands = sentences.flatMap { row =>
       val s = row.sent
+      val first = bcFirst.value
       for {
         i <- (0 until s.length).iterator
+        if first.get(s.charAt(i).toInt)
         l <- lengths.iterator
         if i + l <= s.length
       } yield (row.doc_id, row.sent_id, i, s.substring(i, i + l))

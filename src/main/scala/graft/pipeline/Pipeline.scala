@@ -569,6 +569,89 @@ object Pipeline {
     RunResult(canonBack, edgesBack, docs)
   }
 
+  // ------------------------------------------------------- incremental
+  final case class IncrementalResult(newDocs: Long, triples: DataFrame,
+                                     edges: DataFrame)
+
+  /** Incremental maintenance of an EXISTING run root: fold a fresh corpus
+    * slice into the maintained triple/canonical stores (doc-granular,
+    * idempotent — a re-submitted or overlapping slice never duplicates a
+    * doc) and re-derive the entailment edges through the incremental
+    * aggregate path. This is the run-book surface of the operators the
+    * kg_slice_merge / kg_edges_incr oracles prove:
+    *
+    *   fresh docs → extract → anti-join existing doc_ids   (one shuffle
+    *     over doc_id — the ONLY join against triple history)
+    *   → APPEND to triples + canonical (same bucket layout; history
+    *     files untouched — Iceberg append, not rewrite)
+    *   → pairPredAggregate(delta) folded into the maintained `pairpred`
+    *     aggregate ([[mergePairPred]], additive, aggregate-sized)
+    *   → [[edgesFromPairPred]] re-derived from the merged aggregate
+    *     (the non-additive cap/expansion — never rescans the corpus).
+    *
+    * The existing corpus is NEVER re-extracted or re-segmented: at 100 TB
+    * the cost is the fresh slice's extraction + triples-history-sized
+    * doc-id anti-join + aggregate-sized folds. A missing `pairpred` store
+    * (a root written before this path existed) is derived once from the
+    * canonical store and maintained from then on. The updated stages are
+    * re-stamped with THIS fingerprint, so a later rerun of the original
+    * one-shot command invalidates and recomputes instead of silently
+    * reusing the folded store.
+    *
+    * Restriction: the root must have been built WITHOUT --coref (the
+    * fresh slice here runs base extraction only; folding base rows into
+    * a base+coref store would mix entry shapes per doc). */
+  def incrementalFold(spark: SparkSession, root: String, freshDocs: Dataset[Doc],
+                      fingerprint: String,
+                      aliases: Option[Dataset[AliasRow]] = None): IncrementalResult = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (st <- Seq("triples", "canonical"))
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$st/_SUCCESS")),
+        s"--incremental: $root/$st is not a completed stage — the out dir " +
+          "must be an existing (non-coref) run root")
+    val store = new CheckpointStore(root, spark, fingerprint = fingerprint)
+
+    val existingTriples = spark.read.parquet(s"$root/triples")
+    // doc-granular idempotence (mergeSliceIncrement's rule): docs already
+    // in the store keep their triples wholesale, fresh rows for them drop
+    val freshNew = extractTriples(segmentDocs(freshDocs)).toDF()
+      .join(existingTriples.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // reused 3×: append, canonicalize, pairpred delta
+    val canonFresh = canonicalize(freshNew.as[TripleRow],
+      aliases.getOrElse(synthAliases(spark))).localCheckpoint()
+
+    // maintained additive aggregate; derived once for pre-existing roots.
+    // ORDER MATTERS: the existing side must be read (and the merge
+    // MATERIALIZED — eager localCheckpoint) BEFORE the fresh slice is
+    // appended below, or the derived-from-canonical fallback would see
+    // the fresh docs twice (once in the store, once as the delta)
+    val ppPath = s"$root/pairpred"
+    val ppExisting =
+      if (fs.exists(new org.apache.hadoop.fs.Path(ppPath, "_SUCCESS")))
+        spark.read.parquet(ppPath).drop("_bucket")
+      else pairPredAggregate(spark.read.parquet(s"$root/canonical").drop("_bucket"))
+    // the checkpoint also breaks the read-from/overwrite-to cycle on pairpred
+    val ppMerged = mergePairPred(ppExisting, pairPredAggregate(canonFresh))
+      .localCheckpoint()
+
+    store.appendStage(freshNew, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
+    store.appendStage(canonFresh, "canonical", Seq("triples"), bucketCol = Some("doc_id"))
+    ppMerged.write.mode("overwrite").parquet(ppPath)
+
+    // re-derive edges from the merged aggregate and overwrite the stage
+    // (runStageDF under THIS fingerprint: the old fingerprint's meta no
+    // longer matches, so it recomputes + re-stamps — resume semantics
+    // stay intact for subsequent incremental runs with the same input)
+    val edgesBack = store.runStageDF("edges", Seq("canonical"),
+      bucketCol = Some("pred_src"))(edgesFromPairPred(ppMerged))
+    IncrementalResult(
+      newDocs = freshNew.select(col("doc_id")).distinct().count(),
+      triples = spark.read.parquet(s"$root/triples").drop("_bucket"),
+      edges = edgesBack)
+  }
+
   /** Compact every completed stage of a `runFromDocs` checkpoint root —
     * the post-run maintenance pass (per-slice sinks and skewed buckets
     * leave small files behind; see [[CheckpointStore.compact]]). Must be

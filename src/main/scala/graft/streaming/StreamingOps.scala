@@ -124,6 +124,61 @@ object StreamingOps {
     }
   }
 
+  /** streaming → incremental-edge bridge: each micro-batch of CANONICAL
+    * triples folds its additive pair-pred aggregate into a maintained
+    * parquet aggregate ([[graft.pipeline.Pipeline.mergePairPred]]) and
+    * re-derives the entailment edge table from the merged aggregate —
+    * the SAME incremental maintenance path `graft.Main --incremental`
+    * uses, fed continuously instead of per submitted slice. The corpus
+    * history is never rescanned: per batch, the work is the batch's own
+    * aggregate + an aggregate-sized merge + the (aggregate-sized) edge
+    * re-derivation.
+    *
+    * Exactly-once: foreachBatch can REPLAY a batch after a failure, and
+    * a replayed fold would double its counts — so the fold is made
+    * idempotent the standard way: the last folded batchId is committed
+    * to `<aggPath>/_last_batch` AFTER the overwrite, and a batch ≤ that
+    * id is skipped. (Overwrite-then-marker leaves a window where a crash
+    * between the two replays one batch into an aggregate that already
+    * holds it; Iceberg's atomic snapshot commit closes that window in
+    * production — the seam is this one write.) */
+  def maintainEdges(canonical: DataFrame, aggPath: String,
+                    edgesPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Pipeline
+    canonical.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(aggPath, "_last_batch")
+        val fs = marker.getFileSystem(conf)
+        val last =
+          if (!fs.exists(marker)) -1L
+          else {
+            val in = fs.open(marker)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          }
+        if (batchId > last) {
+          val delta = Pipeline.pairPredAggregate(batch.toDF())
+          val aggDir = new org.apache.hadoop.fs.Path(aggPath, "agg")
+          val merged =
+            (if (fs.exists(new org.apache.hadoop.fs.Path(aggDir, "_SUCCESS")))
+               Pipeline.mergePairPred(spark.read.parquet(aggDir.toString), delta)
+             else delta)
+              .localCheckpoint() // materialize BEFORE overwriting the source
+          merged.write.mode("overwrite").parquet(aggDir.toString)
+          Pipeline.edgesFromPairPred(merged)
+            .write.mode("overwrite").parquet(edgesPath)
+          val out = fs.create(marker, true)
+          out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+        }
+      }
+      .start()
+  }
+
   /** batch-equivalent sessionization: same gap semantics but the trailing
     * (still-open) session of every user is flushed — the right shape for
     * a BATCH analytics pass over a closed dataset, and NOT a streaming

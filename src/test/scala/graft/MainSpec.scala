@@ -177,6 +177,44 @@ class MainSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("--incremental: overlapping slice folds == one-shot run, identical edges") {
+    import org.apache.spark.sql.functions.col
+    // one-shot truth over docs [0, 40)
+    val oneShot = Files.createTempDirectory("graft-inc-oneshot").toString
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", oneShot))
+    // slice 1: [0, 25); slice 2 OVERLAPS it: [15, 40)
+    val inc = Files.createTempDirectory("graft-inc-fold").toString
+    Main.main(Array("--reader", "synth", "--docs", "25", "--out", inc))
+    Main.main(Array("--reader", "synth", "--docs", "40", "--docs-from", "15",
+                    "--out", inc, "--incremental"))
+    def table(root: String, stage: String) =
+      spark.read.parquet(s"$root/$stage").drop("_bucket")
+    // triple store: doc-granular idempotence — same rows as one shot
+    assert(table(inc, "triples").count() == table(oneShot, "triples").count())
+    assert(table(inc, "triples").exceptAll(table(oneShot, "triples")).isEmpty)
+    // canonical store follows
+    assert(table(inc, "canonical").exceptAll(table(oneShot, "canonical")).isEmpty)
+    // edges: the incremental aggregate path lands on the IDENTICAL table
+    val eInc = table(inc, "edges").collect().map(_.toSeq).toSet
+    val eOne = table(oneShot, "edges").collect().map(_.toSeq).toSet
+    assert(eInc == eOne, s"edges diverged: ${eInc.size} vs ${eOne.size}")
+    // the maintained additive aggregate exists for the NEXT fold
+    assert(new java.io.File(s"$inc/pairpred/_SUCCESS").exists())
+    // stats.json was refreshed over the folded store
+    val mapper = new ObjectMapper()
+    val stats = mapper.readTree(Files.readString(Paths.get(s"$inc/stats.json")))
+    assert(stats.get("docs").asLong() == table(inc, "triples")
+      .select("doc_id").distinct().count())
+    // a SECOND fold of the same slice is a no-op (idempotent)
+    Main.main(Array("--reader", "synth", "--docs", "40", "--docs-from", "15",
+                    "--out", inc, "--incremental"))
+    assert(table(inc, "triples").count() == table(oneShot, "triples").count())
+    // composing per-slice sinks with a fold fails loudly
+    intercept[IllegalArgumentException](
+      Main.main(Array("--reader", "synth", "--docs", "40", "--out", inc,
+                      "--incremental", "--mentions")))
+  }
+
   test("argument errors are loud") {
     intercept[IllegalArgumentException](Main.main(Array("--out", "/tmp/x")))
     intercept[IllegalArgumentException](

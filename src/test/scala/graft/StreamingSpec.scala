@@ -180,4 +180,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(u1.head.n_events == 3 && u1.head.session_start.getTime == ts(0).getTime &&
            u1.head.session_end.getTime == ts(4).getTime)
   }
+
+  test("maintainEdges: stream-fed edge table == batch edges on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Pipeline
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-edges").toString
+    val aggPath = s"$dir/pairpred"
+    val edgesPath = s"$dir/edges"
+    val q = StreamingOps.maintainEdges(canonical, aggPath, edgesPath)
+    // two micro-batches; batch 2 ADDS SUPPORT to a pair batch 1 opened —
+    // the additive fold must re-rank, not append
+    val b1 = Seq(("e1", "e2", "p1"), ("e1", "e2", "p2"), ("e1", "e2", "p1"))
+    val b2 = Seq(("e1", "e2", "p2"), ("e1", "e2", "p2"),
+                 ("e3", "e4", "p1"), ("e3", "e4", "p3"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // after batch 1 the edge table already exists (continuous maintenance)
+    assert(spark.read.parquet(edgesPath).count() > 0)
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(edgesPath).collect().map(_.toSeq).toSet
+    val batch = Pipeline.edgesFromPairPred(Pipeline.pairPredAggregate(
+      (b1 ++ b2).toDF("subj_canonical", "obj_canonical", "pred")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+           s"stream-maintained edges diverged from batch: $streamed vs $batch")
+    assert(streamed.nonEmpty)
+    // the idempotence marker committed the last folded batch id
+    val marker = java.nio.file.Paths.get(aggPath, "_last_batch")
+    assert(java.nio.file.Files.readString(marker).trim.toLong >= 1L)
+  }
 }
