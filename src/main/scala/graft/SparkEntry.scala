@@ -188,6 +188,39 @@ object SparkEntry {
       graft.ops.GraphOps.coocComponentsFull(
         Pipeline.canonicalize(t, Pipeline.synthAliases(s)))
     }),
+    "kg_triples_audit" -> ((s, _) => {
+      // semi-oracle for the (non-relational) extraction core: per-list
+      // arity/marker/idx invariants the driver's DuckDB recomputes
+      // independently over the MATERIALIZED kg_triples + kg_sentences —
+      // placeholder multiplicity (≤1 '·X·' token per pred), non-empty
+      // preds, idx-in-sentence bounds, subj/obj ↔ idx null parity,
+      // referential integrity to the sentence table, tag enum. Every
+      // n_* column must be 0 and tag_ok true — so the row CONTENT is the
+      // invariant, and the hash compare proves both engines agree on it.
+      val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
+      val t = Pipeline.extractTriples(sents).toDF()
+      val sn = sents.toDF()
+        .select(col("doc_id"), col("sent_id"), length(col("sent")).as("sent_len"))
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      t.join(sn, Seq("doc_id", "sent_id"), "left")
+        .groupBy(col("rel_list"))
+        .agg(count(lit(1)).as("n_rows"),
+          cnt(size(filter(split(coalesce(col("pred"), lit("")), "·"),
+            x => x === "X")) > 1).as("n_multi_x"),
+          cnt(col("pred").isNull || col("pred") === "").as("n_bad_pred"),
+          cnt(col("sent_len").isNull).as("n_orphan"),
+          cnt(col("pred_idx") < 0 || col("pred_idx") >= col("sent_len") ||
+              (col("subj_idx").isNotNull &&
+               (col("subj_idx") < 0 || col("subj_idx") >= col("sent_len"))) ||
+              (col("obj_idx").isNotNull &&
+               (col("obj_idx") < 0 || col("obj_idx") >= col("sent_len"))))
+            .as("n_idx_oob"),
+          cnt(col("subj").isNull =!= col("subj_idx").isNull).as("n_subj_mismatch"),
+          cnt(col("obj").isNull =!= col("obj_idx").isNull).as("n_obj_mismatch"))
+        .withColumn("tag_ok", col("rel_list").isin(
+          "fine", "coarse", "amend_fine", "amend_coarse", "possible",
+          "crossed", "amend_crossed"))
+    }),
     "kg_rel_totals" -> ((s, _) =>
       // the merge-stage global stats (reference merge_parsed_results.py:60-74)
       Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
@@ -654,6 +687,34 @@ object SparkEntry {
         """SELECT rel_list, count(*) AS n_rels, count(DISTINCT doc_id) AS n_docs,
           |  count(DISTINCT pred) AS n_distinct_preds
           |FROM read_parquet('__OUT__/kg_triples/*.parquet') GROUP BY rel_list""".stripMargin,
+      "kg_triples_audit" ->
+        // recomputed from the MATERIALIZED outputs — Spark derives the
+        // audit from its in-memory extraction, DuckDB from what Verify
+        // wrote, so a faithless materialization or an invariant breach
+        // both surface as a hash mismatch. BMP-only corpus: length() is
+        // code points in both engines.
+        """WITH t AS (SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')),
+          |s AS (SELECT doc_id, sent_id, length(sent) AS sent_len
+          |  FROM read_parquet('__OUT__/kg_sentences/*.parquet')),
+          |j AS (SELECT t.*, s.sent_len FROM t
+          |  LEFT JOIN s ON t.doc_id = s.doc_id AND t.sent_id = s.sent_id)
+          |SELECT rel_list, count(*) AS n_rows,
+          |  CAST(sum(CASE WHEN len(list_filter(string_split(COALESCE(pred, ''), '·'),
+          |    x -> x = 'X')) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_x,
+          |  CAST(sum(CASE WHEN pred IS NULL OR pred = '' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_bad_pred,
+          |  CAST(sum(CASE WHEN sent_len IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+          |  CAST(sum(CASE WHEN pred_idx < 0 OR pred_idx >= sent_len
+          |    OR (subj_idx IS NOT NULL AND (subj_idx < 0 OR subj_idx >= sent_len))
+          |    OR (obj_idx IS NOT NULL AND (obj_idx < 0 OR obj_idx >= sent_len))
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_oob,
+          |  CAST(sum(CASE WHEN (subj IS NULL) <> (subj_idx IS NULL) THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_subj_mismatch,
+          |  CAST(sum(CASE WHEN (obj IS NULL) <> (obj_idx IS NULL) THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_obj_mismatch,
+          |  (rel_list IN ('fine','coarse','amend_fine','amend_coarse','possible',
+          |                'crossed','amend_crossed')) AS tag_ok
+          |FROM j GROUP BY rel_list""".stripMargin,
       // kg_mentions_join (the distributed entity-link variant) has the
       // same contract as kg_mentions → same oracle (appended below the Map)
       "kg_mentions" ->
