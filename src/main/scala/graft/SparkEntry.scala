@@ -221,6 +221,34 @@ object SparkEntry {
           "fine", "coarse", "amend_fine", "amend_coarse", "possible",
           "crossed", "amend_crossed"))
     }),
+    "kg_coref_audit" -> ((s, _) => {
+      // same invariant-audit idea over the COREF second-pass core: tag ∈
+      // the 7 *_corefed lists, placeholder multiplicity, null parity,
+      // referential integrity to the sentence table, non-negative idx.
+      // (Full idx-in-sentence bounds are deliberately omitted — corefed
+      // indices reference the SUBSTITUTED sentence, whose length differs
+      // from the base sentence kg_sentences carries.)
+      val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
+      val t = Pipeline.corefTriples(Pipeline.synthDocs(s, VerifyDocs)).toDF()
+      val sn = sents.toDF().select(col("doc_id"), col("sent_id"), lit(1).as("known"))
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      t.join(sn, Seq("doc_id", "sent_id"), "left")
+        .groupBy(col("rel_list"))
+        .agg(count(lit(1)).as("n_rows"),
+          cnt(size(filter(split(coalesce(col("pred"), lit("")), "·"),
+            x => x === "X")) > 1).as("n_multi_x"),
+          cnt(col("pred").isNull || col("pred") === "").as("n_bad_pred"),
+          cnt(col("known").isNull).as("n_orphan"),
+          cnt(col("pred_idx") < 0 ||
+              (col("subj_idx").isNotNull && col("subj_idx") < 0) ||
+              (col("obj_idx").isNotNull && col("obj_idx") < 0)).as("n_neg_idx"),
+          cnt(col("subj").isNull =!= col("subj_idx").isNull).as("n_subj_mismatch"),
+          cnt(col("obj").isNull =!= col("obj_idx").isNull).as("n_obj_mismatch"))
+        .withColumn("tag_ok", col("rel_list").isin(
+          "fine_corefed", "coarse_corefed", "amend_fine_corefed",
+          "amend_coarse_corefed", "possible_corefed", "crossed_corefed",
+          "amend_crossed_corefed"))
+    }),
     "kg_rel_totals" -> ((s, _) =>
       // the merge-stage global stats (reference merge_parsed_results.py:60-74)
       Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
@@ -687,6 +715,30 @@ object SparkEntry {
         """SELECT rel_list, count(*) AS n_rels, count(DISTINCT doc_id) AS n_docs,
           |  count(DISTINCT pred) AS n_distinct_preds
           |FROM read_parquet('__OUT__/kg_triples/*.parquet') GROUP BY rel_list""".stripMargin,
+      "kg_coref_audit" ->
+        """WITH t AS (SELECT * FROM read_parquet('__OUT__/kg_coref/*.parquet')),
+          |s AS (SELECT doc_id, sent_id, 1 AS known
+          |  FROM read_parquet('__OUT__/kg_sentences/*.parquet')),
+          |j AS (SELECT t.*, s.known FROM t
+          |  LEFT JOIN s ON t.doc_id = s.doc_id AND t.sent_id = s.sent_id)
+          |SELECT rel_list, count(*) AS n_rows,
+          |  CAST(sum(CASE WHEN len(list_filter(string_split(COALESCE(pred, ''), '·'),
+          |    x -> x = 'X')) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_x,
+          |  CAST(sum(CASE WHEN pred IS NULL OR pred = '' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_bad_pred,
+          |  CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+          |  CAST(sum(CASE WHEN pred_idx < 0
+          |    OR (subj_idx IS NOT NULL AND subj_idx < 0)
+          |    OR (obj_idx IS NOT NULL AND obj_idx < 0)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_idx,
+          |  CAST(sum(CASE WHEN (subj IS NULL) <> (subj_idx IS NULL) THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_subj_mismatch,
+          |  CAST(sum(CASE WHEN (obj IS NULL) <> (obj_idx IS NULL) THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_obj_mismatch,
+          |  (rel_list IN ('fine_corefed','coarse_corefed','amend_fine_corefed',
+          |    'amend_coarse_corefed','possible_corefed','crossed_corefed',
+          |    'amend_crossed_corefed')) AS tag_ok
+          |FROM j GROUP BY rel_list""".stripMargin,
       "kg_triples_audit" ->
         // recomputed from the MATERIALIZED outputs — Spark derives the
         // audit from its in-memory extraction, DuckDB from what Verify

@@ -146,8 +146,13 @@ object GraphOps {
     * engine reproduces every rank bit-exactly; a ring graph is an exact
     * fixed point at 10⁹). The symmetrized graph has no dangling nodes by
     * construction (every node has degree ≥ 1). Per iteration: one join
-    * against the (bounded, top-K) edge set + one aggregation, lineage
-    * truncated per round like [[connectedComponents]]. */
+    * against the (bounded, top-K) edge set + one aggregation. Unlike
+    * [[connectedComponents]] there is no per-round decision to make (the
+    * iteration count is FIXED), so no per-round action is needed either:
+    * each iteration is marked for LAZY local checkpointing (lineage/plan
+    * truncation point) and the whole power iteration materializes in ONE
+    * job when the result is consumed — iters× fewer job round-trips than
+    * an eager checkpoint per iteration. */
   def entityPageRank(canonical: DataFrame, topK: Int = 2000,
                      iters: Int = 10): DataFrame =
     pageRankOnEdges(coocEdges(canonical, topK), iters)
@@ -176,7 +181,7 @@ object GraphOps {
         .agg(sum(expr("pr div d")).as("contrib"))
         .select(col("v").as("node"),
                 expr("150000000 + (850 * contrib) div 1000").as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: first consumer runs ONE job end-to-end
     }
     rank.select(col("node").as("entity"), col("pr").as("rank_x1e9"))
   }
