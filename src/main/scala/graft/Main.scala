@@ -175,11 +175,17 @@ object Main {
           // the excluded sink is a CHECKPOINTED stage too: a resumed run
           // must not pay a full corpus re-scan just to rewrite it (the
           // fingerprint deliberately omits aliases/coref — exclusion
-          // doesn't depend on them)
+          // doesn't depend on them). An INCREMENTAL fold must NOT touch
+          // it: its fingerprint would mismatch the root's original run
+          // and clobber the cumulative audit trail with slice-only rows —
+          // slice exclusions append to their own side table instead.
           locally {
             import spark.implicits._
-            new pipeline.CheckpointStore(outDir, spark, fingerprint = fp)
-              .runStage("excluded")(out.excluded)
+            if (opts.contains("incremental"))
+              out.excluded.write.mode("append").parquet(s"$outDir/excluded_incr")
+            else
+              new pipeline.CheckpointStore(outDir, spark, fingerprint = fp)
+                .runStage("excluded")(out.excluded)
           }
           (CorpusReaders.toDocs(out.docs), fp, Some(out))
       }
@@ -197,16 +203,19 @@ object Main {
       // run-book surface of kg_slice_merge / kg_edges_incr. The extra
       // sinks operate per-slice and don't compose with a fold; keep the
       // contract narrow and loud.
-      require(!opts.contains("coref") && !opts.contains("mentions") &&
-              !opts.contains("nerpos") && !opts.contains("toy-sample"),
-        "--incremental maintains the core triples/canonical/pairpred/edges " +
-          "stores only; run --coref/--mentions/--nerpos/--toy-sample as " +
-          "one-shot jobs")
+      val banned = Seq("coref", "mentions", "nerpos", "toy-sample",
+                       "export-jsonl", "compact", "skew-report").filter(opts.contains)
+      require(banned.isEmpty,
+        s"--incremental maintains the core docs/triples/canonical/pairpred/" +
+          s"edges stores only; ${banned.map("--" + _).mkString(", ")} must " +
+          "run as separate one-shot jobs")
       val res = Pipeline.incrementalFold(spark, outDir, docs,
         fingerprint = s"$fullFp,incremental", aliases = Some(aliases))
       readerOut.foreach(_.uncache())
-      writeStats(spark, outDir,
-        nDocs = res.triples.select("doc_id").distinct().count(),
+      // nDocs = the maintained docs store's count — the SAME definition
+      // the one-shot path uses (docsOut), so fold == one-shot holds for
+      // stats.json too, including zero-triple docs
+      writeStats(spark, outDir, nDocs = res.docsTotal,
         nEdges = res.edges.count(), triples = res.triples)
       println(s"[graft] incremental fold complete: ${res.newDocs} new docs -> $outDir (stats.json refreshed)")
       if (preexisting.isEmpty) spark.stop()

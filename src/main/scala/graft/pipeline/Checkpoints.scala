@@ -125,18 +125,39 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * keep claiming it (a later rerun of the original one-shot command
     * sees the mismatch and recomputes rather than silently reusing the
     * folded store). Caller guarantees appended rows are disjoint from
-    * the stage's contents (doc-granular anti-join upstream). */
+    * the stage's contents (doc-granular anti-join upstream).
+    *
+    * COST CONTRACT: the meta refresh is SLICE-SIZED, not store-sized —
+    * per-file lineage for the NEW files only is counted (one job over the
+    * appended files) and merged with the meta's recorded entries; the
+    * history files are never rescanned. (If the prior meta is missing its
+    * file list — hand-edited root — it falls back to one full
+    * markComplete rescan rather than recording wrong lineage.) */
   def appendStage(df: org.apache.spark.sql.DataFrame, stage: String,
                   upstream: Seq[String] = Nil,
                   bucketCol: Option[String] = None, nBuckets: Int = 64): Unit = {
     require(fs.exists(new Path(dataPath(stage), "_SUCCESS")),
       s"appendStage($stage): no existing completed stage at ${dataPath(stage)}")
+    val existing = metaFileRows(stage)
+    val before = listDataFiles(stage).map(_.getName).toSet
     writeStageMode(df, stage, bucketCol, nBuckets, "append")
-    val stored = bucketCol match {
-      case Some(_) => df.schema.add("_bucket", org.apache.spark.sql.types.LongType)
-      case None => df.schema
+    val newFiles = listDataFiles(stage).filterNot(p => before(p.getName))
+    if (existing.isEmpty && before.nonEmpty) {
+      // no recorded lineage to merge with — full rescan fallback
+      val stored = bucketCol match {
+        case Some(_) => df.schema.add("_bucket", org.apache.spark.sql.types.LongType)
+        case None => df.schema
+      }
+      markComplete(stage, upstream, Some(stored))
+    } else {
+      import org.apache.spark.sql.functions._
+      val fresh =
+        if (newFiles.isEmpty) Nil
+        else spark.read.parquet(newFiles.map(_.toString): _*)
+          .groupBy(input_file_name().as("file")).count().collect()
+          .map(r => (new Path(r.getString(0)).getName, r.getLong(1))).toSeq
+      writeMeta(stage, upstream, existing ++ fresh)
     }
-    markComplete(stage, upstream, Some(stored))
   }
 
   /** read a stage with INFERENCE first — a checkpoint written by an older
@@ -179,6 +200,11 @@ final class CheckpointStore(root: String, spark: SparkSession,
     import org.apache.spark.sql.functions._
     val perFileRows = df.groupBy(input_file_name().as("file")).count().collect()
       .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+    writeMeta(stage, upstream, perFileRows.toSeq)
+  }
+
+  private def writeMeta(stage: String, upstream: Seq[String],
+                        perFileRows: Seq[(String, Long)]): Unit = {
     val perFile = perFileRows.map { case (f, n) => s"""{"file":${jstr(f)},"rows":$n}""" }
     val total = perFileRows.map(_._2).sum
     val meta =
@@ -190,6 +216,16 @@ final class CheckpointStore(root: String, spark: SparkSession,
     out.write(meta.getBytes(StandardCharsets.UTF_8))
     out.close()
   }
+
+  /** the recorded per-file lineage of a stage's meta sidecar (file name →
+    * rows) — machine-written by [[writeMeta]], so a simple structural
+    * parse suffices. */
+  private def metaFileRows(stage: String): Seq[(String, Long)] =
+    readMeta(stage).toSeq.flatMap { m =>
+      """\{"file":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r.findAllMatchIn(m)
+        .map(g => (g.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
+                   g.group(2).toLong)).toSeq
+    }
 
   private def listDataFiles(stage: String): Seq[Path] = {
     val dir = new Path(dataPath(stage))

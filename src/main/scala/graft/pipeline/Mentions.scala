@@ -165,17 +165,18 @@ object Mentions {
     // String.substring, so a supplementary-plane alias (CJK Ext-B names
     // occur in real wikidicts) must be measured in the same units or it
     // could never match
-    val lengths: Array[Int] = aliases
-      .map(_.alias.length).filter(_ > 0)
-      .distinct().collect().sorted
-    // first-UTF-16-unit membership bitset (same unit space as the
-    // candidate slicing below — a supplementary-plane alias contributes
-    // its high surrogate, so its candidates still survive the filter)
-    val firstUnits: Array[Int] = aliases
-      .filter(_.alias.nonEmpty).map(_.alias.charAt(0).toInt)
+    // ONE driver-side pull serves both prefilters: distinct
+    // (length, first-UTF-16-unit) pairs — bounded by |lengths| × alphabet
+    // (the unit space matches the candidate slicing below: a
+    // supplementary-plane alias contributes its high surrogate, so its
+    // candidates still survive the first-unit filter)
+    val lenFirst: Array[(Int, Int)] = aliases
+      .filter(_.alias.nonEmpty)
+      .map(a => (a.alias.length, a.alias.charAt(0).toInt))
       .distinct().collect()
+    val lengths: Array[Int] = lenFirst.map(_._1).distinct.sorted
     val fcBits = new java.util.BitSet(1 << 16)
-    firstUnits.foreach(fcBits.set)
+    lenFirst.foreach(p => fcBits.set(p._2))
     val bcFirst = spark.sparkContext.broadcast(fcBits)
     val dict = aliases.filter(_.alias.nonEmpty)
       .groupByKey(_.alias)

@@ -570,74 +570,118 @@ object Pipeline {
   }
 
   // ------------------------------------------------------- incremental
-  final case class IncrementalResult(newDocs: Long, triples: DataFrame,
-                                     edges: DataFrame)
+  final case class IncrementalResult(newDocs: Long, docsTotal: Long,
+                                     triples: DataFrame, edges: DataFrame)
 
   /** Incremental maintenance of an EXISTING run root: fold a fresh corpus
-    * slice into the maintained triple/canonical stores (doc-granular,
-    * idempotent — a re-submitted or overlapping slice never duplicates a
-    * doc) and re-derive the entailment edges through the incremental
-    * aggregate path. This is the run-book surface of the operators the
-    * kg_slice_merge / kg_edges_incr oracles prove:
+    * slice into the maintained docs/triples/canonical stores (doc-
+    * granular, idempotent — a re-submitted or overlapping slice never
+    * duplicates a doc) and re-derive the entailment edges through the
+    * incremental aggregate path. This is the run-book surface of the
+    * operators the kg_slice_merge / kg_edges_incr oracles prove:
     *
-    *   fresh docs → extract → anti-join existing doc_ids   (one shuffle
-    *     over doc_id — the ONLY join against triple history)
-    *   → APPEND to triples + canonical (same bucket layout; history
-    *     files untouched — Iceberg append, not rewrite)
-    *   → pairPredAggregate(delta) folded into the maintained `pairpred`
-    *     aggregate ([[mergePairPred]], additive, aggregate-sized)
+    *   fresh docs → extract → per-store doc_id anti-joins   (each store's
+    *     delta is keyed on ITS OWN id set — store-local idempotence)
+    *   → APPEND to docs + triples + canonical IN THAT ORDER (same bucket
+    *     layout; history files untouched — Iceberg append, not rewrite;
+    *     the order maintains canonical ⊆ triples ⊆ docs under any crash)
+    *   → pairPredAggregate(canonical delta) folded into the maintained
+    *     `pairpred` aggregate ([[mergePairPred]], additive, agg-sized)
     *   → [[edgesFromPairPred]] re-derived from the merged aggregate
     *     (the non-additive cap/expansion — never rescans the corpus).
     *
-    * The existing corpus is NEVER re-extracted or re-segmented: at 100 TB
-    * the cost is the fresh slice's extraction + triples-history-sized
-    * doc-id anti-join + aggregate-sized folds. A missing `pairpred` store
-    * (a root written before this path existed) is derived once from the
-    * canonical store and maintained from then on. The updated stages are
-    * re-stamped with THIS fingerprint, so a later rerun of the original
-    * one-shot command invalidates and recomputes instead of silently
-    * reusing the folded store.
+    * CRASH SAFETY: parquet has no atomic multi-table commit (Iceberg
+    * does — that is the production seam), so the fold brackets its
+    * mutations with a `_fold_inflight` marker. A fold that finds the
+    * marker runs REPAIR first: docs missing from triples are
+    * re-extracted, triples missing from canonical re-canonicalized
+    * (both doc-granular appends), and `pairpred` is REBUILT from the
+    * reconciled canonical (one canonical-sized aggregate — the repair
+    * path's only non-slice-sized cost; the normal path never pays it).
+    * Every mutation is individually idempotent, so repair + re-fold
+    * always converges to the one-shot result.
     *
-    * Restriction: the root must have been built WITHOUT --coref (the
-    * fresh slice here runs base extraction only; folding base rows into
-    * a base+coref store would mix entry shapes per doc). */
+    * The existing corpus is NEVER re-extracted or re-segmented on the
+    * normal path: at 100 TB the cost is the fresh slice's extraction +
+    * three doc-id column scans of history + aggregate-sized folds. A
+    * missing `pairpred` store (a root written before this path existed)
+    * is derived once from the canonical store and maintained from then
+    * on. The updated stages are re-stamped with THIS fingerprint, so a
+    * later rerun of the original one-shot command invalidates and
+    * recomputes instead of silently reusing the folded store.
+    *
+    * Restriction (ENFORCED): the root must have been built WITHOUT
+    * --coref — the fresh slice runs base extraction only, and folding
+    * base-only rows into a base+coref store would mix entry shapes per
+    * doc (new docs would permanently lack corefed contributions). */
   def incrementalFold(spark: SparkSession, root: String, freshDocs: Dataset[Doc],
                       fingerprint: String,
                       aliases: Option[Dataset[AliasRow]] = None): IncrementalResult = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (st <- Seq("triples", "canonical"))
+    for (st <- Seq("docs", "triples", "canonical"))
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$st/_SUCCESS")),
         s"--incremental: $root/$st is not a completed stage — the out dir " +
           "must be an existing (non-coref) run root")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/coref_triples/_SUCCESS")),
+      s"--incremental: $root was built with --coref; folding base-only " +
+        "extraction into a base+coref store would mix entry shapes — " +
+        "rebuild coref roots with a one-shot run")
     val store = new CheckpointStore(root, spark, fingerprint = fingerprint)
+    val dict = aliases.getOrElse(synthAliases(spark))
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_fold_inflight")
+    def storeIds(stage: String) =
+      spark.read.parquet(s"$root/$stage").select(col("doc_id")).distinct()
 
-    val existingTriples = spark.read.parquet(s"$root/triples")
-    // doc-granular idempotence (mergeSliceIncrement's rule): docs already
-    // in the store keep their triples wholesale, fresh rows for them drop
-    val freshNew = extractTriples(segmentDocs(freshDocs)).toDF()
-      .join(existingTriples.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .localCheckpoint() // reused 3×: append, canonicalize, pairpred delta
-    val canonFresh = canonicalize(freshNew.as[TripleRow],
-      aliases.getOrElse(synthAliases(spark))).localCheckpoint()
+    if (fs.exists(marker)) {
+      // REPAIR: a previous fold died mid-mutation. Append order
+      // guarantees canonical ⊆ triples ⊆ docs, so reconcile forward:
+      val docEnc = org.apache.spark.sql.Encoders.product[Doc]
+      val docsMissingT = spark.read.parquet(s"$root/docs")
+        .select(col("doc_id"), col("spans")).as[Doc](docEnc)
+        .join(storeIds("triples"), Seq("doc_id"), "left_anti")
+        .as[Doc](docEnc)
+      val repairT = extractTriples(segmentDocs(docsMissingT)).toDF().localCheckpoint()
+      if (!repairT.isEmpty)
+        store.appendStage(repairT, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
+      val missingC = spark.read.parquet(s"$root/triples").drop("_bucket")
+        .join(storeIds("canonical"), Seq("doc_id"), "left_anti").localCheckpoint()
+      if (!missingC.isEmpty)
+        store.appendStage(canonicalize(missingC.as[TripleRow], dict),
+          "canonical", Seq("triples"), bucketCol = Some("doc_id"))
+      val ppRebuilt = pairPredAggregate(
+        spark.read.parquet(s"$root/canonical").drop("_bucket")).localCheckpoint()
+      ppRebuilt.write.mode("overwrite").parquet(s"$root/pairpred")
+      // marker stays until THIS fold completes
+    } else {
+      fs.create(marker, true).close()
+    }
 
-    // maintained additive aggregate; derived once for pre-existing roots.
-    // ORDER MATTERS: the existing side must be read (and the merge
-    // MATERIALIZED — eager localCheckpoint) BEFORE the fresh slice is
-    // appended below, or the derived-from-canonical fallback would see
-    // the fresh docs twice (once in the store, once as the delta)
+    // deltas — each keyed on its own store's ids, all MATERIALIZED
+    // (eager localCheckpoint) before any append below mutates a store
+    val docsNew = freshDocs.toDF()
+      .join(storeIds("docs"), Seq("doc_id"), "left_anti").localCheckpoint()
+    val freshTriples = extractTriples(segmentDocs(freshDocs)).toDF().localCheckpoint()
+    val tNew = freshTriples
+      .join(storeIds("triples"), Seq("doc_id"), "left_anti").localCheckpoint()
+    val cNew = canonicalize(
+      freshTriples.join(storeIds("canonical"), Seq("doc_id"), "left_anti")
+        .as[TripleRow], dict).localCheckpoint()
+    // maintained additive aggregate; derived once for pre-existing roots
+    // (read BEFORE the canonical append — the fallback must not see the
+    // delta docs twice)
     val ppPath = s"$root/pairpred"
     val ppExisting =
       if (fs.exists(new org.apache.hadoop.fs.Path(ppPath, "_SUCCESS")))
         spark.read.parquet(ppPath).drop("_bucket")
       else pairPredAggregate(spark.read.parquet(s"$root/canonical").drop("_bucket"))
-    // the checkpoint also breaks the read-from/overwrite-to cycle on pairpred
-    val ppMerged = mergePairPred(ppExisting, pairPredAggregate(canonFresh))
-      .localCheckpoint()
+    val ppMerged = mergePairPred(ppExisting, pairPredAggregate(cNew))
+      .localCheckpoint() // also breaks the pairpred read/overwrite cycle
 
-    store.appendStage(freshNew, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
-    store.appendStage(canonFresh, "canonical", Seq("triples"), bucketCol = Some("doc_id"))
+    store.appendStage(docsNew, "docs", Nil, bucketCol = Some("doc_id"))
+    store.appendStage(tNew, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
+    store.appendStage(cNew, "canonical", Seq("triples"), bucketCol = Some("doc_id"))
     ppMerged.write.mode("overwrite").parquet(ppPath)
 
     // re-derive edges from the merged aggregate and overwrite the stage
@@ -646,8 +690,10 @@ object Pipeline {
     // stay intact for subsequent incremental runs with the same input)
     val edgesBack = store.runStageDF("edges", Seq("canonical"),
       bucketCol = Some("pred_src"))(edgesFromPairPred(ppMerged))
+    fs.delete(marker, false) // fold committed
     IncrementalResult(
-      newDocs = freshNew.select(col("doc_id")).distinct().count(),
+      newDocs = docsNew.select(col("doc_id")).distinct().count(),
+      docsTotal = spark.read.parquet(s"$root/docs").count(),
       triples = spark.read.parquet(s"$root/triples").drop("_bucket"),
       edges = edgesBack)
   }

@@ -156,8 +156,13 @@ object StreamingOps {
           if (!fs.exists(marker)) -1L
           else {
             val in = fs.open(marker)
+            // tolerant parse: a crash between marker create and write
+            // leaves an EMPTY file — treat it as "nothing committed"
+            // (degrades to the documented replay-one-batch seam) instead
+            // of a NumberFormatException that wedges every restart
             try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+              .getOrElse(-1L)
             finally in.close()
           }
         if (batchId > last) {

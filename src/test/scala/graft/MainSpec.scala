@@ -200,19 +200,63 @@ class MainSpec extends SparkSpecBase {
     assert(eInc == eOne, s"edges diverged: ${eInc.size} vs ${eOne.size}")
     // the maintained additive aggregate exists for the NEXT fold
     assert(new java.io.File(s"$inc/pairpred/_SUCCESS").exists())
-    // stats.json was refreshed over the folded store
+    // stats.json was refreshed over the folded store, with the SAME docs
+    // definition as the one-shot path (the maintained docs store count)
     val mapper = new ObjectMapper()
     val stats = mapper.readTree(Files.readString(Paths.get(s"$inc/stats.json")))
-    assert(stats.get("docs").asLong() == table(inc, "triples")
-      .select("doc_id").distinct().count())
+    assert(stats.get("docs").asLong() == 40L)
+    assert(stats.get("docs").asLong() ==
+      mapper.readTree(Files.readString(Paths.get(s"$oneShot/stats.json")))
+        .get("docs").asLong())
+    // the fold committed: no in-flight marker left behind
+    assert(!new java.io.File(s"$inc/_fold_inflight").exists())
     // a SECOND fold of the same slice is a no-op (idempotent)
     Main.main(Array("--reader", "synth", "--docs", "40", "--docs-from", "15",
                     "--out", inc, "--incremental"))
     assert(table(inc, "triples").count() == table(oneShot, "triples").count())
-    // composing per-slice sinks with a fold fails loudly
+    // composing per-slice sinks or maintenance flags with a fold fails loudly
     intercept[IllegalArgumentException](
       Main.main(Array("--reader", "synth", "--docs", "40", "--out", inc,
                       "--incremental", "--mentions")))
+    intercept[IllegalArgumentException](
+      Main.main(Array("--reader", "synth", "--docs", "40", "--out", inc,
+                      "--incremental", "--compact")))
+  }
+
+  test("--incremental repairs a crashed fold before folding (marker protocol)") {
+    import org.apache.spark.sql.functions.col
+    val oneShot = Files.createTempDirectory("graft-crash-oneshot").toString
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", oneShot))
+    val inc = Files.createTempDirectory("graft-crash-fold").toString
+    Main.main(Array("--reader", "synth", "--docs", "25", "--out", inc))
+    // SIMULATE a fold of [25,40) that died after the docs + triples
+    // appends: canonical/pairpred never updated, marker left in flight
+    val crashStore = new graft.pipeline.CheckpointStore(inc, spark,
+      fingerprint = "crashed-fold")
+    val lostDocs = graft.pipeline.Pipeline.synthDocsRange(spark, 25, 40)
+    crashStore.appendStage(lostDocs.toDF(), "docs", Nil, bucketCol = Some("doc_id"))
+    crashStore.appendStage(
+      graft.pipeline.Pipeline.extractTriples(
+        graft.pipeline.Pipeline.segmentDocs(lostDocs)).toDF(),
+      "triples", Nil, bucketCol = Some("doc_id"))
+    Files.createFile(Paths.get(inc, "_fold_inflight"))
+    // fold a DIFFERENT slice that does NOT cover the crashed docs [30,40)
+    // — only the repair pass can reconcile them
+    Main.main(Array("--reader", "synth", "--docs", "30", "--docs-from", "15",
+                    "--out", inc, "--incremental"))
+    def table(root: String, stage: String) =
+      spark.read.parquet(s"$root/$stage").drop("_bucket")
+    assert(table(inc, "triples").exceptAll(table(oneShot, "triples")).isEmpty)
+    assert(table(oneShot, "triples").exceptAll(table(inc, "triples")).isEmpty)
+    assert(table(inc, "canonical").exceptAll(table(oneShot, "canonical")).isEmpty)
+    assert(table(oneShot, "canonical").exceptAll(table(inc, "canonical")).isEmpty)
+    assert(table(inc, "edges").collect().map(_.toSeq).toSet ==
+           table(oneShot, "edges").collect().map(_.toSeq).toSet)
+    assert(!new java.io.File(s"$inc/_fold_inflight").exists(), "marker must clear")
+    // per-store doc counts reconciled (canonical ⊆ triples ⊆ docs restored)
+    assert(table(inc, "docs").count() == 40L)
+    assert(table(inc, "canonical").select(col("doc_id")).distinct().count() ==
+           table(inc, "triples").select(col("doc_id")).distinct().count())
   }
 
   test("argument errors are loud") {
