@@ -137,6 +137,17 @@ object Main {
       throw new IllegalArgumentException("--out is required"))
     def input = opts.getOrElse("input",
       throw new IllegalArgumentException(s"--input is required for --reader $reader"))
+    // validate flag combinations BEFORE any work or side effect: a
+    // rejected --incremental invocation must not have scanned the corpus
+    // or written anything
+    if (opts.contains("incremental")) {
+      val banned = Seq("coref", "mentions", "nerpos", "toy-sample",
+                       "export-jsonl", "compact", "skew-report").filter(opts.contains)
+      require(banned.isEmpty,
+        s"--incremental maintains the core docs/triples/canonical/pairpred/" +
+          s"edges stores only; ${banned.map("--" + _).mkString(", ")} must " +
+          "run as separate one-shot jobs")
+    }
 
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val builder = SparkSession.builder().appName("graft-pipeline")
@@ -178,12 +189,21 @@ object Main {
           // doesn't depend on them). An INCREMENTAL fold must NOT touch
           // it: its fingerprint would mismatch the root's original run
           // and clobber the cumulative audit trail with slice-only rows —
-          // slice exclusions append to their own side table instead.
+          // slice exclusions land in a PER-SLICE subdir of their own side
+          // table (overwrite keyed by the slice fingerprint → idempotent
+          // under re-submission/retry; one job's files per slice, so no
+          // unbounded small-file accumulation either). Written here, but
+          // the fold's own root validation runs before this (lazily
+          // enough: incrementalFold fails fast on a bad root before the
+          // first action, and the flag-combination guard already ran).
           locally {
             import spark.implicits._
-            if (opts.contains("incremental"))
-              out.excluded.write.mode("append").parquet(s"$outDir/excluded_incr")
-            else
+            if (opts.contains("incremental")) {
+              val sliceKey = java.security.MessageDigest.getInstance("MD5")
+                .digest(fp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+              out.excluded.write.mode("overwrite")
+                .parquet(s"$outDir/excluded_incr/slice=$sliceKey")
+            } else
               new pipeline.CheckpointStore(outDir, spark, fingerprint = fp)
                 .runStage("excluded")(out.excluded)
           }
@@ -200,15 +220,8 @@ object Main {
     if (opts.contains("incremental")) {
       // fold the fresh slice into an EXISTING run root (doc-granular
       // append + additive pairpred merge + edge re-derivation) — the
-      // run-book surface of kg_slice_merge / kg_edges_incr. The extra
-      // sinks operate per-slice and don't compose with a fold; keep the
-      // contract narrow and loud.
-      val banned = Seq("coref", "mentions", "nerpos", "toy-sample",
-                       "export-jsonl", "compact", "skew-report").filter(opts.contains)
-      require(banned.isEmpty,
-        s"--incremental maintains the core docs/triples/canonical/pairpred/" +
-          s"edges stores only; ${banned.map("--" + _).mkString(", ")} must " +
-          "run as separate one-shot jobs")
+      // run-book surface of kg_slice_merge / kg_edges_incr (flag
+      // combinations already validated up top, before any side effect)
       val res = Pipeline.incrementalFold(spark, outDir, docs,
         fingerprint = s"$fullFp,incremental", aliases = Some(aliases))
       readerOut.foreach(_.uncache())

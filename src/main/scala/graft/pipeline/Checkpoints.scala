@@ -36,8 +36,18 @@ final class CheckpointStore(root: String, spark: SparkSession,
     }
   }
 
+  /** a crashed incremental fold ([[graft.pipeline.Pipeline.incrementalFold]])
+    * leaves this marker at the root; while it exists the stores may be
+    * mutually inconsistent (e.g. triples holding a slice canonical lacks),
+    * so NO stage under this root may be treated as complete — a one-shot
+    * resume would otherwise silently reuse half-mutated data. The fold
+    * itself repairs forward; [[Pipeline.runFromDocs]] invalidates and
+    * recomputes. */
+  def foldInFlight: Boolean = fs.exists(new Path(root, "_fold_inflight"))
+
   def isComplete(stage: String): Boolean =
-    fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&
+    !foldInFlight &&
+      fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&
       readMeta(stage).exists(_.contains(s""""fingerprint":${jstr(fingerprint)}"""))
 
   /** every stage under this root that is COMPLETE under THIS store's
@@ -142,8 +152,13 @@ final class CheckpointStore(root: String, spark: SparkSession,
     val before = listDataFiles(stage).map(_.getName).toSet
     writeStageMode(df, stage, bucketCol, nBuckets, "append")
     val newFiles = listDataFiles(stage).filterNot(p => before(p.getName))
-    if (existing.isEmpty && before.nonEmpty) {
-      // no recorded lineage to merge with — full rescan fallback
+    // STALE meta = data files exist that the recorded lineage doesn't
+    // know (a previous append committed its files but died before its
+    // meta write) — merging would under-count forever and wedge a later
+    // compact()'s row verification; fall back to one full self-healing
+    // rescan instead
+    val known = existing.map(_._1).toSet
+    if ((existing.isEmpty || before.exists(!known(_))) && before.nonEmpty) {
       val stored = bucketCol match {
         case Some(_) => df.schema.add("_bucket", org.apache.spark.sql.types.LongType)
         case None => df.schema
@@ -187,6 +202,14 @@ final class CheckpointStore(root: String, spark: SparkSession,
                 e.getMessage.contains("Unable to infer schema")) =>
           spark.read.schema(fallback.get).parquet(dataPath(stage))
       }
+
+  /** read a stage's data with the empty-stage schema fallback — the
+    * PUBLIC read path for consumers outside runStage (the incremental
+    * fold's history reads): a legitimately EMPTY bucketed stage has zero
+    * part files, where raw `spark.read.parquet` fails inference. */
+  def readData(stage: String,
+               fallback: Option[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.DataFrame =
+    readStage(stage, fallback)
 
   /** write the completion meta for a stage whose data was persisted by the
     * caller (DataFrame stages that don't go through runStage). `schema`

@@ -165,18 +165,21 @@ object Mentions {
     // String.substring, so a supplementary-plane alias (CJK Ext-B names
     // occur in real wikidicts) must be measured in the same units or it
     // could never match
-    // ONE driver-side pull serves both prefilters: distinct
-    // (length, first-UTF-16-unit) pairs — bounded by |lengths| × alphabet
-    // (the unit space matches the candidate slicing below: a
-    // supplementary-plane alias contributes its high surrogate, so its
-    // candidates still survive the first-unit filter)
-    val lenFirst: Array[(Int, Int)] = aliases
+    // ONE driver-side pull (a single aggregation job) serves both
+    // prefilters, and it collects the two INDEPENDENT sets — not their
+    // product: |lengths| + |first units| values, bounded by a few dozen
+    // plus the alphabet. (The unit space matches the candidate slicing
+    // below: a supplementary-plane alias contributes its high surrogate,
+    // so its candidates still survive the first-unit filter.)
+    val setsRow = aliases
       .filter(_.alias.nonEmpty)
       .map(a => (a.alias.length, a.alias.charAt(0).toInt))
-      .distinct().collect()
-    val lengths: Array[Int] = lenFirst.map(_._1).distinct.sorted
+      .toDF("len", "fu")
+      .agg(collect_set(col("len")).as("lens"), collect_set(col("fu")).as("fus"))
+      .head()
+    val lengths: Array[Int] = setsRow.getAs[Seq[Int]]("lens").toArray.sorted
     val fcBits = new java.util.BitSet(1 << 16)
-    lenFirst.foreach(p => fcBits.set(p._2))
+    setsRow.getAs[Seq[Int]]("fus").foreach(fcBits.set)
     val bcFirst = spark.sparkContext.broadcast(fcBits)
     val dict = aliases.filter(_.alias.nonEmpty)
       .groupByKey(_.alias)

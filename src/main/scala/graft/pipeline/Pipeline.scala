@@ -545,6 +545,23 @@ object Pipeline {
                   aliases: Option[Dataset[AliasRow]] = None,
                   withCoref: Boolean = false): RunResult = {
     import spark.implicits._
+    // a crashed incremental fold left this root suspect: every stage's
+    // completion meta is wiped (forces full recompute — isComplete is
+    // already false while the marker stands, this makes it durable), the
+    // fold-owned pairpred aggregate is deleted (a recomputed canonical
+    // invalidates it), and only then is the marker cleared
+    locally {
+      val rootPath = new org.apache.hadoop.fs.Path(checkpointRoot)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(checkpointRoot, "_fold_inflight")
+      if (fs.exists(marker)) {
+        fs.listStatus(rootPath).filter(_.isDirectory).foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d.getPath, "_graft_meta.json"), false)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(checkpointRoot, "pairpred"), true)
+        fs.delete(marker, false)
+      }
+    }
     val store = new CheckpointStore(checkpointRoot, spark,
       fingerprint = s"$fingerprint,withCoref=$withCoref")
     val docs = store.runStage("docs", bucketCol = Some("doc_id"))(inputDocs)
@@ -631,27 +648,41 @@ object Pipeline {
     val store = new CheckpointStore(root, spark, fingerprint = fingerprint)
     val dict = aliases.getOrElse(synthAliases(spark))
     val marker = new org.apache.hadoop.fs.Path(s"$root/_fold_inflight")
+    // all history reads carry the stage's KNOWN schema as the empty-stage
+    // fallback (a legitimately empty bucketed stage has ZERO part files,
+    // where raw parquet inference fails — Checkpoints.scala contract)
+    val docEnc = org.apache.spark.sql.Encoders.product[Doc]
+    val tripleEnc = org.apache.spark.sql.Encoders.product[TripleRow]
+    def withBucket(s: org.apache.spark.sql.types.StructType) =
+      s.add("_bucket", org.apache.spark.sql.types.LongType)
+    val canonSchema = Seq("subj_entity_id", "subj_canonical",
+                          "obj_entity_id", "obj_canonical")
+      .foldLeft(tripleEnc.schema)((s, c) => s.add(c, org.apache.spark.sql.types.StringType))
+    val stageSchema = Map(
+      "docs" -> withBucket(docEnc.schema),
+      "triples" -> withBucket(tripleEnc.schema),
+      "canonical" -> withBucket(canonSchema))
+    def readStore(stage: String) =
+      store.readData(stage, Some(stageSchema(stage))).drop("_bucket")
     def storeIds(stage: String) =
-      spark.read.parquet(s"$root/$stage").select(col("doc_id")).distinct()
+      readStore(stage).select(col("doc_id")).distinct()
 
     if (fs.exists(marker)) {
       // REPAIR: a previous fold died mid-mutation. Append order
       // guarantees canonical ⊆ triples ⊆ docs, so reconcile forward:
-      val docEnc = org.apache.spark.sql.Encoders.product[Doc]
-      val docsMissingT = spark.read.parquet(s"$root/docs")
+      val docsMissingT = readStore("docs")
         .select(col("doc_id"), col("spans")).as[Doc](docEnc)
         .join(storeIds("triples"), Seq("doc_id"), "left_anti")
         .as[Doc](docEnc)
       val repairT = extractTriples(segmentDocs(docsMissingT)).toDF().localCheckpoint()
       if (!repairT.isEmpty)
         store.appendStage(repairT, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
-      val missingC = spark.read.parquet(s"$root/triples").drop("_bucket")
+      val missingC = readStore("triples")
         .join(storeIds("canonical"), Seq("doc_id"), "left_anti").localCheckpoint()
       if (!missingC.isEmpty)
         store.appendStage(canonicalize(missingC.as[TripleRow], dict),
           "canonical", Seq("triples"), bucketCol = Some("doc_id"))
-      val ppRebuilt = pairPredAggregate(
-        spark.read.parquet(s"$root/canonical").drop("_bucket")).localCheckpoint()
+      val ppRebuilt = pairPredAggregate(readStore("canonical")).localCheckpoint()
       ppRebuilt.write.mode("overwrite").parquet(s"$root/pairpred")
       // marker stays until THIS fold completes
     } else {
@@ -675,7 +706,7 @@ object Pipeline {
     val ppExisting =
       if (fs.exists(new org.apache.hadoop.fs.Path(ppPath, "_SUCCESS")))
         spark.read.parquet(ppPath).drop("_bucket")
-      else pairPredAggregate(spark.read.parquet(s"$root/canonical").drop("_bucket"))
+      else pairPredAggregate(readStore("canonical"))
     val ppMerged = mergePairPred(ppExisting, pairPredAggregate(cNew))
       .localCheckpoint() // also breaks the pairpred read/overwrite cycle
 
@@ -693,8 +724,8 @@ object Pipeline {
     fs.delete(marker, false) // fold committed
     IncrementalResult(
       newDocs = docsNew.select(col("doc_id")).distinct().count(),
-      docsTotal = spark.read.parquet(s"$root/docs").count(),
-      triples = spark.read.parquet(s"$root/triples").drop("_bucket"),
+      docsTotal = readStore("docs").count(),
+      triples = readStore("triples"),
       edges = edgesBack)
   }
 

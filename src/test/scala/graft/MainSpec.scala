@@ -259,6 +259,33 @@ class MainSpec extends SparkSpecBase {
            table(inc, "triples").select(col("doc_id")).distinct().count())
   }
 
+  test("a crashed fold's marker forces a one-shot rerun to recompute, not resume") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-marker-oneshot").toString
+    Main.main(Array("--reader", "synth", "--docs", "30", "--out", out))
+    val cleanRows = spark.read.parquet(s"$out/triples").count()
+    // simulate a crashed fold: foreign slice rows landed in triples, the
+    // in-flight marker is still standing
+    val crashStore = new graft.pipeline.CheckpointStore(out, spark,
+      fingerprint = "crashed-fold")
+    crashStore.appendStage(
+      graft.pipeline.Pipeline.extractTriples(graft.pipeline.Pipeline.segmentDocs(
+        graft.pipeline.Pipeline.synthDocsRange(spark, 30, 35))).toDF(),
+      "triples", Nil, bucketCol = Some("doc_id"))
+    Files.createFile(Paths.get(out, "_fold_inflight"))
+    Files.createDirectories(Paths.get(out, "pairpred")) // stale fold-owned agg
+    // rerunning the ORIGINAL one-shot command must recompute everything —
+    // resuming would silently keep the foreign docs in triples while
+    // canonical/edges lack them
+    Main.main(Array("--reader", "synth", "--docs", "30", "--out", out))
+    val triples = spark.read.parquet(s"$out/triples")
+    assert(triples.count() == cleanRows, "polluted stage was resumed, not recomputed")
+    assert(triples.filter(col("doc_id") >=
+      graft.synth.SynthDocs.docId(30)).count() == 0)
+    assert(!new java.io.File(s"$out/_fold_inflight").exists())
+    assert(!new java.io.File(s"$out/pairpred").exists(), "stale pairpred must be dropped")
+  }
+
   test("argument errors are loud") {
     intercept[IllegalArgumentException](Main.main(Array("--out", "/tmp/x")))
     intercept[IllegalArgumentException](
