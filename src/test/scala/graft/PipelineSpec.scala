@@ -273,6 +273,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(dup.collect().toSet == full && dup.count() == full.size)
   }
 
+  test("fold sequences over arbitrary overlapping slice orders converge to one-shot") {
+    import org.apache.spark.sql.functions.col
+    // one-shot truth over docs [0, 20)
+    val oneShot = Files.createTempDirectory("graft-seq-oneshot").toString
+    Pipeline.runFromDocs(spark, oneShot, Pipeline.synthDocs(spark, 20),
+      fingerprint = "seq-oneshot")
+    def table(root: String, stage: String) =
+      spark.read.parquet(s"$root/$stage").drop("_bucket")
+    // three slice sequences, each covering [0, 20): overlapping, full
+    // re-submission, and out-of-order arrival
+    val sequences = Seq(
+      Seq((0L, 8L), (5L, 14L), (10L, 20L)),
+      Seq((0L, 20L), (0L, 20L)),
+      Seq((12L, 20L), (0L, 13L), (6L, 16L)))
+    for ((slices, i) <- sequences.zipWithIndex) {
+      val root = Files.createTempDirectory(s"graft-seq-$i").toString
+      Pipeline.runFromDocs(spark, root,
+        Pipeline.synthDocsRange(spark, slices.head._1, slices.head._2),
+        fingerprint = s"seq-$i-seed")
+      for (((from, until), k) <- slices.tail.zipWithIndex)
+        Pipeline.incrementalFold(spark, root,
+          Pipeline.synthDocsRange(spark, from, until),
+          fingerprint = s"seq-$i-fold-$k")
+      assert(table(root, "triples").exceptAll(table(oneShot, "triples")).isEmpty &&
+             table(oneShot, "triples").exceptAll(table(root, "triples")).isEmpty,
+             s"sequence $i: triples diverged")
+      assert(table(root, "canonical").exceptAll(table(oneShot, "canonical")).isEmpty &&
+             table(oneShot, "canonical").exceptAll(table(root, "canonical")).isEmpty,
+             s"sequence $i: canonical diverged")
+      assert(table(root, "edges").collect().map(_.toSeq).toSet ==
+             table(oneShot, "edges").collect().map(_.toSeq).toSet,
+             s"sequence $i: edges diverged")
+      assert(table(root, "docs").count() == 20L, s"sequence $i: docs store")
+    }
+  }
+
   test("incremental edge maintenance equals the batch edge build exactly") {
     def canon(from: Long, until: Long) = Pipeline.canonicalize(
       Pipeline.extractTriples(Pipeline.segmentDocs(
