@@ -109,10 +109,15 @@ object Main {
     * hadoop FS, not java.nio — --out may be an HDFS/object-store path. */
   private def writeStats(spark: SparkSession, outDir: String, nDocs: Long,
                          nEdges: Long,
-                         triples: org.apache.spark.sql.DataFrame): Unit = {
-    val totals = triples.groupBy("rel_list").count()
-      .collect().sortBy(_.getString(0))
-      .map(r => s"""    "${r.getString(0)}": ${r.getLong(1)}""")
+                         triples: org.apache.spark.sql.DataFrame): Unit =
+    writeStatsJson(spark, outDir, nDocs, nEdges,
+      triples.groupBy("rel_list").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+
+  private def writeStatsJson(spark: SparkSession, outDir: String, nDocs: Long,
+                             nEdges: Long,
+                             relTotals: Seq[(String, Long)]): Unit = {
+    val totals = relTotals.sortBy(_._1).map { case (k, n) => s"""    "$k": $n""" }
     val stats =
       s"""{
          |  "docs": $nDocs,
@@ -127,6 +132,37 @@ object Main {
     val os = fs.create(statsPath, true)
     os.write(stats.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     os.close()
+  }
+
+  /** ADDITIVE stats refresh for the incremental fold: the previous
+    * stats.json (machine-written by [[writeStatsJson]]) plus the fold's
+    * delta — rel totals and doc counts are pure sums, so the refresh is
+    * slice-sized instead of two full-store scans per fold. Falls back to
+    * the full recomputation when no prior stats.json exists. */
+  private def refreshStats(spark: SparkSession, outDir: String,
+                           res: Pipeline.IncrementalResult, nEdges: Long): Unit = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/stats.json")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) {
+      writeStatsJson(spark, outDir, res.docsTotal(), nEdges,
+        res.triples.groupBy("rel_list").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    } else {
+      val in = fs.open(statsPath)
+      val old = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+      val oldTotals = scala.collection.mutable.Map.empty[String, Long]
+      val it = old.get("rel_totals").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        oldTotals += e.getKey -> e.getValue.asLong()
+      }
+      res.deltaRelTotals.foreach { case (k, n) =>
+        oldTotals += k -> (oldTotals.getOrElse(k, 0L) + n) }
+      writeStatsJson(spark, outDir, old.get("docs").asLong() + res.newDocs,
+        nEdges, oldTotals.toSeq)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -225,11 +261,10 @@ object Main {
       val res = Pipeline.incrementalFold(spark, outDir, docs,
         fingerprint = s"$fullFp,incremental", aliases = Some(aliases))
       readerOut.foreach(_.uncache())
-      // nDocs = the maintained docs store's count — the SAME definition
-      // the one-shot path uses (docsOut), so fold == one-shot holds for
-      // stats.json too, including zero-triple docs
-      writeStats(spark, outDir, nDocs = res.docsTotal,
-        nEdges = res.edges.count(), triples = res.triples)
+      // stats.json refresh is ADDITIVE (docs/rel totals are sums — same
+      // definitions as the one-shot path, so fold == one-shot holds,
+      // including zero-triple docs) — no full-store rescan per fold
+      refreshStats(spark, outDir, res, nEdges = res.edges.count())
       println(s"[graft] incremental fold complete: ${res.newDocs} new docs -> $outDir (stats.json refreshed)")
       if (preexisting.isEmpty) spark.stop()
       return

@@ -112,13 +112,21 @@ final class CheckpointStore(root: String, spark: SparkSession,
                          bucketCol: Option[String], nBuckets: Int): Unit =
     writeStageMode(df, stage, bucketCol, nBuckets, "overwrite")
 
+  /** `clustered = false` (one-shot stage writes): fanout write — no
+    * shuffle, each task writes into every bucket dir it touches
+    * (tasks × buckets files; `compact()` is the maintenance answer).
+    * `clustered = true` (incremental APPENDS): one slice-sized shuffle on
+    * the bucket key first, so each fold adds ≈ nBuckets files instead of
+    * tasks × nBuckets — repeated folds would otherwise grow the file
+    * count (and every subsequent fold's read/meta cost) unboundedly. */
   private def writeStageMode(df: org.apache.spark.sql.DataFrame, stage: String,
                              bucketCol: Option[String], nBuckets: Int,
-                             saveMode: String): Unit = {
+                             saveMode: String, clustered: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     bucketCol match {
       case Some(c) =>
-        df.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
+        val withB = df.withColumn("_bucket", pmod(xxhash64(col(c)), lit(nBuckets.toLong)))
+        (if (clustered) withB.repartition(col("_bucket")) else withB)
           .write.mode(saveMode).partitionBy("_bucket").parquet(dataPath(stage))
       case None =>
         df.write.mode(saveMode).parquet(dataPath(stage))
@@ -150,7 +158,7 @@ final class CheckpointStore(root: String, spark: SparkSession,
       s"appendStage($stage): no existing completed stage at ${dataPath(stage)}")
     val existing = metaFileRows(stage)
     val before = listDataFiles(stage).map(_.getName).toSet
-    writeStageMode(df, stage, bucketCol, nBuckets, "append")
+    writeStageMode(df, stage, bucketCol, nBuckets, "append", clustered = true)
     val newFiles = listDataFiles(stage).filterNot(p => before(p.getName))
     // STALE meta = data files exist that the recorded lineage doesn't
     // know (a previous append committed its files but died before its

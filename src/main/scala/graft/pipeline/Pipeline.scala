@@ -587,7 +587,15 @@ object Pipeline {
   }
 
   // ------------------------------------------------------- incremental
-  final case class IncrementalResult(newDocs: Long, docsTotal: Long,
+  /** `deltaRelTotals` = the appended triple rows' per-list counts (the
+    * ADDITIVE stats delta — rel totals are pure counts, so the caller
+    * merges them into the previous stats instead of rescanning the
+    * store); `docsTotal` is a THUNK (a full docs-store count — only the
+    * no-prior-stats fallback pays it); `triples` is the lazy full-store
+    * read-back (no job unless consumed — the additive path never
+    * consumes it). */
+  final case class IncrementalResult(newDocs: Long, docsTotal: () => Long,
+                                     deltaRelTotals: Seq[(String, Long)],
                                      triples: DataFrame, edges: DataFrame)
 
   /** Incremental maintenance of an EXISTING run root: fold a fresh corpus
@@ -724,7 +732,9 @@ object Pipeline {
     fs.delete(marker, false) // fold committed
     IncrementalResult(
       newDocs = docsNew.select(col("doc_id")).distinct().count(),
-      docsTotal = readStore("docs").count(),
+      docsTotal = () => readStore("docs").count(),
+      deltaRelTotals = tNew.groupBy(col("rel_list")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
       triples = readStore("triples"),
       edges = edgesBack)
   }
