@@ -138,12 +138,15 @@ object Main {
     * stats.json (machine-written by [[writeStatsJson]]) plus the fold's
     * delta — rel totals and doc counts are pure sums, so the refresh is
     * slice-sized instead of two full-store scans per fold. Falls back to
-    * the full recomputation when no prior stats.json exists. */
+    * the full recomputation when no prior stats.json exists OR when the
+    * fold REPAIRED a crashed predecessor (the crashed fold's rows are in
+    * the stores but were never captured by any delta — incrementing
+    * would under-count them forever). */
   private def refreshStats(spark: SparkSession, outDir: String,
                            res: Pipeline.IncrementalResult, nEdges: Long): Unit = {
     val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/stats.json")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(statsPath)) {
+    if (!fs.exists(statsPath) || res.repaired) {
       writeStatsJson(spark, outDir, res.docsTotal(), nEdges,
         res.triples.groupBy("rel_list").count()
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
@@ -199,6 +202,14 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZhFunctions.register(spark)
 
+    // root preconditions BEFORE the reader runs: a rejected --incremental
+    // invocation (bad/coref root) must not have scanned the corpus or
+    // written a single file under --out; a non-incremental run first
+    // recovers from any crashed fold the root carries (the fold's own
+    // repair path needs the marker, so recovery is one-shot-only here)
+    if (opts.contains("incremental")) Pipeline.validateFoldRoot(spark, outDir)
+    else new pipeline.CheckpointStore(outDir, spark).recoverFoldCrash()
+
     val (docs: Dataset[Doc], fingerprint: String, readerOut: Option[CorpusReaders.ReaderOutput]) =
       reader match {
         case "synth" =>
@@ -228,10 +239,9 @@ object Main {
           // slice exclusions land in a PER-SLICE subdir of their own side
           // table (overwrite keyed by the slice fingerprint → idempotent
           // under re-submission/retry; one job's files per slice, so no
-          // unbounded small-file accumulation either). Written here, but
-          // the fold's own root validation runs before this (lazily
-          // enough: incrementalFold fails fast on a bad root before the
-          // first action, and the flag-combination guard already ran).
+          // unbounded small-file accumulation either). The fold root was
+          // ALREADY validated up top — a rejected invocation never
+          // reaches this scan/write.
           locally {
             import spark.implicits._
             if (opts.contains("incremental")) {
@@ -258,13 +268,16 @@ object Main {
       // append + additive pairpred merge + edge re-derivation) — the
       // run-book surface of kg_slice_merge / kg_edges_incr (flag
       // combinations already validated up top, before any side effect)
-      val res = Pipeline.incrementalFold(spark, outDir, docs,
-        fingerprint = s"$fullFp,incremental", aliases = Some(aliases))
-      readerOut.foreach(_.uncache())
       // stats.json refresh is ADDITIVE (docs/rel totals are sums — same
       // definitions as the one-shot path, so fold == one-shot holds,
-      // including zero-triple docs) — no full-store rescan per fold
-      refreshStats(spark, outDir, res, nEdges = res.edges.count())
+      // including zero-triple docs) and runs INSIDE the fold's crash
+      // bracket via beforeCommit: a crash before the stats write leaves
+      // the marker standing, so the next fold's repair rebuilds stats
+      // from the stores instead of silently never catching up
+      val res = Pipeline.incrementalFold(spark, outDir, docs,
+        fingerprint = s"$fullFp,incremental", aliases = Some(aliases),
+        beforeCommit = r => refreshStats(spark, outDir, r, nEdges = r.edges.count()))
+      readerOut.foreach(_.uncache())
       println(s"[graft] incremental fold complete: ${res.newDocs} new docs -> $outDir (stats.json refreshed)")
       if (preexisting.isEmpty) spark.stop()
       return

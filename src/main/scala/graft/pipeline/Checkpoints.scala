@@ -45,6 +45,41 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * recomputes. */
   def foldInFlight: Boolean = fs.exists(new Path(root, "_fold_inflight"))
 
+  /** One-shot-path recovery from a crashed fold: wipe every stage's
+    * completion meta (forces full recompute), drop the fold-owned
+    * `pairpred` aggregate, clear the marker. Lives HERE because the meta
+    * filename and layout are this store's implementation details — a
+    * caller hand-deleting `_graft_meta.json` would silently stop working
+    * if the name ever changed, turning the wipe into stale-data resume.
+    * Returns whether a recovery actually ran. (The INCREMENTAL path must
+    * NOT call this — its repair uses the standing marker.) */
+  def recoverFoldCrash(): Boolean =
+    foldInFlight && {
+      fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { d =>
+        fs.delete(new Path(d.getPath, "_graft_meta.json"), false)
+      }
+      fs.delete(new Path(root, "pairpred"), true)
+      fs.delete(new Path(root, "_fold_inflight"), false)
+      true
+    }
+
+  /** Delete data files a crashed append left UNRECORDED in the stage's
+    * lineage meta (Iceberg's orphan-file semantics: files no snapshot
+    * references are invisible and cleaned). A mid-job-commit crash can
+    * expose a SUBSET of an append's files — a doc's rows split across
+    * files would then be partially present, which doc-granular repair
+    * cannot see; pruning back to the last recorded-consistent state
+    * first makes the doc-level reconcile sound. No-op (returns Nil) when
+    * the stage has no recorded file list to prune against. */
+  def pruneUnrecorded(stage: String): Seq[String] = {
+    val recorded = metaFileRows(stage).map(_._1).toSet
+    if (recorded.isEmpty) Nil
+    else listDataFiles(stage).filterNot(p => recorded(p.getName)).map { p =>
+      fs.delete(p, false)
+      p.getName
+    }
+  }
+
   def isComplete(stage: String): Boolean =
     !foldInFlight &&
       fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&

@@ -545,25 +545,12 @@ object Pipeline {
                   aliases: Option[Dataset[AliasRow]] = None,
                   withCoref: Boolean = false): RunResult = {
     import spark.implicits._
-    // a crashed incremental fold left this root suspect: every stage's
-    // completion meta is wiped (forces full recompute — isComplete is
-    // already false while the marker stands, this makes it durable), the
-    // fold-owned pairpred aggregate is deleted (a recomputed canonical
-    // invalidates it), and only then is the marker cleared
-    locally {
-      val rootPath = new org.apache.hadoop.fs.Path(checkpointRoot)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(checkpointRoot, "_fold_inflight")
-      if (fs.exists(marker)) {
-        fs.listStatus(rootPath).filter(_.isDirectory).foreach { d =>
-          fs.delete(new org.apache.hadoop.fs.Path(d.getPath, "_graft_meta.json"), false)
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(checkpointRoot, "pairpred"), true)
-        fs.delete(marker, false)
-      }
-    }
     val store = new CheckpointStore(checkpointRoot, spark,
       fingerprint = s"$fingerprint,withCoref=$withCoref")
+    // a crashed incremental fold left this root suspect: wipe completion
+    // metas + the fold-owned pairpred, clear the marker, recompute all
+    // (the store owns the layout — see CheckpointStore.recoverFoldCrash)
+    store.recoverFoldCrash()
     val docs = store.runStage("docs", bucketCol = Some("doc_id"))(inputDocs)
     val sentences = store.runStage("sentences", Seq("docs"))(segmentDocs(docs))
     val base = store.runStage("triples", Seq("sentences"), bucketCol = Some("doc_id"))(
@@ -590,13 +577,33 @@ object Pipeline {
   /** `deltaRelTotals` = the appended triple rows' per-list counts (the
     * ADDITIVE stats delta — rel totals are pure counts, so the caller
     * merges them into the previous stats instead of rescanning the
-    * store); `docsTotal` is a THUNK (a full docs-store count — only the
-    * no-prior-stats fallback pays it); `triples` is the lazy full-store
-    * read-back (no job unless consumed — the additive path never
-    * consumes it). */
+    * store); `repaired` = this fold found a crashed predecessor's marker
+    * and reconciled the stores first — the crashed fold's rows are in
+    * the stores but in NO recorded delta, so any additive derived state
+    * (stats.json) must be rebuilt from the stores, not incremented;
+    * `docsTotal` is a THUNK (a full docs-store count — only the rebuild
+    * paths pay it); `triples` is the lazy full-store read-back (no job
+    * unless consumed). */
   final case class IncrementalResult(newDocs: Long, docsTotal: () => Long,
                                      deltaRelTotals: Seq[(String, Long)],
+                                     repaired: Boolean,
                                      triples: DataFrame, edges: DataFrame)
+
+  /** the fold-root preconditions, callable BEFORE any corpus work — a
+    * rejected --incremental invocation must not have scanned or written
+    * anything (Main checks this up front; incrementalFold re-checks). */
+  def validateFoldRoot(spark: SparkSession, root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (st <- Seq("docs", "triples", "canonical"))
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$st/_SUCCESS")),
+        s"--incremental: $root/$st is not a completed stage — the out dir " +
+          "must be an existing (non-coref) run root")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/coref_triples/_SUCCESS")),
+      s"--incremental: $root was built with --coref; folding base-only " +
+        "extraction into a base+coref store would mix entry shapes — " +
+        "rebuild coref roots with a one-shot run")
+  }
 
   /** Incremental maintenance of an EXISTING run root: fold a fresh corpus
     * slice into the maintained docs/triples/canonical stores (doc-
@@ -641,18 +648,12 @@ object Pipeline {
     * doc (new docs would permanently lack corefed contributions). */
   def incrementalFold(spark: SparkSession, root: String, freshDocs: Dataset[Doc],
                       fingerprint: String,
-                      aliases: Option[Dataset[AliasRow]] = None): IncrementalResult = {
+                      aliases: Option[Dataset[AliasRow]] = None,
+                      beforeCommit: IncrementalResult => Unit = _ => ()): IncrementalResult = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (st <- Seq("docs", "triples", "canonical"))
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$st/_SUCCESS")),
-        s"--incremental: $root/$st is not a completed stage — the out dir " +
-          "must be an existing (non-coref) run root")
-    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/coref_triples/_SUCCESS")),
-      s"--incremental: $root was built with --coref; folding base-only " +
-        "extraction into a base+coref store would mix entry shapes — " +
-        "rebuild coref roots with a one-shot run")
+    validateFoldRoot(spark, root)
     val store = new CheckpointStore(root, spark, fingerprint = fingerprint)
     val dict = aliases.getOrElse(synthAliases(spark))
     val marker = new org.apache.hadoop.fs.Path(s"$root/_fold_inflight")
@@ -675,9 +676,17 @@ object Pipeline {
     def storeIds(stage: String) =
       readStore(stage).select(col("doc_id")).distinct()
 
-    if (fs.exists(marker)) {
-      // REPAIR: a previous fold died mid-mutation. Append order
-      // guarantees canonical ⊆ triples ⊆ docs, so reconcile forward:
+    val repaired = fs.exists(marker)
+    if (repaired) {
+      // REPAIR: a previous fold died mid-mutation. FIRST drop any data
+      // files the crashed append committed but never recorded in lineage
+      // (a mid-job-commit crash can expose a SUBSET of an append's files,
+      // leaving a doc's rows PARTIALLY present — invisible to doc-level
+      // anti-joins; pruning restores the last recorded-consistent state,
+      // Iceberg's orphan-file semantics). THEN reconcile forward — append
+      // order guarantees canonical ⊆ triples ⊆ docs:
+      for (st <- Seq("docs", "triples", "canonical"))
+        store.pruneUnrecorded(st)
       val docsMissingT = readStore("docs")
         .select(col("doc_id"), col("spans")).as[Doc](docEnc)
         .join(storeIds("triples"), Seq("doc_id"), "left_anti")
@@ -718,25 +727,48 @@ object Pipeline {
     val ppMerged = mergePairPred(ppExisting, pairPredAggregate(cNew))
       .localCheckpoint() // also breaks the pairpred read/overwrite cycle
 
-    store.appendStage(docsNew, "docs", Nil, bucketCol = Some("doc_id"))
-    store.appendStage(tNew, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
-    store.appendStage(cNew, "canonical", Seq("triples"), bucketCol = Some("doc_id"))
-    ppMerged.write.mode("overwrite").parquet(ppPath)
-
-    // re-derive edges from the merged aggregate and overwrite the stage
-    // (runStageDF under THIS fingerprint: the old fingerprint's meta no
-    // longer matches, so it recomputes + re-stamps — resume semantics
-    // stay intact for subsequent incremental runs with the same input)
-    val edgesBack = store.runStageDF("edges", Seq("canonical"),
-      bucketCol = Some("pred_src"))(edgesFromPairPred(ppMerged))
-    fs.delete(marker, false) // fold committed
-    IncrementalResult(
+    // NO-OP fast path: a clean re-submission of an already-folded slice
+    // (every delta empty, no repair ran) must not rewrite anything — in
+    // particular not re-derive the edge stage, the fold's most expensive
+    // step. Detected on the materialized (checkpointed) deltas, so the
+    // checks are cached-partition scans, not recomputation.
+    val noop = !repaired && docsNew.isEmpty && tNew.isEmpty && cNew.isEmpty
+    val edgesBack =
+      if (noop) {
+        val edgesSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pred_src", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pred_dst", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("weight", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_arg_pairs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_bucket", org.apache.spark.sql.types.LongType)))
+        store.readData("edges", Some(edgesSchema)).drop("_bucket")
+      } else {
+        store.appendStage(docsNew, "docs", Nil, bucketCol = Some("doc_id"))
+        store.appendStage(tNew, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
+        store.appendStage(cNew, "canonical", Seq("triples"), bucketCol = Some("doc_id"))
+        ppMerged.write.mode("overwrite").parquet(ppPath)
+        // re-derive edges from the merged aggregate and overwrite the
+        // stage (runStageDF under THIS fingerprint re-stamps the meta;
+        // the standing marker keeps isComplete false here, which is what
+        // a mutating fold needs anyway — only the no-op branch skips)
+        store.runStageDF("edges", Seq("canonical"),
+          bucketCol = Some("pred_src"))(edgesFromPairPred(ppMerged))
+      }
+    val result = IncrementalResult(
       newDocs = docsNew.select(col("doc_id")).distinct().count(),
       docsTotal = () => readStore("docs").count(),
       deltaRelTotals = tNew.groupBy(col("rel_list")).count()
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+      repaired = repaired,
       triples = readStore("triples"),
       edges = edgesBack)
+    // derived-state refresh (stats.json) runs INSIDE the crash bracket:
+    // if it dies, the marker still stands and the next fold's repair
+    // rebuilds everything — no window where the stores committed but the
+    // derived state silently never catches up
+    beforeCommit(result)
+    fs.delete(marker, false) // fold committed
+    result
   }
 
   /** Compact every completed stage of a `runFromDocs` checkpoint root —

@@ -257,6 +257,49 @@ class MainSpec extends SparkSpecBase {
     assert(table(inc, "docs").count() == 40L)
     assert(table(inc, "canonical").select(col("doc_id")).distinct().count() ==
            table(inc, "triples").select(col("doc_id")).distinct().count())
+    // stats.json was REBUILT from the stores (the crashed fold's rows are
+    // in no delta, so the repaired fold must not increment) — identical
+    // to the one-shot stats
+    val mapper = new ObjectMapper()
+    assert(mapper.readTree(Files.readString(Paths.get(s"$inc/stats.json"))) ==
+           mapper.readTree(Files.readString(Paths.get(s"$oneShot/stats.json"))),
+           "stats.json must be rebuilt to the one-shot values after repair")
+  }
+
+  test("repair prunes data files a crashed append left unrecorded in lineage") {
+    import org.apache.spark.sql.functions.col
+    val oneShot = Files.createTempDirectory("graft-prune-oneshot").toString
+    Main.main(Array("--reader", "synth", "--docs", "30", "--out", oneShot))
+    val inc = Files.createTempDirectory("graft-prune-fold").toString
+    Main.main(Array("--reader", "synth", "--docs", "30", "--out", inc))
+    // simulate a crashed append whose job commit exposed PART of its
+    // files: plant a rogue parquet file with foreign rows directly into
+    // a bucket dir (not recorded in the stage meta), marker standing
+    // (no _bucket data column — partitioned files carry it in the dir)
+    val rogue = graft.pipeline.Pipeline.extractTriples(
+      graft.pipeline.Pipeline.segmentDocs(
+        graft.pipeline.Pipeline.synthDocsRange(spark, 30, 31))).toDF()
+    val tmp = Files.createTempDirectory("graft-rogue").toString
+    rogue.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get(s"$inc/triples/_bucket=3/zz-orphan.parquet")
+    Files.createDirectories(dest.getParent)
+    Files.copy(part.toPath, dest)
+    Files.createFile(Paths.get(inc, "_fold_inflight"))
+    // the partial rows ARE visible before repair
+    assert(spark.read.parquet(s"$inc/triples")
+      .filter(col("doc_id") === graft.synth.SynthDocs.docId(30)).count() > 0)
+    // an empty-slice fold triggers repair; the orphan file must be pruned
+    Main.main(Array("--reader", "synth", "--docs", "30", "--docs-from", "30",
+                    "--out", inc, "--incremental"))
+    def table(root: String, stage: String) =
+      spark.read.parquet(s"$root/$stage").drop("_bucket")
+    assert(table(inc, "triples")
+      .filter(col("doc_id") === graft.synth.SynthDocs.docId(30)).count() == 0,
+      "unrecorded partial-append rows must be pruned, not blessed")
+    assert(table(inc, "triples").exceptAll(table(oneShot, "triples")).isEmpty &&
+           table(oneShot, "triples").exceptAll(table(inc, "triples")).isEmpty)
+    assert(!new java.io.File(s"$inc/_fold_inflight").exists())
   }
 
   test("a crashed fold's marker forces a one-shot rerun to recompute, not resume") {
