@@ -180,8 +180,13 @@ object Main {
     // rejected --incremental invocation must not have scanned the corpus
     // or written anything
     if (opts.contains("incremental")) {
+      // --compact IS allowed with a fold: the fold stamps the maintained
+      // stores with its own fingerprint, so post-fold compaction is the
+      // folded root's ONLY small-file maintenance path (the one-shot
+      // --compact would first recompute everything under its own
+      // fingerprint). The rest stay one-shot-only.
       val banned = Seq("coref", "mentions", "nerpos", "toy-sample",
-                       "export-jsonl", "compact", "skew-report").filter(opts.contains)
+                       "export-jsonl", "skew-report").filter(opts.contains)
       require(banned.isEmpty,
         s"--incremental maintains the core docs/triples/canonical/pairpred/" +
           s"edges stores only; ${banned.map("--" + _).mkString(", ")} must " +
@@ -278,6 +283,16 @@ object Main {
         fingerprint = s"$fullFp,incremental", aliases = Some(aliases),
         beforeCommit = r => refreshStats(spark, outDir, r, nEdges = r.edges.count()))
       readerOut.foreach(_.uncache())
+      if (opts.contains("compact")) {
+        // post-fold maintenance: exactly the stages THIS fold stamped
+        // (docs/triples/canonical/edges) are complete under its
+        // fingerprint — repeated folds' accumulated per-slice files are
+        // rewritten without recompute, resume semantics intact
+        val store = new pipeline.CheckpointStore(outDir, spark,
+          fingerprint = s"$fullFp,incremental")
+        store.completeStages.map(store.compact(_)).foreach(r => println(
+          s"[graft] compacted ${r.stage}: ${r.filesBefore} -> ${r.filesAfter} files (${r.rowsAfter} rows)"))
+      }
       println(s"[graft] incremental fold complete: ${res.newDocs} new docs -> $outDir (stats.json refreshed)")
       if (preexisting.isEmpty) spark.stop()
       return

@@ -214,13 +214,43 @@ class MainSpec extends SparkSpecBase {
     Main.main(Array("--reader", "synth", "--docs", "40", "--docs-from", "15",
                     "--out", inc, "--incremental"))
     assert(table(inc, "triples").count() == table(oneShot, "triples").count())
-    // composing per-slice sinks or maintenance flags with a fold fails loudly
+    // composing per-slice sinks with a fold fails loudly
     intercept[IllegalArgumentException](
       Main.main(Array("--reader", "synth", "--docs", "40", "--out", inc,
                       "--incremental", "--mentions")))
     intercept[IllegalArgumentException](
       Main.main(Array("--reader", "synth", "--docs", "40", "--out", inc,
-                      "--incremental", "--compact")))
+                      "--incremental", "--skew-report")))
+  }
+
+  test("--incremental --compact rewrites the folded stores without recompute") {
+    val oneShot = Files.createTempDirectory("graft-foldcomp-oneshot").toString
+    Main.main(Array("--reader", "synth", "--docs", "40", "--out", oneShot))
+    val inc = Files.createTempDirectory("graft-foldcomp").toString
+    Main.main(Array("--reader", "synth", "--docs", "25", "--out", inc))
+    def parquetFiles(stage: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$inc/$stage"))
+    }
+    Main.main(Array("--reader", "synth", "--docs", "40", "--docs-from", "15",
+                    "--out", inc, "--incremental"))
+    val before = parquetFiles("triples")
+    // a second fold (new slice) with --compact: the maintained stores are
+    // compacted under the fold's own fingerprint — the folded root's only
+    // small-file maintenance path
+    Main.main(Array("--reader", "synth", "--docs", "40", "--docs-from", "38",
+                    "--out", inc, "--incremental", "--compact"))
+    assert(parquetFiles("triples") <= before,
+           s"compaction must not grow the store ($before -> ${parquetFiles("triples")})")
+    // content still equals the one-shot truth
+    def table(root: String, stage: String) =
+      spark.read.parquet(s"$root/$stage").drop("_bucket")
+    assert(table(inc, "triples").exceptAll(table(oneShot, "triples")).isEmpty &&
+           table(oneShot, "triples").exceptAll(table(inc, "triples")).isEmpty)
+    assert(table(inc, "edges").collect().map(_.toSeq).toSet ==
+           table(oneShot, "edges").collect().map(_.toSeq).toSet)
   }
 
   test("--incremental repairs a crashed fold before folding (marker protocol)") {
