@@ -320,6 +320,14 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(read(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(read(s, dir, "documents"))),
     "text_clean_corpus" -> ((s, dir) => TextOps.cleanCorpus(read(s, dir, "documents"))),
+    "text_sample" -> ((s, dir) =>
+      // deterministic per-language stratified sampling (training-mix
+      // quotas): en at 25%, zh at 60%, everything else dropped
+      TextOps.stratifiedSample(read(s, dir, "documents"),
+        Map("en" -> 2500, "zh" -> 6000))),
+    "text_pack" -> ((s, dir) =>
+      // sequence packing into 512-token bins across 8 parallel streams
+      TextOps.packSequences(read(s, dir, "documents"), maxTokens = 512)),
 
     // ---- relational coverage (scan/filter/agg/join/window) ----------
     "q1_agg" -> ((s, dir) =>
@@ -1013,6 +1021,30 @@ object SparkEntry {
           |    t -> greatest(1, (length(t) + 3) // 4))) AS BIGINT) AS n_subwords
           |FROM documents""".stripMargin,
       "text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_fp FROM documents",
+      "text_sample" ->
+        s"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 2
+           |              > length(regexp_replace(text, '[^A-Za-z]', '', 'g')) THEN 'zh'
+           |         WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0 THEN 'en'
+           |         ELSE 'other' END AS lang_pred,
+           |    ${graft.functions.PortableHash.duckMd5Long48("CAST(doc_id AS VARCHAR)")} % 10000 AS ticket_x10000,
+           |    text
+           |  FROM documents)
+           |SELECT doc_id, lang_pred, ticket_x10000, text FROM d
+           |WHERE ticket_x10000 < (CASE lang_pred WHEN 'en' THEN 2500
+           |                       WHEN 'zh' THEN 6000 ELSE 0 END)""".stripMargin,
+      "text_pack" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    CAST(${graft.functions.PortableHash.duckMd5Long48("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS stream,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, stream, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id, stream, n_tokens,
+           |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+           |FROM c""".stripMargin,
       "text_clean_corpus" ->
         s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
            |f AS (SELECT doc_id, text,

@@ -100,6 +100,56 @@ object TextOps {
     ((lit(1000L) * digitCharCount(text).cast("long")) /
       greatest(length(text).cast("long"), lit(1L))).cast("long")
 
+  /** Deterministic PER-LANGUAGE stratified sampling — the data-MIXING
+    * primitive (training mixes are specified as per-language/source
+    * quotas): a doc is kept iff `md5Long48(doc_id) mod 10000` falls
+    * under its language's x10000 fraction. Content-hash thresholding
+    * (not rand()) makes the sample reproducible across runs, engines
+    * (the DuckDB oracle recomputes it bit-exactly), cluster sizes and
+    * partitionings; the plan is a single narrow filter over one corpus
+    * scan — no shuffle, no per-stratum pass. Unlisted languages default
+    * to fraction 0 (dropped). */
+  def stratifiedSample(documents: DataFrame,
+                       fracX10000ByLang: Map[String, Int]): DataFrame = {
+    val lang = langIdExpr(col("text"))
+    val ticket = pmod(
+      graft.functions.PortableHash.md5Long48(col("doc_id").cast("string")),
+      lit(10000L))
+    val quota = fracX10000ByLang.foldLeft(lit(0)) {
+      case (acc, (l, f)) => when(lang === l, lit(f)).otherwise(acc)
+    }
+    documents.select(col("doc_id"), lang.as("lang_pred"),
+                     ticket.cast("long").as("ticket_x10000"), col("text"))
+      .filter(col("ticket_x10000") < quota)
+  }
+
+  /** SEQUENCE PACKING for context-window training: assign docs to
+    * fixed-token-budget bins. Global greedy packing is inherently
+    * sequential, so the scalable contract is `nStreams` PARALLEL packing
+    * streams (stream = hash(doc_id) mod nStreams — at cluster scale one
+    * stream per executor-ish): within a stream, docs are packed in
+    * doc_id order by running token count, bin = the doc's starting
+    * cumulative sum div maxTokens. One shuffle (the per-stream window);
+    * stream partitions are ~corpus/nStreams, never a global sort. A doc
+    * longer than maxTokens still gets a deterministic bin (it simply
+    * spans budgets — splitting oversize docs is the tokenizer's job
+    * upstream). Fully deterministic → DuckDB recomputes it exactly. */
+  def packSequences(documents: DataFrame, maxTokens: Long = 2048,
+                    nStreams: Int = 8): DataFrame = {
+    val nTok = size(wsTokens(col("text"))).cast("long")
+    val stream = pmod(
+      graft.functions.PortableHash.md5Long48(col("doc_id").cast("string")),
+      lit(nStreams.toLong)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    documents
+      .select(col("doc_id"), stream.as("stream"), nTok.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("stream"), col("n_tokens"),
+              expr(s"(cum_tokens - n_tokens) div $maxTokens").cast("long").as("bin"))
+  }
+
   /** the composed training-corpus cleaner — the end-user surface the
     * individual ops exist for: exact-dedup to the keeper copy, then
     * quality gates (token count window, stopword floor, digit ceiling),

@@ -265,4 +265,50 @@ class OpsSpec extends SparkSpecBase {
     val out = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "zh", 2L -> "en", 3L -> "other"))
   }
+
+  test("stratifiedSample: deterministic, partition-invariant, quota-correct") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val quotas = Map("en" -> 2500, "zh" -> 6000)
+    val a = TextOps.stratifiedSample(docs.repartition(1), quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.stratifiedSample(docs.repartition(7), quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    // quota edges: 10000 keeps every doc of the lang, 0 keeps none
+    val all = TextOps.stratifiedSample(docs, Map("en" -> 10000)).collect()
+    assert(all.forall(_.getString(1) == "en"))
+    assert(all.length == TextOps.langId(docs)
+      .filter($"lang_pred" === "en").count())
+    assert(TextOps.stratifiedSample(docs, Map.empty).count() == 0)
+    // the kept fraction lands near the quota (content-hash tickets are
+    // uniform; 3σ tolerance at this corpus size)
+    val en = TextOps.langId(docs).filter($"lang_pred" === "en").count().toDouble
+    val kept = all.length.toDouble // sanity anchor for the ratio below
+    val sampled = TextOps.stratifiedSample(docs, Map("en" -> 2500)).count().toDouble
+    assert(math.abs(sampled / en - 0.25) < 3 * math.sqrt(0.25 * 0.75 / en),
+           s"en sample rate ${sampled / en} too far from 0.25 (n=$en, kept=$kept)")
+  }
+
+  test("packSequences: per-stream cumulative bin assignment, partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextOps.packSequences(docs, maxTokens = 512, nStreams = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // recompute the contract directly: within a stream, docs in doc_id
+    // order, bin = floor(start-cumsum / maxTokens)
+    val expected = got.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, st, n, _) =>
+        val bin = cum / 512
+        cum += n
+        (id, st, n, bin)
+      }
+    }.toSet
+    assert(got.toSet == expected, "bin assignment must equal the sequential pack per stream")
+    val reparted = TextOps.packSequences(docs.repartition(13), maxTokens = 512, nStreams = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(reparted == got.toSet, "packing must not depend on input partitioning")
+    // every doc lands in exactly one bin; bins start at 0 per stream
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.groupBy(_._2).values.forall(_.map(_._4).min == 0L))
+  }
 }

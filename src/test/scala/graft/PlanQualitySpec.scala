@@ -182,6 +182,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(full) == 1, s"expected exactly the groupBy exchange:\n$plan")
   }
 
+  test("sampling is shuffle-free; packing shuffles once (per-stream window)") {
+    val sample = SparkEntry.queries("text_sample")(spark, sf)
+    assert(shuffles(sample) == 0,
+           s"stratified sampling must be one narrow filtered scan:\n${executed(sample)}")
+    val pack = SparkEntry.queries("text_pack")(spark, sf)
+    assert(shuffles(pack) == 1,
+           s"packing must shuffle exactly once (stream partition):\n${executed(pack)}")
+  }
+
   test("relational aggregation is whole-stage codegen'd") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
