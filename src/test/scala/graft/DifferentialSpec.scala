@@ -41,6 +41,13 @@ class DifferentialSpec extends AnyFunSuite {
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
+  test("engine output exactly matches the reference on the round-4 fresh-seed battery") {
+    // third disjoint k-range (30000-39999), generated in round 4 — the
+    // exact-match claim keeps being re-earned on inputs no prior round saw
+    runDifferential("/golden_random3.json", 10000,
+      id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
+  }
+
   test("per-sentence decomposition equals the reference's per-document processing") {
     // the reference processes documents (lists of sentences) through one
     // post_processing call; the engine processes sentences independently.
