@@ -36,7 +36,13 @@ import graft.sources.CorpusReaders
   *                               never re-extracts history \
   *     [--docs-from N]           with --reader synth: generate the id
   *                               range [N, --docs) — explicit corpus
-  *                               slices for the incremental path
+  *                               slices for the incremental path \
+  *     [--stream-once]           with --reader docs-json: drain --input
+  *                               as a Structured Streaming file source
+  *                               (Trigger.AvailableNow) and maintain
+  *                               pairpred_stream/edges_stream per
+  *                               micro-batch; reruns resume from the
+  *                               checkpointed source offsets
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
@@ -50,7 +56,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl" | "--compact" | "--skew-report" | "--incremental") =>
+        case flag @ ("--coref" | "--mentions" | "--toy-sample" | "--nerpos" | "--export-jsonl" | "--compact" | "--skew-report" | "--incremental" | "--stream-once") =>
           m += flag.drop(2) -> "true"; i += 1
         case key if key.startsWith("--") && i + 1 < args.length =>
           m += key.drop(2) -> args(i + 1); i += 2
@@ -206,6 +212,41 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZhFunctions.register(spark)
+
+    if (opts.contains("stream-once")) {
+      // STREAMING ingest run book: watch --input as a Structured
+      // Streaming file source of docs JSONL, run the SAME narrow
+      // extraction chain as a stream (unified batch/stream semantics),
+      // canonicalize against the broadcast dict (stream-static join) and
+      // maintain the pair-pred aggregate + edge table per micro-batch
+      // through the idempotent fold bridge. Trigger.AvailableNow drains
+      // what's there and terminates — rerunning after more files arrive
+      // continues from the checkpointed source offsets, and the fold
+      // marker makes replayed batches no-ops. A long-running deployment
+      // drops the flag's trigger and lets the query run continuously.
+      require(reader == "docs-json",
+        "--stream-once streams the docs-json format (schema-first readStream)")
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", StringType, nullable = false),
+        StructField("spans", ArrayType(StructType(Seq(
+          StructField("kind", StringType), StructField("text", StringType),
+          StructField("media_ref", StringType), StructField("offset", IntegerType)))))))
+      val docsStream = spark.readStream.schema(schema).json(input).as[Doc]
+      val aliasesS = opts.get("aliases").map(readAliases(spark, _))
+        .getOrElse(Pipeline.synthAliases(spark))
+      val canonical = Pipeline.canonicalize(
+        graft.streaming.StreamingOps.streamingTriples(docsStream), aliasesS)
+      val q = graft.streaming.StreamingOps.maintainEdges(canonical,
+        s"$outDir/pairpred_stream", s"$outDir/edges_stream",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        checkpointLocation = Some(s"$outDir/_stream_checkpoint"))
+      q.awaitTermination()
+      println(s"[graft] stream drained -> $outDir (edges_stream maintained)")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
 
     // root preconditions BEFORE the reader runs: a rejected --incremental
     // invocation (bad/coref root) must not have scanned the corpus or

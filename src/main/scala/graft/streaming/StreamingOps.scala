@@ -142,11 +142,19 @@ object StreamingOps {
     * between the two replays one batch into an aggregate that already
     * holds it; Iceberg's atomic snapshot commit closes that window in
     * production — the seam is this one write.) */
-  def maintainEdges(canonical: DataFrame, aggPath: String,
-                    edgesPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  def maintainEdges(canonical: DataFrame, aggPath: String, edgesPath: String,
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                    checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.Pipeline
-    canonical.writeStream
+    val writer = canonical.writeStream
       .outputMode("append")
+    trigger.foreach(writer.trigger)
+    // a checkpointLocation makes RESTARTS resume from committed source
+    // offsets with monotonically increasing batch ids — without it a new
+    // query restarts at batch 0, which the idempotence marker would skip
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration

@@ -359,6 +359,41 @@ class MainSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$out/pairpred").exists(), "stale pairpred must be dropped")
   }
 
+  test("--stream-once drains a docs stream and maintains the edge table incrementally") {
+    import org.apache.spark.sql.functions.col
+    val mapper = new ObjectMapper()
+    def docJson(i: Long): String = {
+      val d = graft.synth.SynthDocs.genDoc(i)
+      val spans = d.spans.map(s =>
+        s"""{"kind":${mapper.writeValueAsString(s.kind)},"text":${mapper.writeValueAsString(s.text)},"media_ref":${mapper.writeValueAsString(s.media_ref)},"offset":${s.offset}}""")
+      s"""{"doc_id":"${d.doc_id}","spans":[${spans.mkString(",")}]}"""
+    }
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    Files.write(Paths.get(s"$in/batch1.jsonl"),
+      (0L until 20L).map(docJson).mkString("\n").getBytes("UTF-8"))
+    Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,
+                    "--stream-once"))
+    assert(spark.read.parquet(s"$out/edges_stream").count() > 0)
+    // more files arrive; a second drain RESUMES from the source offsets
+    // (checkpointed) and folds only the new batch
+    Files.write(Paths.get(s"$in/batch2.jsonl"),
+      (20L until 40L).map(docJson).mkString("\n").getBytes("UTF-8"))
+    Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,
+                    "--stream-once"))
+    val streamed = spark.read.parquet(s"$out/edges_stream")
+      .collect().map(_.toSeq).toSet
+    // truth: the batch edge build over the same 40 docs
+    val batch = graft.pipeline.Pipeline.entailmentEdges(
+      graft.pipeline.Pipeline.canonicalize(
+        graft.pipeline.Pipeline.extractTriples(graft.pipeline.Pipeline.segmentDocs(
+          graft.pipeline.Pipeline.synthDocs(spark, 40))),
+        graft.pipeline.Pipeline.synthAliases(spark)))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+           s"stream-maintained edges diverged from batch (${streamed.size} vs ${batch.size})")
+  }
+
   test("argument errors are loud") {
     intercept[IllegalArgumentException](Main.main(Array("--out", "/tmp/x")))
     intercept[IllegalArgumentException](
