@@ -226,14 +226,44 @@ object Main {
       // drops the flag's trigger and lets the query run continuously.
       require(reader == "docs-json",
         "--stream-once streams the docs-json format (schema-first readStream)")
+      // stream mode is ITS OWN run book — the one-shot flags would be
+      // silently dead here, so reject them loudly (same contract as
+      // --incremental's ban list)
+      locally {
+        val banned = Seq("incremental", "coref", "mentions", "nerpos",
+          "toy-sample", "export-jsonl", "compact", "skew-report")
+          .filter(opts.contains)
+        require(banned.isEmpty,
+          s"--stream-once maintains pairpred_stream/edges_stream only; " +
+            s"${banned.map("--" + _).mkString(", ")} must run as separate jobs")
+      }
+      // the maintained stream aggregate is built under ONE dict: pin the
+      // config next to it and refuse a resume under a different one — the
+      // stream analogue of the batch path's fingerprint invalidation (a
+      // changed dict would silently mix two entity spaces into the
+      // aggregate)
+      locally {
+        val cfgPath = new org.apache.hadoop.fs.Path(s"$outDir/pairpred_stream/_stream_config")
+        val fsS = cfgPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cfg = s"aliases=${opts.getOrElse("aliases", "synth")}"
+        if (fsS.exists(cfgPath)) {
+          val in = fsS.open(cfgPath)
+          val prev = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          require(prev == cfg,
+            s"--stream-once: $outDir was maintained under '$prev' but this " +
+              s"run specifies '$cfg' — a changed dictionary cannot fold into " +
+              "the same aggregate; use a fresh --out")
+        } else {
+          val os = fsS.create(cfgPath, true)
+          os.write(cfg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          os.close()
+        }
+      }
       import spark.implicits._
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("doc_id", StringType, nullable = false),
-        StructField("spans", ArrayType(StructType(Seq(
-          StructField("kind", StringType), StructField("text", StringType),
-          StructField("media_ref", StringType), StructField("offset", IntegerType)))))))
-      val docsStream = spark.readStream.schema(schema).json(input).as[Doc]
+      val docsStream = spark.readStream.schema(Pipeline.docsJsonSchema)
+        .json(input).as[Doc]
       val aliasesS = opts.get("aliases").map(readAliases(spark, _))
         .getOrElse(Pipeline.synthAliases(spark))
       val canonical = Pipeline.canonicalize(

@@ -70,15 +70,20 @@ object Pipeline {
   /** schema-first JSONL docs reader (the reference's corpus readers,
     * preprocess_corpus.py:166-340, consume JSON lines; dynamic-schema
     * inference is deliberately avoided — SURVEY.md §1.4). */
-  def readDocsJson(spark: SparkSession, path: String): Dataset[Doc] = {
-    import spark.implicits._
+  /** the ONE schema for the docs JSONL wire format — shared by the batch
+    * reader and the streaming source so they can never drift. */
+  val docsJsonSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("doc_id", StringType, nullable = false),
       StructField("spans", ArrayType(StructType(Seq(
         StructField("kind", StringType), StructField("text", StringType),
         StructField("media_ref", StringType), StructField("offset", IntegerType)))))))
-    spark.read.schema(schema).json(path).as[Doc]
+  }
+
+  def readDocsJson(spark: SparkSession, path: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.schema(docsJsonSchema).json(path).as[Doc]
   }
 
   // ----------------------------------------------------------- sentences

@@ -42,8 +42,10 @@ class DifferentialSpec extends AnyFunSuite {
   }
 
   test("engine output exactly matches the reference on the round-4 fresh-seed battery") {
-    // third disjoint k-range (30000-39999), generated in round 4 — the
-    // exact-match claim keeps being re-earned on inputs no prior round saw
+    // third k-range for the MAIN five-list differential (30000-39999,
+    // generated in round 4): this path never saw these trees before
+    // (k 30000-34999 did appear in round 3's CROSSED flag-on battery —
+    // a different extraction configuration; 35000-39999 are fully new)
     runDifferential("/golden_random3.json", 10000,
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }

@@ -360,7 +360,6 @@ class MainSpec extends SparkSpecBase {
   }
 
   test("--stream-once drains a docs stream and maintains the edge table incrementally") {
-    import org.apache.spark.sql.functions.col
     val mapper = new ObjectMapper()
     def docJson(i: Long): String = {
       val d = graft.synth.SynthDocs.genDoc(i)
@@ -392,6 +391,18 @@ class MainSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch,
            s"stream-maintained edges diverged from batch (${streamed.size} vs ${batch.size})")
+    // one-shot flags are loudly rejected (they would be silently dead)
+    intercept[IllegalArgumentException](
+      Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,
+                      "--stream-once", "--incremental")))
+    // resuming the maintained aggregate under a DIFFERENT dict is refused
+    // (it would mix two entity spaces into one aggregate)
+    val dictDir = Files.createTempDirectory("graft-stream-dict").toString
+    Files.write(Paths.get(s"$dictDir/d.jsonl"),
+      """{"alias":"张三","entity_id":"U001","canonical":"张先生"}""".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,
+                      "--stream-once", "--aliases", dictDir)))
   }
 
   test("argument errors are loud") {
