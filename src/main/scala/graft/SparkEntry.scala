@@ -308,6 +308,14 @@ object SparkEntry {
       DedupOps.embeddingNearDups(read(s, dir, "embeddings"), thresholdX10000 = 4000)),
     "dedup_embed_lsh" -> ((s, dir) =>
       DedupOps.embeddingNearDupsLsh(read(s, dir, "embeddings"), thresholdX10000 = 4000)),
+    "dedup_embed_clusters" -> ((s, dir) =>
+      // the pairs→clusters step composed over the EMBEDDING near-dup
+      // path (generic CC core, long vec ids); oracle = recursive walk
+      // over the materialized dedup_embed_lsh pairs. EAGER like its
+      // text twin dedup_clusters.
+      DedupOps.dedupClusters(
+        DedupOps.embeddingNearDupsLsh(read(s, dir, "embeddings"),
+          thresholdX10000 = 4000).select(col("a"), col("b")))),
 
     // ---- similarity search over embeddings --------------------------
     "ann_brute" -> ((s, dir) => SimilarityOps.bruteForceTopK(read(s, dir, "embeddings"))),
@@ -948,6 +956,17 @@ object SparkEntry {
            |  FROM small x JOIN small y USING (gram_h) WHERE x.doc_id < y.doc_id GROUP BY 1,2,3,4)
            |SELECT a, b, shared, (1000 * shared) // (n_a + n_b - shared) AS jaccard_x1000
            |FROM pairs WHERE (1000 * shared) // (n_a + n_b - shared) >= 500""".stripMargin,
+      "dedup_embed_clusters" ->
+        """WITH RECURSIVE p AS (SELECT a, b FROM read_parquet('__OUT__/dedup_embed_lsh/*.parquet')),
+          |edges AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+          |walk AS (
+          |  SELECT u AS node, v AS reach FROM edges
+          |  UNION
+          |  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON w.reach = e.u
+          |)
+          |SELECT node AS doc_id, least(node, min(reach)) AS cluster_id,
+          |  (node = least(node, min(reach))) AS is_keeper
+          |FROM walk GROUP BY node""".stripMargin,
       "dedup_clusters" ->
         // connected components as a recursive reachability walk over the
         // materialized pair table; cluster id = min reachable doc id
