@@ -110,6 +110,19 @@ object Main {
     aliases
   }
 
+  /** order-independent content hash of the RESOLVED dictionary rows —
+    * pinned (with the path) into every run fingerprint and the stream
+    * config, so editing a dict file in place invalidates checkpoints and
+    * refuses folds/stream resumes instead of silently mixing two entity
+    * spaces into one maintained store. Sum of per-row xxhash64 is
+    * order-independent (no sort, one tiny job on a broadcast-sized dict). */
+  private def dictHash(aliases: Dataset[graft.model.AliasRow]): String = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    java.lang.Long.toHexString(
+      aliases.select(sum(xxhash64(col("alias"), col("entity_id"), col("canonical"))))
+        .head.getLong(0))
+  }
+
   /** the reference's merge-stage global stats file
     * (merge_parsed_results.py:60-74): docs, edges, per-list triple totals.
     * hadoop FS, not java.nio — --out may be an HDFS/object-store path. */
@@ -213,6 +226,18 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZhFunctions.register(spark)
 
+    // resolve the alias dictionary ONCE, up front: its identity — path
+    // PLUS content hash — is what every fingerprint and the stream config
+    // pin. A dict file edited in place between runs then hashes
+    // differently and is refused/invalidated instead of silently folding
+    // a second entity space into a maintained store. (A read-only dict
+    // job before validation is fine; the no-side-effect contract below is
+    // about corpus scans and writes under --out.)
+    val aliases = opts.get("aliases").map(readAliases(spark, _))
+      .getOrElse(Pipeline.synthAliases(spark))
+    val aliasSpec = opts.get("aliases")
+      .map(p => s"$p@x${dictHash(aliases)}").getOrElse("synth")
+
     if (opts.contains("stream-once")) {
       // STREAMING ingest run book: watch --input as a Structured
       // Streaming file source of docs JSONL, run the SAME narrow
@@ -241,11 +266,12 @@ object Main {
       // config next to it and refuse a resume under a different one — the
       // stream analogue of the batch path's fingerprint invalidation (a
       // changed dict would silently mix two entity spaces into the
-      // aggregate)
+      // aggregate). The pin is path + CONTENT hash: editing the dict file
+      // in place between runs changes the hash and is refused too.
       locally {
         val cfgPath = new org.apache.hadoop.fs.Path(s"$outDir/pairpred_stream/_stream_config")
         val fsS = cfgPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val cfg = s"aliases=${opts.getOrElse("aliases", "synth")}"
+        val cfg = s"aliases=$aliasSpec"
         if (fsS.exists(cfgPath)) {
           val in = fsS.open(cfgPath)
           val prev = try new String(in.readAllBytes(),
@@ -264,10 +290,8 @@ object Main {
       import spark.implicits._
       val docsStream = spark.readStream.schema(Pipeline.docsJsonSchema)
         .json(input).as[Doc]
-      val aliasesS = opts.get("aliases").map(readAliases(spark, _))
-        .getOrElse(Pipeline.synthAliases(spark))
       val canonical = Pipeline.canonicalize(
-        graft.streaming.StreamingOps.streamingTriples(docsStream), aliasesS)
+        graft.streaming.StreamingOps.streamingTriples(docsStream), aliases)
       val q = graft.streaming.StreamingOps.maintainEdges(canonical,
         s"$outDir/pairpred_stream", s"$outDir/edges_stream",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
@@ -283,7 +307,8 @@ object Main {
     // written a single file under --out; a non-incremental run first
     // recovers from any crashed fold the root carries (the fold's own
     // repair path needs the marker, so recovery is one-shot-only here)
-    if (opts.contains("incremental")) Pipeline.validateFoldRoot(spark, outDir)
+    if (opts.contains("incremental"))
+      Pipeline.validateFoldRoot(spark, outDir, Some(aliasSpec))
     else new pipeline.CheckpointStore(outDir, spark).recoverFoldCrash()
 
     val (docs: Dataset[Doc], fingerprint: String, readerOut: Option[CorpusReaders.ReaderOutput]) =
@@ -332,12 +357,7 @@ object Main {
           (CorpusReaders.toDocs(out.docs), fp, Some(out))
       }
 
-    // user-supplied alias dictionary (schema-first; the reference's
-    // entitylink.wikidict hook) or the synthetic default
-    val aliases = opts.get("aliases").map(readAliases(spark, _))
-      .getOrElse(Pipeline.synthAliases(spark))
-
-    val fullFp = s"$fingerprint,aliases=${opts.getOrElse("aliases", "synth")}"
+    val fullFp = s"$fingerprint,aliases=$aliasSpec"
 
     if (opts.contains("incremental")) {
       // fold the fresh slice into an EXISTING run root (doc-granular

@@ -80,6 +80,15 @@ final class CheckpointStore(root: String, spark: SparkSession,
     }
   }
 
+  /** the run fingerprint recorded in a stage's meta sidecar (None when
+    * the stage has no meta) — lets preflight checks compare provenance
+    * segments (e.g. the `aliases=` dictionary pin) without depending on
+    * the meta layout. */
+  def stageFingerprint(stage: String): Option[String] =
+    readMeta(stage).flatMap(
+      """"fingerprint":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(_))
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
   def isComplete(stage: String): Boolean =
     !foldInFlight &&
       fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&

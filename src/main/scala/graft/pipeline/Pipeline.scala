@@ -597,7 +597,8 @@ object Pipeline {
   /** the fold-root preconditions, callable BEFORE any corpus work — a
     * rejected --incremental invocation must not have scanned or written
     * anything (Main checks this up front; incrementalFold re-checks). */
-  def validateFoldRoot(spark: SparkSession, root: String): Unit = {
+  def validateFoldRoot(spark: SparkSession, root: String,
+                       aliasSpec: Option[String] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (st <- Seq("docs", "triples", "canonical"))
@@ -608,6 +609,22 @@ object Pipeline {
       s"--incremental: $root was built with --coref; folding base-only " +
         "extraction into a base+coref store would mix entry shapes — " +
         "rebuild coref roots with a one-shot run")
+    // the fold canonicalizes its fresh slice under THIS dictionary; the
+    // root's canonical store pins the dict it was built under (path +
+    // content hash) in its meta fingerprint's `aliases=` segment — folding
+    // under a DIFFERENT dict would silently mix two entity spaces into one
+    // store, so mismatches refuse up front. Roots whose fingerprint
+    // carries no `aliases=` segment (programmatic/test callers that manage
+    // their own dict consistency) can't be verified and are allowed.
+    aliasSpec.foreach { spec =>
+      val rootSpec = new CheckpointStore(root, spark).stageFingerprint("canonical")
+        .flatMap("aliases=([^,]*)".r.findFirstMatchIn(_)).map(_.group(1))
+      rootSpec.foreach(rs => require(rs == spec,
+        s"--incremental: $root/canonical was built under aliases=$rs but " +
+          s"this fold specifies aliases=$spec — a changed dictionary cannot " +
+          "fold into the same entity space; restore the original dict or " +
+          "rebuild with a one-shot run"))
+    }
   }
 
   /** Incremental maintenance of an EXISTING run root: fold a fresh corpus
@@ -658,7 +675,8 @@ object Pipeline {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    validateFoldRoot(spark, root)
+    validateFoldRoot(spark, root,
+      "aliases=([^,]*)".r.findFirstMatchIn(fingerprint).map(_.group(1)))
     val store = new CheckpointStore(root, spark, fingerprint = fingerprint)
     val dict = aliases.getOrElse(synthAliases(spark))
     val marker = new org.apache.hadoop.fs.Path(s"$root/_fold_inflight")

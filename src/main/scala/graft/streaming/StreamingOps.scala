@@ -124,6 +124,20 @@ object StreamingOps {
     }
   }
 
+  /** tolerant `_last_batch` read: a crash between marker create and
+    * write leaves an EMPTY file — treat it as "nothing committed"
+    * instead of a NumberFormatException that wedges every restart. */
+  private def readLastBatch(fs: org.apache.hadoop.fs.FileSystem,
+                            marker: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+        .getOrElse(-1L)
+      finally in.close()
+    }
+
   /** streaming → incremental-edge bridge: each micro-batch of CANONICAL
     * triples folds its additive pair-pred aggregate into a maintained
     * parquet aggregate ([[graft.pipeline.Pipeline.mergePairPred]]) and
@@ -134,59 +148,89 @@ object StreamingOps {
     * aggregate + an aggregate-sized merge + the (aggregate-sized) edge
     * re-derivation.
     *
-    * Exactly-once: foreachBatch can REPLAY a batch after a failure, and
-    * a replayed fold would double its counts — so the fold is made
-    * idempotent the standard way: the last folded batchId is committed
-    * to `<aggPath>/_last_batch` AFTER the overwrite, and a batch ≤ that
-    * id is skipped. (Overwrite-then-marker leaves a window where a crash
-    * between the two replays one batch into an aggregate that already
-    * holds it; Iceberg's atomic snapshot commit closes that window in
-    * production — the seam is this one write.) */
+    * Exactly-once via GENERATION directories (the plain-parquet analogue
+    * of Iceberg's snapshot commit): the aggregate after folding batch N
+    * lives at `<aggPath>/agg_N`; `<aggPath>/_last_batch` names the
+    * committed generation. A batch merges `agg_<last>` + its own delta
+    * into `agg_<batchId>` — the committed generation is NEVER mutated,
+    * so a crash at ANY point before the marker write leaves `agg_<last>`
+    * intact and the replayed batch (foreachBatch replays the same rows
+    * for the same batchId when `checkpointLocation` is set) recomputes
+    * the identical merge: no history loss, no double count. Batches
+    * ≤ the committed id are skipped; superseded generations are pruned
+    * only AFTER the marker commit. A committed marker whose generation
+    * directory is missing its _SUCCESS is CORRUPTION outside this
+    * protocol (a hand-deleted dir) and fails loudly rather than silently
+    * restarting the aggregate from one batch's delta.
+    *
+    * `checkpointLocation` is REQUIRED when resuming an existing
+    * maintained aggregate: without it a restarted query renumbers
+    * batches from 0, and the idempotence marker would silently skip
+    * every batch of genuinely new data. */
   def maintainEdges(canonical: DataFrame, aggPath: String, edgesPath: String,
                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                     checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.Pipeline
+    locally { // resume guard — BEFORE the query starts
+      val marker = new org.apache.hadoop.fs.Path(aggPath, "_last_batch")
+      val fs = marker.getFileSystem(
+        canonical.sparkSession.sparkContext.hadoopConfiguration)
+      require(readLastBatch(fs, marker) < 0L || checkpointLocation.isDefined,
+        s"maintainEdges: $aggPath holds a committed aggregate but no " +
+          "checkpointLocation was given — a fresh query restarts batch ids " +
+          "at 0 and the idempotence marker would silently drop all new " +
+          "data; pass the original checkpointLocation (or a fresh aggPath)")
+    }
     val writer = canonical.writeStream
       .outputMode("append")
     trigger.foreach(writer.trigger)
-    // a checkpointLocation makes RESTARTS resume from committed source
-    // offsets with monotonically increasing batch ids — without it a new
-    // query restarts at batch 0, which the idempotence marker would skip
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
     writer
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
+        val base = new org.apache.hadoop.fs.Path(aggPath)
         val marker = new org.apache.hadoop.fs.Path(aggPath, "_last_batch")
         val fs = marker.getFileSystem(conf)
-        val last =
-          if (!fs.exists(marker)) -1L
-          else {
-            val in = fs.open(marker)
-            // tolerant parse: a crash between marker create and write
-            // leaves an EMPTY file — treat it as "nothing committed"
-            // (degrades to the documented replay-one-batch seam) instead
-            // of a NumberFormatException that wedges every restart
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-              .getOrElse(-1L)
-            finally in.close()
-          }
+        val last = readLastBatch(fs, marker)
         if (batchId > last) {
+          def gen(id: Long) = new org.apache.hadoop.fs.Path(aggPath, s"agg_$id")
+          def hasSuccess(p: org.apache.hadoop.fs.Path) =
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+          val legacy = new org.apache.hadoop.fs.Path(aggPath, "agg")
+          // the committed aggregate: the marker's generation dir, or the
+          // pre-generation flat `agg` layout (one-time migration read)
+          val current: Option[org.apache.hadoop.fs.Path] =
+            if (last < 0L) None
+            else if (hasSuccess(gen(last))) Some(gen(last))
+            else if (hasSuccess(legacy)) Some(legacy)
+            else sys.error(
+              s"maintainEdges: $marker commits batch $last but neither " +
+                s"${gen(last)} nor $legacy has a _SUCCESS — the store is " +
+                "corrupted outside the generation protocol; refusing to " +
+                "reinitialize the aggregate from a single batch's delta")
           val delta = Pipeline.pairPredAggregate(batch.toDF())
-          val aggDir = new org.apache.hadoop.fs.Path(aggPath, "agg")
-          val merged =
-            (if (fs.exists(new org.apache.hadoop.fs.Path(aggDir, "_SUCCESS")))
-               Pipeline.mergePairPred(spark.read.parquet(aggDir.toString), delta)
-             else delta)
-              .localCheckpoint() // materialize BEFORE overwriting the source
-          merged.write.mode("overwrite").parquet(aggDir.toString)
+          val merged = current
+            .map(d => Pipeline.mergePairPred(spark.read.parquet(d.toString), delta))
+            .getOrElse(delta)
+            .localCheckpoint() // one materialization, two consumers below
+          merged.write.mode("overwrite").parquet(gen(batchId).toString)
           Pipeline.edgesFromPairPred(merged)
             .write.mode("overwrite").parquet(edgesPath)
           val out = fs.create(marker, true)
           out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.close()
+          // prune superseded generations (and the legacy dir) only now —
+          // a crash here leaves stale dirs, never a broken commit
+          if (fs.exists(base))
+            fs.listStatus(base).map(_.getPath).foreach { p =>
+              val n = p.getName
+              val stale = n == "agg" ||
+                (n.startsWith("agg_") &&
+                  n.drop(4).toLongOption.exists(_ != batchId))
+              if (stale) fs.delete(p, true)
+            }
         }
       }
       .start()

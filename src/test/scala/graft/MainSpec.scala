@@ -405,6 +405,34 @@ class MainSpec extends SparkSpecBase {
                       "--stream-once", "--aliases", dictDir)))
   }
 
+  test("a changed alias dictionary cannot fold into an existing root (path or content)") {
+    val dictDir = Files.createTempDirectory("graft-pin-dict").toString
+    Files.write(Paths.get(s"$dictDir/d.jsonl"),
+      """{"alias":"张三","entity_id":"U001","canonical":"张先生"}""".getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft-pin-root").toString
+    Main.main(Array("--reader", "synth", "--docs", "10", "--out", out,
+                    "--aliases", dictDir))
+    // same dict, same content: the fold is accepted
+    Main.main(Array("--reader", "synth", "--docs", "15", "--docs-from", "10",
+                    "--out", out, "--incremental", "--aliases", dictDir))
+    // EDIT the dict file in place — same path, different content. The
+    // content hash in the aliases pin must refuse the fold (the path
+    // alone would pass and silently mix two entity spaces).
+    Files.write(Paths.get(s"$dictDir/d.jsonl"),
+      """{"alias":"张三","entity_id":"U999","canonical":"另一个人"}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      Main.main(Array("--reader", "synth", "--docs", "20", "--docs-from", "15",
+                      "--out", out, "--incremental", "--aliases", dictDir)))
+    assert(e.getMessage.contains("entity space"), e.getMessage)
+    // a different dict (here: the synth default) is refused outright
+    val e2 = intercept[IllegalArgumentException](
+      Main.main(Array("--reader", "synth", "--docs", "20", "--docs-from", "15",
+                      "--out", out, "--incremental")))
+    assert(e2.getMessage.contains("entity space"), e2.getMessage)
+    // nothing was folded by the refused runs
+    assert(!new java.io.File(s"$out/_fold_inflight").exists())
+  }
+
   test("argument errors are loud") {
     intercept[IllegalArgumentException](Main.main(Array("--out", "/tmp/x")))
     intercept[IllegalArgumentException](

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamingOps
@@ -212,5 +213,81 @@ class StreamingSpec extends SparkSpecBase {
     // the idempotence marker committed the last folded batch id
     val marker = java.nio.file.Paths.get(aggPath, "_last_batch")
     assert(java.nio.file.Files.readString(marker).trim.toLong >= 1L)
+    // generation protocol: exactly the committed generation survives the
+    // post-commit prune — no superseded agg_0, no legacy flat `agg` dir
+    val gens = java.nio.file.Files.list(java.nio.file.Paths.get(aggPath))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n == "agg" || n.startsWith("agg_")).toList
+    assert(gens == List("agg_1"), s"expected only the committed generation, got $gens")
+
+    // resume guard: the store now holds a committed aggregate — restarting
+    // WITHOUT a checkpointLocation would renumber batches from 0 and the
+    // marker would silently drop all new data; must refuse up front
+    val input2 = MemoryStream[(String, String, String)]
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.maintainEdges(
+        input2.toDF().toDF("subj_canonical", "obj_canonical", "pred"),
+        aggPath, edgesPath)
+    }
+    assert(e.getMessage.contains("checkpointLocation"), e.getMessage)
+  }
+
+  test("maintainEdges: a crashed generation write never corrupts the committed history") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Pipeline
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-crash").toString
+    val aggPath = s"$dir/pairpred"
+    val edgesPath = s"$dir/edges"
+    val q = StreamingOps.maintainEdges(canonical, aggPath, edgesPath)
+    val b1 = Seq(("e1", "e2", "p1"), ("e1", "e2", "p2"), ("e1", "e2", "p1"))
+    input.addData(b1: _*)
+    q.processAllAvailable() // batch 0 committed -> agg_0
+    // simulate batch 1 crashing MID-WRITE of its generation dir: a partial
+    // agg_1 with no _SUCCESS. The old flat-dir layout lost the whole
+    // accumulated history here (the replayed batch initialized from its
+    // own delta); generations must instead replay the merge off agg_0.
+    val partial = java.nio.file.Paths.get(aggPath, "agg_1")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.writeString(partial.resolve("part-garbage.parquet"), "junk")
+    val b2 = Seq(("e1", "e2", "p2"), ("e3", "e4", "p1"), ("e3", "e4", "p3"))
+    input.addData(b2: _*)
+    q.processAllAvailable() // the "replayed" batch 1
+    q.stop()
+    val streamed = spark.read.parquet(edgesPath).collect().map(_.toSeq).toSet
+    val batch = Pipeline.edgesFromPairPred(Pipeline.pairPredAggregate(
+      (b1 ++ b2).toDF("subj_canonical", "obj_canonical", "pred")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+           s"history lost across the crashed generation: $streamed vs $batch")
+  }
+
+  test("maintainEdges fails loudly when the committed generation is missing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-corrupt").toString
+    val aggPath = s"$dir/pairpred"
+    // a marker that commits batch 0 with NO aggregate anywhere = corruption
+    // outside the protocol (hand-deleted dir) — reinitializing from one
+    // batch's delta would silently discard the whole history. Batch 0 of
+    // the fresh query is ≤ the marker (skipped by idempotence); batch 1
+    // must then hit the missing generation and refuse.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(aggPath))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(aggPath, "_last_batch"), "0")
+    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges",
+      checkpointLocation = Some(s"$dir/ckpt"))
+    input.addData(("e1", "e2", "p1"))
+    q.processAllAvailable() // batch 0: skipped, no error
+    input.addData(("e3", "e4", "p2"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("corrupted"), s"expected the corruption refusal, got: $chain")
   }
 }
