@@ -38,12 +38,36 @@ object DedupOps {
     * single small parquet is ONE split, so the whole hash grind would run
     * on one core), repartition up front. At production scale the scan
     * already yields >= parallelism splits and this is a no-op (no exchange
-    * added); it never changes results. */
+    * added); it never changes results.
+    *
+    * The probe is PLAN-SIDE: the split count is estimated from the file
+    * leaves' listings with Spark's own `FilePartition.maxSplitBytes`
+    * arithmetic (openCost floor, maxPartitionBytes cap, minPartitionNum
+    * target). The previous probe went through `documents.rdd`, which
+    * forces full physical planning + deserializer generation at plan-BUILD
+    * time on every call — a fixed ~0.5 s tax per op that this estimate
+    * avoids entirely. Non-file inputs (in-memory test frames) are already
+    * parallelism-partitioned and pass through untouched. */
   private def parallelized(documents: DataFrame): DataFrame = {
-    val sc = documents.sparkSession.sparkContext
-    if (documents.rdd.getNumPartitions < sc.defaultParallelism)
-      documents.repartition(sc.defaultParallelism)
-    else documents
+    val spark = documents.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val fileLeaves = documents.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    }
+    if (fileLeaves.isEmpty) documents
+    else {
+      val conf = spark.sessionState.conf
+      val openCost = conf.filesOpenCostInBytes
+      val minPartNum = conf.filesMinPartitionNum.getOrElse(par)
+      val totalBytes = fileLeaves.map(r =>
+        r.location.sizeInBytes + r.location.inputFiles.length * openCost).sum
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, totalBytes / math.max(1, minPartNum)))
+      val estSplits = math.ceil(totalBytes.toDouble / math.max(1L, maxSplit)).toLong
+      if (estSplits < par) documents.repartition(par) else documents
+    }
   }
 
   /** word n-grams of one text column as a distinct array (Catalyst only). */
@@ -306,10 +330,11 @@ object DedupOps {
     * with pointer jumping, log-diameter rounds, loud non-convergence
     * failure) lives in [[GraphOps.connectedComponents]] — this is the
     * long-doc-id instantiation. */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+                    reliable: Boolean = false): DataFrame =
     GraphOps.connectedComponents(
       pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
-      maxIters)
+      maxIters, reliable)
       .select(col("node").as("doc_id"), col("component_id").as("cluster_id"),
               col("is_root").as("is_keeper"))
 }

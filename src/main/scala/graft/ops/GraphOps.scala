@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** one persistence point per iteration round, in one of two modes.
+    * `reliable = false` (default): `localCheckpoint` — executor-local
+    * blocks, no disk round-trip through a distributed store; fastest, but
+    * on a real cluster an executor loss mid-iteration kills the job (the
+    * truncated lineage cannot recompute). `reliable = true`: directory-
+    * backed `checkpoint()` into `sparkContext.getCheckpointDir` — an
+    * executor loss recovers by re-reading the checkpoint files, the
+    * cluster-faithful mode for long iterative jobs. Cost: each round adds
+    * a write+read through the checkpoint store; files of superseded
+    * rounds are reclaimed only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set it, or
+    * clean the dir after the job). Laziness (`eager`) is preserved in
+    * both modes — the convergence probe / first consumer still
+    * materializes the round. */
+  private def persistRound(df: DataFrame, eager: Boolean, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+
+  private def requireCheckpointDir(df: DataFrame, reliable: Boolean): Unit =
+    require(!reliable ||
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs a checkpoint directory: call " +
+        "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first " +
+        "(an HDFS/object-store path on a cluster)")
+
   /** Connected components by min-label propagation WITH POINTER JUMPING
     * (the generic core behind `DedupOps.dedupClusters`, hoisted so it
     * serves any orderable node type — long doc ids there, string entity
@@ -38,13 +62,18 @@ object GraphOps {
     * components); no cartesian, no driver-side graph.
     *
     * Output: (node, component_id, is_root) — node's type preserved.
-    */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val p0 = pairs.select(col("u"), col("v")).localCheckpoint()
+    *
+    * `reliable = true` switches every per-round persistence point to a
+    * directory-backed checkpoint (see [[persistRound]]) — identical
+    * labels, executor-loss-survivable, one extra write+read per round. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    requireCheckpointDir(pairs, reliable)
+    val p0 = persistRound(pairs.select(col("u"), col("v")), eager = true, reliable)
     val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    var labels = persistRound(
+      edges.select(col("u").as("node")).distinct().withColumn("lbl", col("node")),
+      eager = true, reliable)
     var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
@@ -61,10 +90,11 @@ object GraphOps {
       // LAZY checkpoint: the convergence count below is the first action,
       // so one job both materializes the round's partitions (cached by the
       // local-checkpoint mechanism) and answers "any label decreased?"
-      val jumped = stepped.join(s2, stepped("mid") === s2("j_node"), "left")
-        .select(stepped("node"), stepped("lbl"),
-                least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl2"))
-        .localCheckpoint(false)
+      val jumped = persistRound(
+        stepped.join(s2, stepped("mid") === s2("j_node"), "left")
+          .select(stepped("node"), stepped("lbl"),
+                  least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl2")),
+        eager = false, reliable)
       converged = jumped.filter(col("lbl2") < col("lbl")).count() == 0
       labels = jumped.select(col("node"), col("lbl2").as("lbl"))
       it += 1
@@ -123,19 +153,20 @@ object GraphOps {
   /** Components of the strongest-co-occurrence entity graph:
     * (entity, component_id, is_root), component id = min entity name. */
   def coocComponents(canonical: DataFrame, topK: Int = 2000,
-                     maxIters: Int = 20): DataFrame =
-    componentsOnEdges(coocEdges(canonical, topK), maxIters)
+                     maxIters: Int = 20, reliable: Boolean = false): DataFrame =
+    componentsOnEdges(coocEdges(canonical, topK), maxIters, reliable)
 
   /** [[coocComponents]] over the UNCAPPED weight-threshold graph
     * ([[coocEdgesByThreshold]]): full coverage above the support floor,
     * same pointer-jumped CC core, no global sort in the edge derivation. */
   def coocComponentsFull(canonical: DataFrame, minCooc: Long = 2,
-                         maxIters: Int = 20): DataFrame =
-    componentsOnEdges(coocEdgesByThreshold(canonical, minCooc), maxIters)
+                         maxIters: Int = 20, reliable: Boolean = false): DataFrame =
+    componentsOnEdges(coocEdgesByThreshold(canonical, minCooc), maxIters, reliable)
 
-  private def componentsOnEdges(edges: DataFrame, maxIters: Int): DataFrame =
+  private def componentsOnEdges(edges: DataFrame, maxIters: Int,
+                                reliable: Boolean = false): DataFrame =
     connectedComponents(
-      edges.select(col("ent_a").as("u"), col("ent_b").as("v")), maxIters)
+      edges.select(col("ent_a").as("u"), col("ent_b").as("v")), maxIters, reliable)
       .select(col("node").as("entity"), col("component_id"), col("is_root"))
 
   /** Entity importance: PageRank over the strongest-co-occurrence graph
@@ -154,8 +185,8 @@ object GraphOps {
     * job when the result is consumed — iters× fewer job round-trips than
     * an eager checkpoint per iteration. */
   def entityPageRank(canonical: DataFrame, topK: Int = 2000,
-                     iters: Int = 10): DataFrame =
-    pageRankOnEdges(coocEdges(canonical, topK), iters)
+                     iters: Int = 10, reliable: Boolean = false): DataFrame =
+    pageRankOnEdges(coocEdges(canonical, topK), iters, reliable)
 
   /** [[entityPageRank]] over the UNCAPPED weight-threshold graph
     * ([[coocEdgesByThreshold]]) — the documented route for ranking the
@@ -164,24 +195,27 @@ object GraphOps {
     * reproducible), same per-iteration join+agg shape; the edge set is
     * bounded by the support floor instead of a constant. */
   def entityPageRankFull(canonical: DataFrame, minCooc: Long = 2,
-                         iters: Int = 10): DataFrame =
-    pageRankOnEdges(coocEdgesByThreshold(canonical, minCooc), iters)
+                         iters: Int = 10, reliable: Boolean = false): DataFrame =
+    pageRankOnEdges(coocEdgesByThreshold(canonical, minCooc), iters, reliable)
 
-  private def pageRankOnEdges(e0: DataFrame, iters: Int): DataFrame = {
+  private def pageRankOnEdges(e0: DataFrame, iters: Int,
+                              reliable: Boolean = false): DataFrame = {
+    requireCheckpointDir(e0, reliable)
     val edges = e0.select(col("ent_a").as("u"), col("ent_b").as("v"))
       .union(e0.select(col("ent_b").as("u"), col("ent_a").as("v")))
-    val withDeg = edges
-      .join(edges.groupBy("u").agg(count(lit(1)).as("d")), "u")
-      .localCheckpoint()  // (u, v, d) — reused every iteration
+    val withDeg = persistRound(
+      edges.join(edges.groupBy("u").agg(count(lit(1)).as("d")), "u"),
+      eager = true, reliable)  // (u, v, d) — reused every iteration
     var rank = withDeg.select(col("u").as("node")).distinct()
       .withColumn("pr", lit(1000000000L))
     for (_ <- 1 to iters) {
-      rank = withDeg.join(rank, withDeg("u") === rank("node"))
-        .groupBy(col("v"))
-        .agg(sum(expr("pr div d")).as("contrib"))
-        .select(col("v").as("node"),
-                expr("150000000 + (850 * contrib) div 1000").as("pr"))
-        .localCheckpoint(false) // lazy: first consumer runs ONE job end-to-end
+      rank = persistRound(
+        withDeg.join(rank, withDeg("u") === rank("node"))
+          .groupBy(col("v"))
+          .agg(sum(expr("pr div d")).as("contrib"))
+          .select(col("v").as("node"),
+                  expr("150000000 + (850 * contrib) div 1000").as("pr")),
+        eager = false, reliable) // lazy: first consumer runs ONE job end-to-end
     }
     rank.select(col("node").as("entity"), col("pr").as("rank_x1e9"))
   }

@@ -36,6 +36,44 @@ class GraphOpsSpec extends SparkSpecBase {
       (30L, 30L, true), (31L, 30L, false)))
   }
 
+  test("reliable checkpoint mode: identical labels/ranks, refuses without a dir") {
+    // no checkpoint dir configured -> loud refusal, not a deep Spark error
+    val pairs = Seq(("c", "b"), ("c", "d"), ("d", "e"), ("y", "x")).toDF("u", "v")
+    val prevDir = spark.sparkContext.getCheckpointDir
+    if (prevDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        GraphOps.connectedComponents(pairs, reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      // CC: directory-backed rounds produce the SAME labels as local mode
+      val local = GraphOps.connectedComponents(pairs)
+        .as[(String, String, Boolean)].collect().toSet
+      val rel = GraphOps.connectedComponents(pairs, reliable = true)
+        .as[(String, String, Boolean)].collect().toSet
+      assert(rel == local, s"reliable CC diverged: $rel vs $local")
+      // PageRank: bit-exact across modes (fixed-point integer arithmetic)
+      val canonical = Seq(("甲", "乙"), ("乙", "丙"), ("丙", "甲"))
+        .toDF("subj_canonical", "obj_canonical")
+      val prLocal = GraphOps.entityPageRank(canonical)
+        .as[(String, Long)].collect().toMap
+      val prRel = GraphOps.entityPageRank(canonical, reliable = true)
+        .as[(String, Long)].collect().toMap
+      assert(prRel == prLocal)
+      // dedupClusters threads the flag through to the shared CC core
+      val clusters = DedupOps.dedupClusters(
+        Seq((10L, 11L), (11L, 12L)).toDF("a", "b"), reliable = true)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(clusters == Set((10L, 10L, true), (11L, 10L, false), (12L, 10L, false)))
+      // the rounds really went through the reliable store
+      assert(new java.io.File(ckpt).listFiles().nonEmpty,
+             "reliable mode wrote nothing to the checkpoint dir")
+    } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("coocEdges: normalized, weighted, deterministic top-k") {
     val canonical = Seq(
       ("A", "B"), ("B", "A"), ("A", "B"),   // same undirected edge ×3

@@ -113,6 +113,25 @@ class PlanQualitySpec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("under-parallelized-scan guard fires plan-side (no RDD materialization)") {
+    import spark.implicits._
+    // a single tiny parquet file is ONE scan split: the hash-heavy ops
+    // must inject a round-robin repartition — decided from the file
+    // listing, never by forcing documents.rdd (which costs a full
+    // physical-planning pass per op)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiny-scan").toString
+    Seq((1L, "甲 乙 丙 丁"), (2L, "乙 丙 丁 戊")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fromFile = graft.ops.DedupOps.ngramJaccardPairs(
+      spark.read.parquet(dir), n = 2, thresholdX1000 = 100)
+    assert(executed(fromFile).contains("RoundRobinPartitioning"),
+           s"tiny single-file scan was not repartitioned:\n${executed(fromFile)}")
+    // an in-memory frame is already parallelism-partitioned: no injection
+    val fromMem = graft.ops.DedupOps.ngramJaccardPairs(
+      Seq((1L, "甲 乙 丙")).toDF("doc_id", "text"), n = 2, thresholdX1000 = 100)
+    assert(!executed(fromMem).contains("RoundRobinPartitioning"), executed(fromMem))
+  }
+
   test("minhash/winnow aggregations never fall back to SortAggregate") {
     for (q <- Seq("dedup_minhash_bands", "dedup_minhash_cand", "dedup_winnow")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
