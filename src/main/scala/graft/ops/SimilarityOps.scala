@@ -120,10 +120,17 @@ object SimilarityOps {
     *     EXACTLY only within those lists (broadcast query side, corpus
     *     work stays O(|corpus|), like lshTopK).
     * The codebook is a driver collect of nCentroids rows (tiny, like a
-    * broadcast dim table); a real 100 TB corpus varies nCentroids ~
-    * sqrt(n) and the same plan holds. */
+    * broadcast dim table). A real 100 TB corpus varies nCentroids ~
+    * sqrt(n): above `literalCodebookMax` centroids the codebook is
+    * attached as a ONE-ROW BROADCAST side (array<struct<cid,ce>> riding a
+    * broadcast variable) instead of plan-inlined literal arrays — same
+    * per-row argmin, zero shuffle, but the PLAN stays O(1) no matter how
+    * many centroids (a √n-sized literal codebook would bloat analysis/
+    * codegen and can exceed the JVM method-size limit). Results are
+    * identical across modes (asserted in OpsSpec). */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
-              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 8, nProbe: Int = 2,
+              literalCodebookMax: Int = 64): DataFrame = {
     graft.functions.ZhFunctions.register(embeddings.sparkSession) // native md5_long48
     val seedHash = PortableHash.md5Long48(
       concat(lit("ivf:"), col("vec_id").cast("string")))
@@ -139,18 +146,37 @@ object SimilarityOps {
         .withColumn("query_id", lit(0L)).withColumn("rank", lit(0))
         .withColumn("neighbor_id", lit(0L)).withColumn("cos_x10000", lit(0L))
         .limit(0)
-    // (neg cosine, cid) structs over the literal codebook: array_min /
-    // array_sort give argmax-cosine with the lowest-cid tie-break
-    def cells(v: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) => struct((-cosX10000(v, typedLit(c))).as("neg"), lit(i).as("cid"))
-    }: _*)
+    val useLiteral = centroids.length <= literalCodebookMax
+    // (neg cosine, cid) structs over the codebook: array_min / array_sort
+    // give argmax-cosine with the lowest-cid tie-break — same expression
+    // shape whether the codebook is literal or broadcast
+    def cells(v: Column): Column =
+      if (useLiteral)
+        array(centroids.zipWithIndex.map {
+          case (c, i) => struct((-cosX10000(v, typedLit(c))).as("neg"), lit(i).as("cid"))
+        }: _*)
+      else
+        transform(col("_codebook"), c =>
+          struct((-cosX10000(v, c.getField("ce"))).as("neg"),
+                 c.getField("cid").as("cid")))
     def assignExpr(v: Column): Column = array_min(cells(v)).getField("cid")
     def probeExpr(v: Column): Column =
       slice(transform(array_sort(cells(v)), s => s.getField("cid")), 1, nProbe)
-    val assigned = embeddings.select(
+    val base =
+      if (useLiteral) embeddings
+      else {
+        import embeddings.sparkSession.implicits._
+        val cb = Seq(Tuple1(centroids.zipWithIndex.map { case (c, i) => (i, c) }))
+          .toDF("cb")
+          .select(transform(col("cb"), e =>
+            struct(e.getField("_1").as("cid"), e.getField("_2").as("ce")))
+            .as("_codebook"))
+        embeddings.crossJoin(broadcast(cb)) // one broadcast row, no shuffle
+      }
+    val assigned = base.select(
       col("vec_id"), col("embedding"), assignExpr(col("embedding")).as("cid"))
     val queries = broadcast(
-      assigned.filter(col("vec_id") < nQueries)
+      base.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
                 explode(probeExpr(col("embedding"))).as("cid")))
     val cands = assigned

@@ -398,34 +398,34 @@ object Pipeline {
                              misplaced: Int)
   final case class CorefedSentence(doc_id: String, sent_id: Int, corefed: String)
 
-  /** deterministic mock NER annotation for a sentence (the fixture
-    * stand-in for the CoreNLP call): tokens from the fixture tokenizer,
-    * entity labels from the synthetic vocabulary, char spans by walking
-    * the surface. */
-  private def mockAnnTokens(sent: String): Seq[NerPos.AnnToken] = {
-    val persons = Templates.persons.toSet
-    val orgs = Templates.orgs.toSet
-    val places = Templates.places.toSet
-    val toks = FixtureParser.tokenize(sent).getOrElse(Vector(sent))
-    var off = 0
-    toks.map { w =>
-      val ner = if (persons(w)) "PERSON" else if (orgs(w)) "ORGANIZATION"
-                else if (places(w)) "GPE" else "O"
-      val begin = sent.indexOf(w, off)
-      val b = if (begin >= 0) begin else off
-      off = b + w.length
-      NerPos.AnnToken(w, "X", ner, b, b + w.length)
-    }
-  }
-
   /** per-sentence NER/POS model-output table (reference main_ner.py:102-110
-    * attaches these columns per sentence). One narrow map, no shuffle. */
-  def nerPosTable(sentences: Dataset[SentenceRow]): Dataset[NerPosRow] = {
+    * attaches these columns per sentence), produced through the pluggable
+    * [[SentenceAnnotator]] boundary: one annotator connection per
+    * PARTITION (`open()` before the first batch, `close()` on the task
+    * completion listener — success OR failure), requests in bounded
+    * `batchSize` batches, replies required aligned. With the default
+    * [[FixtureAnnotator]] this is one narrow map, no shuffle; a live
+    * deployment passes [[HttpSentenceAnnotator]] pointed at its server
+    * (the reference's client-per-slice shape, main_ner.py:76-82). */
+  def nerPosTable(sentences: Dataset[SentenceRow],
+                  annotator: SentenceAnnotator = FixtureAnnotator,
+                  batchSize: Int = 64): Dataset[NerPosRow] = {
     import sentences.sparkSession.implicits._
-    sentences.map { row =>
-      val res = NerPos.nerPosPerSentence(row.sent, Seq(mockAnnTokens(row.sent)))
-      NerPosRow(row.doc_id, row.sent_id, row.sent,
-                res.mentions.map(_.word), res.mentions.length, res.misplacedSpans)
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    sentences.mapPartitions { it =>
+      annotator.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => annotator.close()))
+      it.grouped(batchSize).flatMap { rows =>
+        val anns = annotator.annotate(rows.map(_.sent))
+        require(anns.length == rows.length,
+          s"annotator returned ${anns.length} results for ${rows.length} sentences")
+        rows.lazyZip(anns).map { (row, ann) =>
+          val res = NerPos.nerPosPerSentence(row.sent, Seq(ann))
+          NerPosRow(row.doc_id, row.sent_id, row.sent,
+                    res.mentions.map(_.word), res.mentions.length, res.misplacedSpans)
+        }
+      }
     }
   }
 

@@ -135,6 +135,28 @@ class OpsSpec extends SparkSpecBase {
     assert(found1 <= found, s"nProbe=1 recall $found1 > nProbe=2 recall $found")
   }
 
+  test("IVF broadcast codebook: identical results to the literal path, O(1) plan") {
+    def vec(seed: Long, dim: Int): Array[Float] = {
+      var h = seed * 2654435761L
+      Array.tabulate(dim) { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        (((h >> 20) % 1000).toFloat / 500f) - 1f
+      }
+    }
+    val emb = (0L until 150L).map(i => (i, vec(i, 16))).toDF("vec_id", "embedding")
+    val literal = SimilarityOps.ivfTopK(emb, nQueries = 10, k = 5, nCentroids = 8)
+    // force the broadcast path at the same centroid count
+    val bcast = SimilarityOps.ivfTopK(emb, nQueries = 10, k = 5, nCentroids = 8,
+                                      literalCodebookMax = 0)
+    assert(bcast.collect().map(_.toSeq).toSet == literal.collect().map(_.toSeq).toSet,
+           "broadcast-codebook IVF diverged from the literal path")
+    // plan shape: the codebook rides a broadcast column, not plan literals
+    val bPlan = bcast.queryExecution.executedPlan.toString()
+    val lPlan = literal.queryExecution.executedPlan.toString()
+    assert(bPlan.contains("_codebook"), bPlan.take(2000))
+    assert(!lPlan.contains("_codebook"), lPlan.take(2000))
+  }
+
   test("dedupClusters: components, keepers, long chains, and loud non-convergence") {
     // chain 1-2-3 plus isolated pair 10-11 → two clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

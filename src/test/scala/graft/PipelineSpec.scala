@@ -417,4 +417,68 @@ class PipelineSpec extends SparkSpecBase {
     assert(new java.io.File(s"$root/triples/_graft_meta.json").exists(),
            "recomputed stage must re-write its lineage meta")
   }
+
+  test("annotator boundary: HTTP client path == fixture path exactly") {
+    import graft.pipeline.{FixtureAnnotator, HttpSentenceAnnotator}
+    // in-JVM mock server speaking the documented wire contract, backed by
+    // the SAME fixture annotations — proves the connection-per-partition
+    // batched client assembles identical rows to the in-process path
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/annotate", { exchange =>
+      requests.incrementAndGet()
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      val sents = {
+        val arr = mapper.readTree(body).get("sentences")
+        (0 until arr.size()).map(arr.get(_).asText())
+      }
+      val root = mapper.createObjectNode()
+      val out = root.putArray("sentences")
+      FixtureAnnotator.annotate(sents).foreach { toks =>
+        val sArr = out.addArray()
+        toks.foreach { t =>
+          val o = sArr.addObject()
+          o.put("word", t.word); o.put("pos", t.pos); o.put("ner", t.ner)
+          o.put("begin", t.beginChar); o.put("end", t.endChar)
+        }
+      }
+      val bytes = mapper.writeValueAsBytes(root)
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/annotate"
+      val sentences = Pipeline.segmentDocs(Pipeline.synthDocs(spark, 30))
+      // batchSize 7 (non-divisor) exercises the trailing partial batch
+      val viaHttp = Pipeline.nerPosTable(sentences,
+        new HttpSentenceAnnotator(endpoint), batchSize = 7)
+        .collect().map(r => (r.doc_id, r.sent_id, r.sent, r.mention_words,
+                             r.n_mentions, r.misplaced)).toSet
+      val fixture = Pipeline.nerPosTable(sentences)
+        .collect().map(r => (r.doc_id, r.sent_id, r.sent, r.mention_words,
+                             r.n_mentions, r.misplaced)).toSet
+      assert(viaHttp == fixture, "HTTP annotator path diverged from fixture path")
+      assert(fixture.nonEmpty)
+      assert(requests.get() > 1, "expected multiple bounded batches")
+    } finally server.stop(0)
+  }
+
+  test("annotator boundary: a misaligned reply fails loudly") {
+    import graft.pipeline.SentenceAnnotator
+    val bad = new SentenceAnnotator {
+      def annotate(ss: Seq[String]) = Seq.empty // wrong count
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Pipeline.nerPosTable(Pipeline.segmentDocs(Pipeline.synthDocs(spark, 3)), bad)
+        .collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("results for"), chain)
+  }
 }

@@ -132,6 +132,58 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!executed(fromMem).contains("RoundRobinPartitioning"), executed(fromMem))
   }
 
+  test("detectJoin: AQE splits a planted hot-surface skew, result unchanged") {
+    import spark.implicits._
+    import graft.model.{AliasRow, SentenceRow}
+    // a stopword-like surface occurring everywhere concentrates its
+    // candidates on ONE join partition (the documented skew hazard of the
+    // distributed entity link) — AQE's skew-join must split it at runtime
+    // all aliases are length 2 and only 热词 occurs, so EVERY candidate
+    // row carries the same join key — the hot partition holds the whole
+    // shuffle while the median partition is empty, the worst-case shape
+    val sentences = (0 until 3000).map(i =>
+      SentenceRow(s"d$i", 0, 0, "热词" * 30 + s"唯一文本$i")).toDS()
+    val aliases = (Seq(AliasRow("热词", "E001", "热门词")) ++
+      ('a' to 't').map(c => AliasRow(s"冷$c", s"C$c", s"冷$c"))).toDS()
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def set(k: String, v: String) = spark.conf.set(k, v)
+    try {
+      set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      // production defaults (256 MB / 5x median) scaled down to fixture
+      // size so the same rule observably fires here
+      set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // the join output feeds the longest-leftmost regroup (an exchange
+      // either way), so the extra shuffle the split may introduce is free
+      set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val joined = graft.pipeline.Mentions.detectJoin(sentences, aliases)
+      val rows = joined.collect() // finalize the adaptive plan
+      val plan = executed(joined.toDF())
+      assert(plan.contains("skew=true"),
+             s"AQE skew split did not fire on the planted hot surface:\n$plan")
+      // the split is a pure re-partitioning: results identical to the
+      // broadcast-trie path on the same fixture
+      val viaTrie = graft.pipeline.Mentions.detect(sentences, aliases)
+        .collect().map(m => (m.doc_id, m.sent_id, m.mention, m.begin,
+                             m.end, m.entity_id)).toSet
+      assert(rows.map(m => (m.doc_id, m.sent_id, m.mention, m.begin,
+                            m.end, m.entity_id)).toSet == viaTrie)
+      assert(rows.length == 90000, s"expected 30 hot mentions x 3000 docs, got ${rows.length}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash/winnow aggregations never fall back to SortAggregate") {
     for (q <- Seq("dedup_minhash_bands", "dedup_minhash_cand", "dedup_winnow")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
