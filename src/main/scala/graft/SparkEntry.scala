@@ -426,9 +426,11 @@ object SparkEntry {
     * relationally over the materialized stage parquet that Verify writes
     * (`__OUT__` is substituted with the verify output dir at dump time).
     * Only the extraction/segmentation cores themselves (kg_sentences,
-    * kg_triples, kg_coref, mm_media_features) stay oracle-less — those
-    * are differentially verified against the reference implementation
-    * itself (DifferentialSpec and friends). */
+    * kg_triples) stay oracle-less — those are differentially verified
+    * against the reference implementation itself (DifferentialSpec and
+    * friends). kg_coref's diff/assembly IS oracled (the serialize-key
+    * set diff recomputed from the flat _aux/coref_rels table); only the
+    * per-side extraction under it rides the differential batteries. */
   /** the co-occurrence edge-derivation CTEs shared by every graph oracle:
     * `ew` is the full weighted pair table; `top` selects either the
     * global top-2000 (the capped contract) or everything over a support
@@ -731,6 +733,28 @@ object SparkEntry {
         """SELECT rel_list, count(*) AS n_rels, count(DISTINCT doc_id) AS n_docs,
           |  count(DISTINCT pred) AS n_distinct_preds
           |FROM read_parquet('__OUT__/kg_triples/*.parquet') GROUP BY rel_list""".stripMargin,
+      "kg_coref" ->
+        // the coref second pass's serialize-key set diff, recomputed
+        // independently from the flat two-sided _aux/coref_rels table:
+        // corefed rows anti-joined against base rows on exactly the
+        // fields Rel.serialize keys on (names, tag, idxs) per
+        // (doc, sent, list). The extraction cores behind both sides stay
+        // differential-tested; THIS proves the diff/assembly relationally.
+        """WITH a AS (SELECT * FROM read_parquet('__OUT__/_aux/coref_rels/*.parquet')),
+          |f AS (SELECT * FROM a WHERE side = 'corefed'),
+          |b AS (SELECT * FROM a WHERE side = 'base')
+          |SELECT f.doc_id, f.sent_id, f.rel_list || '_corefed' AS rel_list,
+          |  f.subj, COALESCE(f.pred, '') AS pred, f.obj,
+          |  f.subj_idx, CAST(f.pred_idx AS INTEGER) AS pred_idx, f.obj_idx
+          |FROM f WHERE NOT EXISTS (SELECT 1 FROM b
+          |  WHERE b.doc_id = f.doc_id AND b.sent_id = f.sent_id
+          |    AND b.rel_list = f.rel_list AND b.tag = f.tag
+          |    AND b.subj IS NOT DISTINCT FROM f.subj
+          |    AND b.pred IS NOT DISTINCT FROM f.pred
+          |    AND b.obj IS NOT DISTINCT FROM f.obj
+          |    AND b.subj_idx IS NOT DISTINCT FROM f.subj_idx
+          |    AND b.pred_idx IS NOT DISTINCT FROM f.pred_idx
+          |    AND b.obj_idx IS NOT DISTINCT FROM f.obj_idx)""".stripMargin,
       "kg_coref_audit" ->
         """WITH t AS (SELECT * FROM read_parquet('__OUT__/kg_coref/*.parquet')),
           |s AS (SELECT doc_id, sent_id, 1 AS known

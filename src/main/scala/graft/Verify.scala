@@ -54,6 +54,10 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/corefed")
       graft.ops.MultimodalOps.mediaAssets(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/media_assets")
+      // the coref diff inputs (both sides, flat keyed, incl. rule tag) —
+      // lets the kg_coref oracle recompute the serialize-key set diff
+      Pipeline.corefRelTable(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/coref_rels")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] aux tables failed: ${e.getMessage}")
     }

@@ -285,29 +285,74 @@ object Pipeline {
     * relations absent from the base pass (serialize_rel set difference).
     * Chains are deterministic fixtures (Coref.synthChains) exactly like
     * the parses; doc-local flatMap, zero shuffles. */
+  /** per doc: every sentence the coref pass CHANGED, with the base and
+    * corefed sentence-rel bundles — the shared core of [[corefTriples]]
+    * (which emits the serialize-key diff) and [[corefRelTable]] (which
+    * flattens BOTH sides for the relational oracle). */
+  private def corefChanged(doc: Doc, addHalfCoarse: Boolean)
+      : Iterator[(Int, graft.model.SentenceRels, graft.model.SentenceRels)] = {
+    import graft.segment.Coref
+    val sents = doc.spans.iterator.filter(s => s.kind == "text" && s.text != null)
+      .flatMap(s => Segmenter.segment(s.text)).toVector
+    val chains = Coref.synthChains(sents)
+    sents.zip(chains).zipWithIndex.iterator.flatMap { case ((sent, reps), sid) =>
+      if (reps.isEmpty) Iterator.empty
+      else {
+        val corefed = Coref.substitute(sent, reps)
+        if (corefed == sent) Iterator.empty // reference skips unchanged docs
+        else {
+          (FixtureParser.analyze(sent), FixtureParser.analyze(corefed)) match {
+            case (Some((bp, bt)), Some((cp, ct))) =>
+              val base = PostProcess.processSentence(bp, Some(bt), addHalfCoarse = addHalfCoarse)
+              val cor = PostProcess.processSentence(cp, Some(ct), addHalfCoarse = addHalfCoarse)
+              Iterator.single((sid, base, cor))
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }
+  }
+
   def corefTriples(docs: Dataset[Doc], addHalfCoarse: Boolean = false): Dataset[TripleRow] = {
     import docs.sparkSession.implicits._
-    import graft.segment.Coref
     docs.mapPartitions { docIter =>
       docIter.flatMap { doc =>
-        val sents = doc.spans.iterator.filter(s => s.kind == "text" && s.text != null)
-          .flatMap(s => Segmenter.segment(s.text)).toVector
-        val chains = Coref.synthChains(sents)
-        sents.zip(chains).zipWithIndex.iterator.flatMap { case ((sent, reps), sid) =>
-          if (reps.isEmpty) Iterator.empty
-          else {
-            val corefed = Coref.substitute(sent, reps)
-            if (corefed == sent) Iterator.empty // reference skips unchanged docs
-            else {
-              (FixtureParser.analyze(sent), FixtureParser.analyze(corefed)) match {
-                case (Some((bp, bt)), Some((cp, ct))) =>
-                  val base = PostProcess.processSentence(bp, Some(bt), addHalfCoarse = addHalfCoarse)
-                  val cor = PostProcess.processSentence(cp, Some(ct), addHalfCoarse = addHalfCoarse)
-                  emitCorefed(doc.doc_id, sid, base, cor)
-                case _ => Iterator.empty
+        corefChanged(doc, addHalfCoarse).flatMap { case (sid, base, cor) =>
+          emitCorefed(doc.doc_id, sid, base, cor)
+        }
+      }
+    }
+  }
+
+  /** the coref pass's diff INPUTS as one flat keyed table: for every
+    * changed sentence, the FULL base and corefed rel lists (side ∈
+    * base|corefed, base-form list names) including the rule `tag` —
+    * exactly the fields `Rel.serialize` keys on. [[corefTriples]]'s
+    * output is then RELATIONALLY recomputable (corefed rows anti-joined
+    * against base rows on doc/sent/list/tag/names/idxs), which is what
+    * puts kg_coref under the driver's DuckDB oracle: Spark materializes
+    * the two sides, the oracle independently recomputes the set diff. */
+  final case class CorefRelRow(doc_id: String, sent_id: Int, side: String,
+      rel_list: String, subj: Option[String], pred: Option[String],
+      obj: Option[String], subj_idx: Option[Int], pred_idx: Option[Int],
+      obj_idx: Option[Int], tag: String)
+
+  def corefRelTable(docs: Dataset[Doc], addHalfCoarse: Boolean = false): Dataset[CorefRelRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { docIter =>
+      docIter.flatMap { doc =>
+        corefChanged(doc, addHalfCoarse).flatMap { case (sid, base, cor) =>
+          def rows(side: String, sr: graft.model.SentenceRels) =
+            Seq("fine" -> sr.fine, "coarse" -> sr.coarse,
+                "amend_fine" -> sr.amendFine, "amend_coarse" -> sr.amendCoarse,
+                "crossed" -> sr.crossed, "amend_crossed" -> sr.amendCrossed,
+                "possible" -> sr.possible)
+              .iterator.flatMap { case (nm, rels) =>
+                rels.iterator.map(r => CorefRelRow(doc.doc_id, sid, side, nm,
+                  r.names(0), r.names(1), r.obj, r.idxs(0), r.idxs(1),
+                  r.objIdx, r.tag))
               }
-            }
-          }
+          rows("base", base) ++ rows("corefed", cor)
         }
       }
     }

@@ -148,4 +148,14 @@ object Segmenter {
   /** full segmentation of one text payload: split → normalize. */
   def segment(text: String): Vector[String] =
     tokNorm(splitStr(Seq(text)).map(_._1))
+
+  /** [[segment]] with VOCAB-DRIVEN normalization instead of the char
+    * spec — point [[VocabNormalizer.fromFile]] at a real
+    * `bert-base-chinese/vocab.txt` to reproduce the reference's
+    * tokenizer round-trip on corpora where the two diverge (characters
+    * outside the vocab are dropped as [UNK]s there, kept by the char
+    * spec). Identical outputs whenever the text stays inside the vocab
+    * (diff-tested in SegmenterSpec). */
+  def segmentWithVocab(text: String, vn: VocabNormalizer): Vector[String] =
+    vn.normalize(splitStr(Seq(text)).map(_._1))
 }

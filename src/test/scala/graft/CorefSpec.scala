@@ -62,6 +62,57 @@ class CorefPipelineSpec extends SparkSpecBase {
     assert(direct.nonEmpty)
   }
 
+  test("corefRelTable's two sides reproduce the corefTriples diff exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Pipeline.synthDocs(spark, 400)
+    val flat = Pipeline.corefRelTable(docs).toDF()
+    // on the synth corpus the BASE side is structurally empty (pronoun
+    // subjects are stopword-filtered, and the pronoun templates carry no
+    // other extractable structure), so the corpus-level diff is the
+    // corefed side verbatim — the anti-join's exclusion semantics are
+    // exercised on a crafted table below
+    assert(flat.filter(col("side") === "corefed").count() > 0)
+    // recompute the serialize-key set diff RELATIONALLY (the kg_coref
+    // oracle's exact shape: anti-join on doc/sent/list/tag/names/idxs)
+    val keyCols = Seq("doc_id", "sent_id", "rel_list", "tag",
+                      "subj", "pred", "obj", "subj_idx", "pred_idx", "obj_idx")
+    val f = flat.filter(col("side") === "corefed").alias("f")
+    val b = flat.filter(col("side") === "base").select(keyCols.map(col): _*).alias("b")
+    // NULL-SAFE equality (<=>) — serialize treats None == None as a match
+    val diff = f.join(b, keyCols.map(c => col(s"f.$c") <=> col(s"b.$c")).reduce(_ && _),
+                      "left_anti")
+      .select(col("doc_id"), col("sent_id"),
+              concat(col("rel_list"), lit("_corefed")).as("rel_list"),
+              col("subj"), coalesce(col("pred"), lit("")).as("pred"), col("obj"),
+              col("subj_idx"), col("pred_idx"), col("obj_idx"))
+      .collect().map(_.toSeq).toSet
+    val direct = Pipeline.corefTriples(docs).toDF().collect().map(_.toSeq).toSet
+    assert(diff == direct,
+           s"flat-table diff=${diff.size} vs corefTriples=${direct.size}; " +
+             s"sample=${(diff diff direct).take(2)} / ${(direct diff diff).take(2)}")
+    assert(direct.nonEmpty)
+
+    // crafted table: the anti-join must DROP a corefed row whose base twin
+    // matches on every serialize field — including a NULL obj (null-safe
+    // equality, the oracle's IS NOT DISTINCT FROM) — and must keep a row
+    // differing only in tag (serialize keys on the tag too)
+    import spark.implicits._
+    val crafted = Seq(
+      ("d1", 0, "base",    "fine", Some("甲"), Some("谓"), None: Option[String], Some(0), Some(1), None: Option[Int], "SVO"),
+      ("d1", 0, "corefed", "fine", Some("甲"), Some("谓"), None: Option[String], Some(0), Some(1), None: Option[Int], "SVO"),
+      ("d1", 0, "corefed", "fine", Some("甲"), Some("谓"), None: Option[String], Some(0), Some(1), None: Option[Int], "VV"),
+      ("d1", 0, "corefed", "fine", Some("乙"), Some("谓"), Some("丙"), Some(0), Some(1), Some(2), "SVO"))
+      .toDF("doc_id", "sent_id", "side", "rel_list", "subj", "pred", "obj",
+            "subj_idx", "pred_idx", "obj_idx", "tag")
+    val cf = crafted.filter(col("side") === "corefed").alias("cf")
+    val cb = crafted.filter(col("side") === "base").select(keyCols.map(col): _*).alias("cb")
+    val kept = cf.join(cb, keyCols.map(c => col(s"cf.$c") <=> col(s"cb.$c")).reduce(_ && _),
+                       "left_anti")
+      .select(col("subj"), col("tag")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("甲", "VV"), ("乙", "SVO")),
+           s"anti-join exclusion semantics broken: $kept")
+  }
+
   test("corefed crossed families: flag-gated, path-equivalent, absent when off") {
     val docs = Pipeline.synthDocs(spark, 400)
     val off = Pipeline.corefTriples(docs).collect()

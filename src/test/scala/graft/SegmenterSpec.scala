@@ -34,6 +34,54 @@ class SegmenterSpec extends AnyFunSuite {
     assert(Segmenter.tokNorm(Seq("空  格 与\t制表符呀", "", "#井::号")) == Vector("空格与制表符呀", "井号"))
   }
 
+  test("vocab normalization == char spec whenever the text stays in-vocab") {
+    import graft.segment.VocabNormalizer
+    // vocab covering every character of the battery (single-char tokens +
+    // ##-continuations so non-CJK runs always decompose) — the two
+    // normalization modes must then be IDENTICAL on the full fixture set
+    val texts = DumpSplitTexts.texts ++
+      (0L until 50L).map(i => graft.synth.SynthDocs.genDoc(i).spans
+        .filter(_.kind == "text").map(_.text).mkString)
+    val chars = texts.flatMap(_.toLowerCase.toSeq).toSet
+    val vocab = chars.map(_.toString) ++ chars.map("##" + _)
+    val vn = new VocabNormalizer(vocab)
+    for (t <- texts) {
+      val sents = Segmenter.splitStr(Seq(t)).map(_._1)
+      assert(vn.normalize(sents) == Segmenter.tokNorm(sents),
+             s"vocab mode diverged from char spec on: ${t.take(60)}")
+      assert(Segmenter.segmentWithVocab(t, vn) == Segmenter.segment(t))
+    }
+  }
+
+  test("vocab normalization drops out-of-vocab chars as [UNK]s, char spec keeps them") {
+    import graft.segment.VocabNormalizer
+    val vocab = "奇的很生字".map(_.toString).toSet // '怪' deliberately absent
+    val vn = new VocabNormalizer(vocab)
+    assert(vn.normalize(Seq("奇怪的")) == Vector("奇的"),
+           "out-of-vocab char must drop via [UNK] removal")
+    assert(Segmenter.tokNorm(Seq("奇怪的")) == Vector("奇怪的"))
+    // a sentence that is ALL [UNK]s normalizes to empty and is discarded
+    assert(vn.normalize(Seq("怪怪")) == Vector.empty)
+    // '#' and '::' strip applies after the vocab round-trip too
+    val vn2 = new VocabNormalizer(Set("井", "号", "#", ":", "##:"))
+    assert(vn2.normalize(Seq("井#号::")) == Vector("井号"))
+  }
+
+  test("vocab normalization: WordPiece continuations for non-CJK runs, file load") {
+    import graft.segment.VocabNormalizer
+    // greedy longest-prefix with ## continuation, lowercased basic tokens
+    val vn = new VocabNormalizer(Set("bert", "##模", "##型", "模", "型", "20", "##23"))
+    assert(vn.tokenize("BERT模型2023") == Vector("bert", "模", "型", "20", "##23"))
+    assert(vn.normalize(Seq("BERT模型2023")) == Vector("bert模型2023"))
+    // an undecomposable word is ONE [UNK] (whole word, not per char)
+    assert(vn.tokenize("xyz") == Vector("[UNK]"))
+    // BERT-format vocab file: one token per line
+    val f = java.nio.file.Files.createTempFile("graft-vocab", ".txt")
+    java.nio.file.Files.writeString(f, "甲\n乙\n##乙\n")
+    val loaded = VocabNormalizer.fromFile(f.toString)
+    assert(loaded.normalize(Seq("甲乙丙")) == Vector("甲乙"))
+  }
+
   test("supplementary-plane chars: code-point lengths, no mid-surrogate splits") {
     val extB = new String(Character.toChars(0x20000)) // 𠀀 (CJK ext-B, 2 UTF-16 units)
     // a long sentence mixing BMP Chinese with ext-B chars: every re-split
