@@ -107,7 +107,9 @@ object Bench {
       if (rates.forall(_.isDefined)) Some(rates.flatten.sum) else None
     }
     val groupTrials =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_GTRIALS", "3").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_GTRIALS", "3").toIntOption
+        .filter(_ > 0).getOrElse(sys.error(
+          "SPARK_GRAFT_BENCH_SCALING_GTRIALS must be a positive integer"))
     val singles = Seq(rate(spawn(0L)), rate(spawn(50000000L))).flatten
     val aggs = (0 until groupTrials)
       .flatMap(i => group4(10000000L + i.toLong * 90000000L))

@@ -277,10 +277,20 @@ object Main {
           val prev = try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8).trim
           finally in.close()
-          require(prev == cfg,
+          // a pre-content-hash pin (no '@x') can only be verified by
+          // path; when the path matches, MIGRATE the pin to the hashed
+          // form so future in-place edits are caught too
+          val legacyOk = !prev.contains("@x") &&
+            prev == cfg.takeWhile(_ != '@')
+          require(prev == cfg || legacyOk,
             s"--stream-once: $outDir was maintained under '$prev' but this " +
               s"run specifies '$cfg' — a changed dictionary cannot fold into " +
               "the same aggregate; use a fresh --out")
+          if (legacyOk) {
+            val os = fsS.create(cfgPath, true)
+            os.write(cfg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            os.close()
+          }
         } else {
           val os = fsS.create(cfgPath, true)
           os.write(cfg.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -51,12 +51,24 @@ object DedupOps {
   private def parallelized(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val fileLeaves = documents.queryExecution.analyzed.collectLeaves().collect {
+    val leaves = documents.queryExecution.analyzed.collectLeaves()
+    val fileLeaves = leaves.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
           if lr.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
         lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
     }
-    if (fileLeaves.isEmpty) documents
+    // RDD-backed leaves (checkpointed frames, createDataFrame over an
+    // RDD) carry a MATERIALIZED partitioning the listing can't see — for
+    // those the direct partition count is the truth and cheap to read
+    // (the RDD already exists; no file estimate applies). LocalRelation
+    // (in-memory literals) parallelizes at scan time and passes through.
+    val rddLeaves = leaves.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.getNumPartitions
+      case r: org.apache.spark.sql.execution.ExternalRDD[_] => r.rdd.getNumPartitions
+    }
+    if (fileLeaves.isEmpty && rddLeaves.nonEmpty && rddLeaves.min < par)
+      documents.repartition(par)
+    else if (fileLeaves.isEmpty) documents
     else {
       val conf = spark.sessionState.conf
       val openCost = conf.filesOpenCostInBytes

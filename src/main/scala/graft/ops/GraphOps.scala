@@ -21,15 +21,25 @@ object GraphOps {
     * truncated lineage cannot recompute). `reliable = true`: directory-
     * backed `checkpoint()` into `sparkContext.getCheckpointDir` — an
     * executor loss recovers by re-reading the checkpoint files, the
-    * cluster-faithful mode for long iterative jobs. Cost: each round adds
-    * a write+read through the checkpoint store; files of superseded
-    * rounds are reclaimed only when
+    * cluster-faithful mode for long iterative jobs. The round is
+    * PERSISTED before checkpointing and always EAGER: Spark's reliable
+    * checkpoint writer re-runs the plan in a second job unless the data
+    * is cached (RDD.checkpoint's own contract), so persist-then-
+    * checkpoint-then-unpersist turns the would-be double compute into
+    * one compute + one cache-read write. Cost vs local mode: one extra
+    * cached-write job per round (PageRank loses its one-job-for-all-
+    * iterations laziness — the price of fault tolerance); files of
+    * superseded rounds are reclaimed only when
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set it, or
-    * clean the dir after the job). Laziness (`eager`) is preserved in
-    * both modes — the convergence probe / first consumer still
-    * materializes the round. */
+    * clean the dir after the job). */
   private def persistRound(df: DataFrame, eager: Boolean, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (!reliable) df.localCheckpoint(eager)
+    else {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ck = df.checkpoint(eager = true)
+      df.unpersist(blocking = false)
+      ck
+    }
 
   private def requireCheckpointDir(df: DataFrame, reliable: Boolean): Unit =
     require(!reliable ||

@@ -74,16 +74,16 @@ object FixtureAnnotator extends SentenceAnnotator {
   * client's 90 s default (main_ner.py:80). */
 final class HttpSentenceAnnotator(endpoint: String, timeoutMs: Long = 90000L)
     extends SentenceAnnotator {
-  @transient private var client: java.net.http.HttpClient = _
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
-  override def open(): Unit = {
-    client = java.net.http.HttpClient.newHttpClient()
-  }
+  // the connection pool is ONE JVM-wide thread-safe client, not one per
+  // task: the annotator instance is deserialized per TASK, and JDK 17's
+  // HttpClient has no close() — a client per task would accumulate
+  // selector threads + sockets until GC on long multi-partition jobs
+  private def client: java.net.http.HttpClient = HttpSentenceAnnotator.shared
 
   def annotate(sentences: Seq[String]): Seq[Seq[NerPos.AnnToken]] = {
-    require(client != null, "HttpSentenceAnnotator.annotate before open()")
     val root = mapper.createObjectNode()
     val arr = root.putArray("sentences")
     sentences.foreach(arr.add)
@@ -111,4 +111,10 @@ final class HttpSentenceAnnotator(endpoint: String, timeoutMs: Long = 90000L)
       }
     }
   }
+}
+
+object HttpSentenceAnnotator {
+  /** JVM-wide shared client (thread-safe per the JDK contract). */
+  private lazy val shared: java.net.http.HttpClient =
+    java.net.http.HttpClient.newHttpClient()
 }

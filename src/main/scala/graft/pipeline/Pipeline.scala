@@ -664,11 +664,20 @@ object Pipeline {
     aliasSpec.foreach { spec =>
       val rootSpec = new CheckpointStore(root, spark).stageFingerprint("canonical")
         .flatMap("aliases=([^,]*)".r.findFirstMatchIn(_)).map(_.group(1))
-      rootSpec.foreach(rs => require(rs == spec,
-        s"--incremental: $root/canonical was built under aliases=$rs but " +
-          s"this fold specifies aliases=$spec — a changed dictionary cannot " +
-          "fold into the same entity space; restore the original dict or " +
-          "rebuild with a one-shot run"))
+      rootSpec.foreach { rs =>
+        // a pin written before content hashing (no '@x' suffix) can only
+        // be verified by PATH — compare path segments so an unchanged
+        // dictionary keeps folding into its pre-upgrade root (the fold
+        // then re-stamps the stage meta with the hashed pin)
+        val matches =
+          if (rs.contains("@x") && spec.contains("@x")) rs == spec
+          else rs.takeWhile(_ != '@') == spec.takeWhile(_ != '@')
+        require(matches,
+          s"--incremental: $root/canonical was built under aliases=$rs but " +
+            s"this fold specifies aliases=$spec — a changed dictionary cannot " +
+            "fold into the same entity space; restore the original dict or " +
+            "rebuild with a one-shot run")
+      }
     }
   }
 

@@ -56,15 +56,23 @@ final class VocabNormalizer(vocab: Set[String], lowercase: Boolean = true)
       val s = new String(Character.toChars(cp))
       if (Character.isWhitespace(cp)) flush()
       else if (isCjk(cp) || isPunct(cp)) { flush(); out += s }
-      else cur.append(if (lowercase) s.toLowerCase else s)
+      // Locale.ROOT: host-locale lowercasing (tr-TR dotless ı etc.) would
+      // make [UNK] decisions differ per deployment host — the reference's
+      // Python str.lower() is locale-independent
+      else cur.append(if (lowercase) s.toLowerCase(java.util.Locale.ROOT) else s)
       i += Character.charCount(cp)
     }
     flush()
     out.result()
   }
 
+  /** BERT WordPiece's max_input_chars_per_word: a longer word is one
+    * [UNK] without attempting decomposition. */
+  private val MaxWordChars = 100
+
   /** greedy longest-prefix WordPiece of one word; None = [UNK]. */
   private def wordPiece(word: String): Option[Vector[String]] = {
+    if (word.length > MaxWordChars) return None
     val out = Vector.newBuilder[String]
     var start = 0
     while (start < word.length) {

@@ -124,9 +124,12 @@ object StreamingOps {
     }
   }
 
-  /** tolerant `_last_batch` read: a crash between marker create and
-    * write leaves an EMPTY file — treat it as "nothing committed"
-    * instead of a NumberFormatException that wedges every restart. */
+  /** tolerant `_last_batch` read: an unreadable/empty marker parses as
+    * -1 ("nothing committed") instead of a NumberFormatException that
+    * wedges every restart. The marker is written temp+rename (atomic),
+    * so -1 WITH committed generations present means damage outside the
+    * protocol — the fold refuses that loudly rather than silently
+    * reinitializing over real history. */
   private def readLastBatch(fs: org.apache.hadoop.fs.FileSystem,
                             marker: org.apache.hadoop.fs.Path): Long =
     if (!fs.exists(marker)) -1L
@@ -200,9 +203,30 @@ object StreamingOps {
             fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
           val legacy = new org.apache.hadoop.fs.Path(aggPath, "agg")
           // the committed aggregate: the marker's generation dir, or the
-          // pre-generation flat `agg` layout (one-time migration read)
+          // pre-generation flat `agg` layout (one-time migration read).
+          // A MISSING/EMPTY marker next to committed data is corruption
+          // (e.g. a crash inside the marker rewrite, or a hand-deleted
+          // file): silently treating it as "fresh store" would
+          // reinitialize the aggregate from one batch's delta and the
+          // post-commit prune would then DELETE the real history — fail
+          // loudly instead (the marker write below is temp+rename
+          // atomic, so this branch indicates damage outside the
+          // protocol).
+          val committedGens =
+            if (!fs.exists(base)) Seq.empty
+            else fs.listStatus(base).map(_.getPath).toSeq.filter(p =>
+              (p.getName == "agg" || (p.getName.startsWith("agg_") &&
+                p.getName.drop(4).toLongOption.isDefined)) && hasSuccess(p))
           val current: Option[org.apache.hadoop.fs.Path] =
-            if (last < 0L) None
+            if (last < 0L) {
+              if (committedGens.nonEmpty) sys.error(
+                s"maintainEdges: $aggPath holds committed aggregate data " +
+                  s"(${committedGens.map(_.getName).mkString(", ")}) but " +
+                  "_last_batch is missing or unreadable — the store is " +
+                  "corrupted outside the generation protocol; refusing to " +
+                  "reinitialize the aggregate from a single batch's delta")
+              None
+            }
             else if (hasSuccess(gen(last))) Some(gen(last))
             else if (hasSuccess(legacy)) Some(legacy)
             else sys.error(
@@ -218,9 +242,18 @@ object StreamingOps {
           merged.write.mode("overwrite").parquet(gen(batchId).toString)
           Pipeline.edgesFromPairPred(merged)
             .write.mode("overwrite").parquet(edgesPath)
-          val out = fs.create(marker, true)
+          // atomic marker commit: write-temp-then-rename — a crash can
+          // leave the OLD marker (replay recomputes the merge off the
+          // old generation, harmless) or, in the delete→rename sliver,
+          // no marker at all (caught loudly above); it can never leave a
+          // truncated marker that silently reads as "fresh store"
+          val tmp = new org.apache.hadoop.fs.Path(aggPath, "_last_batch.tmp")
+          val out = fs.create(tmp, true)
           out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.close()
+          fs.delete(marker, false)
+          require(fs.rename(tmp, marker),
+            s"maintainEdges: rename $tmp -> $marker failed")
           // prune superseded generations (and the legacy dir) only now —
           // a crash here leaves stale dirs, never a broken commit
           if (fs.exists(base))

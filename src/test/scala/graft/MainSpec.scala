@@ -431,6 +431,26 @@ class MainSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("entity space"), e2.getMessage)
     // nothing was folded by the refused runs
     assert(!new java.io.File(s"$out/_fold_inflight").exists())
+
+    // MIGRATION: a root stamped before content hashing pins only the
+    // path — folding the UNCHANGED dict into it must be accepted (the
+    // path segments match), not refused with a misleading error
+    Files.write(Paths.get(s"$dictDir/d.jsonl"),
+      """{"alias":"张三","entity_id":"U001","canonical":"张先生"}""".getBytes("UTF-8"))
+    for (st <- Seq("docs", "triples", "canonical", "edges")) {
+      val meta = Paths.get(s"$out/$st/_graft_meta.json")
+      if (Files.exists(meta)) {
+        Files.writeString(meta,
+          Files.readString(meta).replaceAll("@x[0-9a-f]+", ""))
+        // hadoop LocalFileSystem keeps a checksum sidecar the direct
+        // edit invalidates — drop it (real pre-upgrade roots were
+        // written through hadoop and carry consistent sums)
+        Files.deleteIfExists(meta.getParent.resolve("._graft_meta.json.crc"))
+      }
+    }
+    Main.main(Array("--reader", "synth", "--docs", "20", "--docs-from", "15",
+                    "--out", out, "--incremental", "--aliases", dictDir))
+    assert(spark.read.parquet(s"$out/docs").select("doc_id").distinct().count() == 20)
   }
 
   test("argument errors are loud") {

@@ -75,6 +75,11 @@ class SegmenterSpec extends AnyFunSuite {
     assert(vn.normalize(Seq("BERT模型2023")) == Vector("bert模型2023"))
     // an undecomposable word is ONE [UNK] (whole word, not per char)
     assert(vn.tokenize("xyz") == Vector("[UNK]"))
+    // BERT's max_input_chars_per_word: a 101-char word is one [UNK] even
+    // when it would decompose
+    val long = "bert" * 26 // 104 chars, all pieces in vocab
+    assert(new graft.segment.VocabNormalizer(Set("bert", "##bert"))
+      .tokenize(long) == Vector("[UNK]"))
     // BERT-format vocab file: one token per line
     val f = java.nio.file.Files.createTempFile("graft-vocab", ".txt")
     java.nio.file.Files.writeString(f, "甲\n乙\n##乙\n")

@@ -263,6 +263,31 @@ class StreamingSpec extends SparkSpecBase {
            s"history lost across the crashed generation: $streamed vs $batch")
   }
 
+  test("maintainEdges refuses a store with committed data but no marker") {
+    implicit val sqlCtx = spark.sqlContext
+    // committed generation present, marker gone (hand-deleted / damaged):
+    // the old behavior silently reinitialized from one batch's delta and
+    // then PRUNED the real history — must refuse instead
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-nomark").toString
+    val aggPath = s"$dir/pairpred"
+    val gen = java.nio.file.Paths.get(aggPath, "agg_2")
+    java.nio.file.Files.createDirectories(gen)
+    java.nio.file.Files.writeString(gen.resolve("_SUCCESS"), "")
+    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges")
+    input.addData(("e1", "e2", "p1"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("_last_batch is missing"), chain)
+    // the committed generation survived the refusal
+    assert(java.nio.file.Files.exists(gen.resolve("_SUCCESS")))
+  }
+
   test("maintainEdges fails loudly when the committed generation is missing") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, String)]
