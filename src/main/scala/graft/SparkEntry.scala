@@ -336,6 +336,14 @@ object SparkEntry {
     "text_pack" -> ((s, dir) =>
       // sequence packing into 512-token bins across 8 parallel streams
       TextOps.packSequences(read(s, dir, "documents"), maxTokens = 512)),
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionScores(read(s, dir, "documents"))),
+    "text_contamination" -> ((s, dir) => {
+      // benchmark decontamination: the "evaluation set" is the first 20
+      // corpus docs, so planted exact duplicates surface as contaminated
+      val docs = read(s, dir, "documents")
+      TextOps.contamination(docs, docs.filter(col("doc_id") < 20), n = 8)
+    }),
 
     // ---- relational coverage (scan/filter/agg/join/window) ----------
     "q1_agg" -> ((s, dir) =>
@@ -1088,6 +1096,46 @@ object SparkEntry {
            |SELECT doc_id, stream, n_tokens,
            |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
            |FROM c""".stripMargin,
+      "text_repetition" ->
+        s"""WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |gr AS (SELECT doc_id, ns.n AS n,
+           |    unnest(list_transform(generate_series(1, len(t) - ns.n + 1),
+           |           i -> array_to_string(t[i:i+ns.n-1], ' '))) AS gram
+           |  FROM toksr, (VALUES (1),(2),(3)) ns(n)
+           |  WHERE len(t) >= ns.n),
+           |cr AS (SELECT doc_id, n, ${graft.functions.PortableHash.duckMd5Long48("gram")} AS gram_h,
+           |    count(*) AS cnt
+           |  FROM gr GROUP BY doc_id, n, gram_h),
+           |pr AS (SELECT doc_id,
+           |    max(CASE WHEN n = 1 THEN cnt END) AS m1,
+           |    sum(CASE WHEN n = 1 THEN cnt END) AS t1,
+           |    max(CASE WHEN n = 2 THEN cnt END) AS m2,
+           |    sum(CASE WHEN n = 2 THEN cnt END) AS t2,
+           |    sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS d3,
+           |    sum(CASE WHEN n = 3 THEN cnt END) AS t3
+           |  FROM cr GROUP BY doc_id)
+           |SELECT doc_id,
+           |  CAST(coalesce((10000 * m1) // t1, 0) AS BIGINT) AS top_word_frac_x10000,
+           |  CAST(coalesce((10000 * m2) // t2, 0) AS BIGINT) AS top_2gram_frac_x10000,
+           |  CAST(coalesce((10000 * coalesce(d3, 0)) // t3, 0) AS BIGINT) AS dup_3gram_frac_x10000
+           |FROM pr""".stripMargin,
+      "text_contamination" ->
+        s"""WITH toksc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |gc AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' ')))) AS gram
+           |  FROM toksc WHERE len(t) >= 8),
+           |gh AS (SELECT doc_id, ${graft.functions.PortableHash.duckMd5Long48("gram")} AS gram_h FROM gc),
+           |bh AS (SELECT DISTINCT gram_h FROM gh WHERE doc_id < 20),
+           |pd AS (SELECT doc_id, count(*) AS n_grams FROM gh GROUP BY doc_id),
+           |ht AS (SELECT gh.doc_id, count(*) AS n_hits FROM gh JOIN bh USING (gram_h)
+           |  GROUP BY gh.doc_id)
+           |SELECT pd.doc_id, pd.n_grams,
+           |  CAST(coalesce(ht.n_hits, 0) AS BIGINT) AS n_hits,
+           |  CAST(coalesce((10000 * coalesce(ht.n_hits, 0)) // pd.n_grams, 0) AS BIGINT)
+           |    AS overlap_x10000,
+           |  (coalesce((10000 * coalesce(ht.n_hits, 0)) // pd.n_grams, 0) >= 5000)
+           |    AS contaminated
+           |FROM pd LEFT JOIN ht ON pd.doc_id = ht.doc_id""".stripMargin,
       "text_clean_corpus" ->
         s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
            |f AS (SELECT doc_id, text,

@@ -92,6 +92,89 @@ object TextOps {
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), md5(col("text")).as("md5_fp"))
 
+  /** occurrence-PRESERVING word n-grams (repetition analysis needs
+    * counts; `DedupOps.wordNgrams` dedups for candidate generation).
+    * Docs shorter than n yield NO grams (no whole-doc fallback). */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+                i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style intra-document REPETITION signals — the quality
+    * filters that catch boilerplate/spam the char-class `quality` scorer
+    * misses (Rae et al. 2021 §A1.1 use char-fraction variants; these are
+    * the count-fraction analogues, exact in integer fixed-point so the
+    * DuckDB oracle hash-matches):
+    *  - top_word_frac_x10000: occurrences of the most frequent word /
+    *    total words;
+    *  - top_2gram_frac_x10000: same over word 2-grams;
+    *  - dup_3gram_frac_x10000: fraction of 3-gram occurrences whose gram
+    *    appears more than once.
+    * Plan: one narrow 3-way gram explode → ONE aggregation on the
+    * fixed-width 48-bit gram hash (doc_id, n, gram_h) → one per-doc
+    * aggregation — 2 shuffles total, both on bounded keys; no sort, no
+    * window, no string min/max (SortAggregate trap). Only docs with ≥1
+    * word appear (empty docs have no grams). */
+  def repetitionScores(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
+    val grams = Seq(1, 2, 3).map { n =>
+      documents.select(col("doc_id"), lit(n).as("n"),
+        explode(wordNgramsAll(col("text"), n)).as("gram"))
+    }.reduce(_ unionByName _)
+    grams
+      .groupBy(col("doc_id"), col("n"),
+               PortableHash.md5Long48(col("gram")).as("gram_h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        max(when(col("n") === 1, col("cnt"))).as("m1"),
+        sum(when(col("n") === 1, col("cnt"))).as("t1"),
+        max(when(col("n") === 2, col("cnt"))).as("m2"),
+        sum(when(col("n") === 2, col("cnt"))).as("t2"),
+        sum(when(col("n") === 3 && col("cnt") > 1, col("cnt"))).as("d3"),
+        sum(when(col("n") === 3, col("cnt"))).as("t3"))
+      .select(col("doc_id"),
+        expr("coalesce((10000 * m1) div t1, 0)").as("top_word_frac_x10000"),
+        expr("coalesce((10000 * m2) div t2, 0)").as("top_2gram_frac_x10000"),
+        expr("coalesce((10000 * coalesce(d3, 0)) div t3, 0)").as("dup_3gram_frac_x10000"))
+  }
+
+  /** Benchmark DECONTAMINATION check — exact n-gram overlap between the
+    * corpus and an evaluation set (the standard contamination test:
+    * 8-gram collision, as used for GPT-3/PaLM-style train/test
+    * decontamination). Per document: its distinct n-gram count, how many
+    * of those occur anywhere in the benchmark, the overlap fraction
+    * (x10000 fixed-point) and a `contaminated` flag at the threshold.
+    *
+    * 100 TB shape: evaluation sets are tiny (MBs), so the benchmark
+    * gram set is BROADCAST — the corpus-side probe is a narrow scan +
+    * broadcast hash join; the only shuffles are the two per-doc count
+    * aggregations on doc_id. Docs with fewer than n words carry no
+    * grams and are absent (nothing to test). */
+  def contamination(documents: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    thresholdX10000: Long = 5000L): DataFrame = {
+    import graft.functions.PortableHash
+    val docGrams = documents
+      .select(col("doc_id"),
+              explode(array_distinct(wordNgramsAll(col("text"), n))).as("gram"))
+      .select(col("doc_id"), PortableHash.md5Long48(col("gram")).as("gram_h"))
+    val benchGrams = broadcast(
+      benchmark
+        .select(explode(array_distinct(wordNgramsAll(col("text"), n))).as("gram"))
+        .select(PortableHash.md5Long48(col("gram")).as("gram_h")).distinct())
+    val perDoc = docGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = docGrams.join(benchGrams, Seq("gram_h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce((10000 * coalesce(n_hits, 0)) div n_grams, 0)")
+          .as("overlap_x10000"))
+      .withColumn("contaminated", col("overlap_x10000") >= lit(thresholdX10000))
+  }
+
   /** stopword ratio x1000 (integer division, Python-// semantics). */
   def stopRatioX1000Expr: Column =
     expr(s"(1000 * size(filter(split(text, ' '), t -> t in (${stopwords.map("'" + _ + "'").mkString(",")}))) ) div greatest(size(split(text, ' ')), 1)")

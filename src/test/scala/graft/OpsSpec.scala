@@ -288,6 +288,45 @@ class OpsSpec extends SparkSpecBase {
     assert(out == Map(1L -> "zh", 2L -> "en", 3L -> "other"))
   }
 
+  test("repetitionScores: planted boilerplate maxes out, diverse text stays low") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a a a a"),            // pure repetition: every fraction 10000
+      (2L, "w x y z"),            // all-distinct: top word 1/4, top 2gram 1/3, no dup 3grams
+      (3L, "p q p q p q"),        // alternating: top word 3/6, top 2gram "p q" 3/5, all 3grams dup'd? (p q p)x2 (q p q)x2 -> 4/4
+      (4L, "solo"))               // 1 word: no 2/3-grams, fractions coalesce
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionScores(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10000L, 10000L, 10000L),
+      (2L, 2500L, 3333L, 0L),
+      (3L, 5000L, 6000L, 10000L),
+      (4L, 10000L, 0L, 0L)), got.toString)
+  }
+
+  test("contamination: exact benchmark copy flags, partial overlap measures") {
+    import graft.ops.TextOps
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8 b9")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),   // identical: 2/2 grams hit
+      (2L, "x1 b1 b2 b3 b4 b5 b6 b7 b8"),   // one of two grams hits
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),   // disjoint
+      (4L, "short doc"))                     // < 8 words: absent
+      .toDF("doc_id", "text")
+    val got = TextOps.contamination(docs, bench, n = 8)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 10000L, true),
+      (2L, 2L, 1L, 5000L, true),
+      (3L, 2L, 0L, 0L, false)), got.toString)
+    // the benchmark side rides a broadcast, corpus probe stays unshuffled
+    // until the per-doc aggregation
+    val plan = TextOps.contamination(docs, bench, n = 8)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("stratifiedSample: deterministic, partition-invariant, quota-correct") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val quotas = Map("en" -> 2500, "zh" -> 6000)
