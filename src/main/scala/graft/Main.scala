@@ -277,16 +277,15 @@ object Main {
           val prev = try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8).trim
           finally in.close()
-          // a pre-content-hash pin (no '@x') can only be verified by
-          // path; when the path matches, MIGRATE the pin to the hashed
-          // form so future in-place edits are caught too
-          val legacyOk = !prev.contains("@x") &&
-            prev == cfg.takeWhile(_ != '@')
-          require(prev == cfg || legacyOk,
+          // one pin-comparison rule shared with the batch fold root
+          // (Pipeline.aliasPinMatches): a pre-content-hash pin compares
+          // by path and is MIGRATED to the hashed form on first match
+          require(Pipeline.aliasPinMatches(
+              prev.stripPrefix("aliases="), aliasSpec),
             s"--stream-once: $outDir was maintained under '$prev' but this " +
               s"run specifies '$cfg' — a changed dictionary cannot fold into " +
               "the same aggregate; use a fresh --out")
-          if (legacyOk) {
+          if (prev != cfg) {
             val os = fsS.create(cfgPath, true)
             os.write(cfg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             os.close()

@@ -120,10 +120,13 @@ object TextOps {
     * word appear (empty docs have no grams). */
   def repetitionScores(documents: DataFrame): DataFrame = {
     import graft.functions.PortableHash
-    val grams = Seq(1, 2, 3).map { n =>
-      documents.select(col("doc_id"), lit(n).as("n"),
-        explode(wordNgramsAll(col("text"), n)).as("gram"))
-    }.reduce(_ unionByName _)
+    // ONE corpus scan: all three gram sizes ride one exploded array of
+    // (n, gram) structs (a per-size select unioned would scan 3×)
+    val grams = documents
+      .select(col("doc_id"), explode(flatten(array(Seq(1, 2, 3).map(n =>
+        transform(wordNgramsAll(col("text"), n),
+                  g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
     grams
       .groupBy(col("doc_id"), col("n"),
                PortableHash.md5Long48(col("gram")).as("gram_h"))
@@ -149,9 +152,9 @@ object TextOps {
     * (x10000 fixed-point) and a `contaminated` flag at the threshold.
     *
     * 100 TB shape: evaluation sets are tiny (MBs), so the benchmark
-    * gram set is BROADCAST — the corpus-side probe is a narrow scan +
-    * broadcast hash join; the only shuffles are the two per-doc count
-    * aggregations on doc_id. Docs with fewer than n words carry no
+    * gram set is BROADCAST — the corpus-side probe is ONE narrow scan +
+    * broadcast hash join, and the only shuffle is the single per-doc
+    * count aggregation on doc_id. Docs with fewer than n words carry no
     * grams and are absent (nothing to test). */
   def contamination(documents: DataFrame, benchmark: DataFrame, n: Int = 8,
                     thresholdX10000: Long = 5000L): DataFrame = {
@@ -164,14 +167,15 @@ object TextOps {
       benchmark
         .select(explode(array_distinct(wordNgramsAll(col("text"), n))).as("gram"))
         .select(PortableHash.md5Long48(col("gram")).as("gram_h")).distinct())
-    val perDoc = docGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = docGrams.join(benchGrams, Seq("gram_h"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    perDoc.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        expr("coalesce((10000 * coalesce(n_hits, 0)) div n_grams, 0)")
-          .as("overlap_x10000"))
+    // ONE corpus scan + ONE doc_id aggregation: the broadcast LEFT join
+    // tags each gram with a hit flag, totals and hits aggregate together
+    docGrams
+      .join(benchGrams.withColumn("hit", lit(1L)), Seq("gram_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        expr("(10000 * n_hits) div n_grams").as("overlap_x10000"))
       .withColumn("contaminated", col("overlap_x10000") >= lit(thresholdX10000))
   }
 

@@ -39,13 +39,15 @@ trait SentenceAnnotator extends Serializable {
   * walking the surface — the fixture stand-in for the CoreNLP call that
   * the differential batteries pin down. */
 object FixtureAnnotator extends SentenceAnnotator {
+  // label vocabularies built once per JVM, not once per sentence
+  private val persons = Templates.persons.toSet
+  private val orgs = Templates.orgs.toSet
+  private val places = Templates.places.toSet
+
   def annotate(sentences: Seq[String]): Seq[Seq[NerPos.AnnToken]] =
     sentences.map(annTokens)
 
   private[pipeline] def annTokens(sent: String): Seq[NerPos.AnnToken] = {
-    val persons = Templates.persons.toSet
-    val orgs = Templates.orgs.toSet
-    val places = Templates.places.toSet
     val toks = FixtureParser.tokenize(sent).getOrElse(Vector(sent))
     var off = 0
     toks.map { w =>

@@ -665,14 +665,7 @@ object Pipeline {
       val rootSpec = new CheckpointStore(root, spark).stageFingerprint("canonical")
         .flatMap("aliases=([^,]*)".r.findFirstMatchIn(_)).map(_.group(1))
       rootSpec.foreach { rs =>
-        // a pin written before content hashing (no '@x' suffix) can only
-        // be verified by PATH — compare path segments so an unchanged
-        // dictionary keeps folding into its pre-upgrade root (the fold
-        // then re-stamps the stage meta with the hashed pin)
-        val matches =
-          if (rs.contains("@x") && spec.contains("@x")) rs == spec
-          else rs.takeWhile(_ != '@') == spec.takeWhile(_ != '@')
-        require(matches,
+        require(aliasPinMatches(rs, spec),
           s"--incremental: $root/canonical was built under aliases=$rs but " +
             s"this fold specifies aliases=$spec — a changed dictionary cannot " +
             "fold into the same entity space; restore the original dict or " +
@@ -680,6 +673,16 @@ object Pipeline {
       }
     }
   }
+
+  /** do two alias-dictionary pins denote the same dictionary? Pins are
+    * `<path>@x<contenthash>` (or `synth`); a pin written before content
+    * hashing carries only the path and can only be compared by path —
+    * both the batch fold root and the stream `_stream_config` use this
+    * one rule (the caller re-stamps the legacy pin with the hashed form
+    * on first match). */
+  def aliasPinMatches(prev: String, cur: String): Boolean =
+    if (prev.contains("@x") && cur.contains("@x")) prev == cur
+    else prev.takeWhile(_ != '@') == cur.takeWhile(_ != '@')
 
   /** Incremental maintenance of an EXISTING run root: fold a fresh corpus
     * slice into the maintained docs/triples/canonical stores (doc-

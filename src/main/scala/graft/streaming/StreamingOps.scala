@@ -212,7 +212,7 @@ object StreamingOps {
           // loudly instead (the marker write below is temp+rename
           // atomic, so this branch indicates damage outside the
           // protocol).
-          val committedGens =
+          def committedGens = // only consulted on the corruption branch
             if (!fs.exists(base)) Seq.empty
             else fs.listStatus(base).map(_.getPath).toSeq.filter(p =>
               (p.getName == "agg" || (p.getName.startsWith("agg_") &&

@@ -477,8 +477,7 @@ class PipelineSpec extends SparkSpecBase {
       Pipeline.nerPosTable(Pipeline.segmentDocs(Pipeline.synthDocs(spark, 3)), bad)
         .collect()
     }
-    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val chain = causeChain(e)
     assert(chain.contains("results for"), chain)
   }
 }

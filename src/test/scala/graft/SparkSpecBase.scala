@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
 
+  /** all messages down a throwable's cause chain, joined — Spark wraps
+    * task/stream failures several levels deep, and asserting on one
+    * level is brittle across versions. */
+  def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
   override def afterAll(): Unit = () // shared session; stopped at JVM exit
 }
 

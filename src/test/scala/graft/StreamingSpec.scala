@@ -281,8 +281,7 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
     }
     q.stop()
-    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val chain = causeChain(e)
     assert(chain.contains("_last_batch is missing"), chain)
     // the committed generation survived the refusal
     assert(java.nio.file.Files.exists(gen.resolve("_SUCCESS")))
@@ -311,8 +310,7 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
     }
     q.stop()
-    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val chain = causeChain(e)
     assert(chain.contains("corrupted"), s"expected the corruption refusal, got: $chain")
   }
 }
