@@ -336,6 +336,8 @@ object SparkEntry {
     "text_pack" -> ((s, dir) =>
       // sequence packing into 512-token bins across 8 parallel streams
       TextOps.packSequences(read(s, dir, "documents"), maxTokens = 512)),
+    "dedup_substring" -> ((s, dir) =>
+      DedupOps.substringSpans(read(s, dir, "documents"), k = 8)),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
     "text_contamination" -> ((s, dir) => {
@@ -1096,6 +1098,21 @@ object SparkEntry {
            |SELECT doc_id, stream, n_tokens,
            |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
            |FROM c""".stripMargin,
+      "dedup_substring" ->
+        s"""WITH toksd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |pos0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+           |    i -> struct_pack(pos := i - 1,
+           |      h := ${graft.functions.PortableHash.duckMd5Long48("array_to_string(t[i:i+7], ' ')")}))) AS s
+           |  FROM toksd WHERE len(t) >= 8),
+           |posd AS (SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.h AS h FROM pos0),
+           |duph AS (SELECT h FROM posd GROUP BY h HAVING count(*) > 1),
+           |md AS (SELECT posd.doc_id, posd.pos FROM posd JOIN duph USING (h)),
+           |gd AS (SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM md)
+           |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+           |  CAST(max(pos) - min(pos) + 8 AS INTEGER) AS span_len_tokens
+           |FROM gd GROUP BY doc_id, grp""".stripMargin,
       "text_repetition" ->
         s"""WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            |gr AS (SELECT doc_id, ns.n AS n,

@@ -349,4 +349,43 @@ object DedupOps {
       maxIters, reliable)
       .select(col("node").as("doc_id"), col("component_id").as("cluster_id"),
               col("is_root").as("is_keeper"))
+
+  /** Exact SUBSTRING-duplication spans — the token-level dedup family
+    * next to the document-level ops above (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", find
+    * repeated spans with a suffix array offline; this is the
+    * Spark-shaped equivalent): every maximal token span of length ≥ k
+    * whose every k-token window occurs MORE THAN ONCE in the corpus
+    * (across documents or within one). Emits (doc_id, span_start,
+    * span_len_tokens) per maximal span — the rows a span-level filter
+    * drops or truncates before training.
+    *
+    * Plan: k-shingles at stride 1 with positions (one narrow posexplode)
+    * → occurrence counts on the fixed-width 48-bit shingle hash →
+    * positions of duplicated shingles (equi-join on the hash; output ≤
+    * |positions|, no blow-up — each position matches at most one
+    * distinct-hash row) → per-doc maximal-run merge, PURE Catalyst
+    * (sorted position array + index lambdas pick run starts/ends; per-doc
+    * arrays are doc-length-bounded). 3 bounded shuffles, no window over
+    * the corpus, no sort except per-doc array sort. */
+  def substringSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.PortableHash
+    val pos = parallelized(documents)
+      .select(col("doc_id"),
+              posexplode(TextOps.wordNgramsAll(col("text"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), PortableHash.md5Long48(col("gram")).as("h"))
+    val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select(col("h"))
+    pos.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), explode(expr(
+        """arrays_zip(
+          |  filter(transform(ps, (p, i) -> CASE WHEN i = 0 OR ps[i-1] <> p - 1 THEN p END),
+          |         x -> x IS NOT NULL),
+          |  filter(transform(ps, (p, i) -> CASE WHEN i = size(ps) - 1 OR ps[i+1] <> p + 1 THEN p END),
+          |         x -> x IS NOT NULL))""".stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.0").as("span_start"),
+              (col("sp.1") - col("sp.0") + lit(k)).as("span_len_tokens"))
+  }
 }

@@ -288,6 +288,23 @@ class OpsSpec extends SparkSpecBase {
     assert(out == Map(1L -> "zh", 2L -> "en", 3L -> "other"))
   }
 
+  test("substringSpans: maximal duplicated runs, cross-doc and intra-doc") {
+    import graft.ops.DedupOps
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token shared run
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),
+      (2L, s"b1 b2 $shared y1 y2 y3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // unique: no rows
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 q r1 r2 r3 r4 r5 r6 r7 r8")) // intra-doc
+      .toDF("doc_id", "text")
+    val got = DedupOps.substringSpans(docs, k = 8)
+      .as[(Long, Int, Int)].collect().toSet
+    // docs 1/2: exactly the 10-token shared run, MERGED into one maximal
+    // span (k-gram positions fully inside it form one contiguous island);
+    // doc 4: the repeated 8-gram surfaces as two separate 8-token spans
+    assert(got == Set((1L, 3, 10), (2L, 2, 10), (4L, 0, 8), (4L, 9, 8)), got.toString)
+  }
+
   test("repetitionScores: planted boilerplate maxes out, diverse text stays low") {
     import graft.ops.TextOps
     val docs = Seq(
