@@ -338,6 +338,8 @@ object SparkEntry {
       TextOps.packSequences(read(s, dir, "documents"), maxTokens = 512)),
     "dedup_substring" -> ((s, dir) =>
       DedupOps.substringSpans(read(s, dir, "documents"), k = 8)),
+    "dedup_substring_rw" -> ((s, dir) =>
+      DedupOps.substringDeduped(read(s, dir, "documents"), k = 8)),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
     "text_contamination" -> ((s, dir) => {
@@ -1113,6 +1115,36 @@ object SparkEntry {
            |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
            |  CAST(max(pos) - min(pos) + 8 AS INTEGER) AS span_len_tokens
            |FROM gd GROUP BY doc_id, grp""".stripMargin,
+      "dedup_substring_rw" ->
+        s"""WITH toksw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |pw0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+           |    i -> struct_pack(pos := i - 1,
+           |      h := ${graft.functions.PortableHash.duckMd5Long48("array_to_string(t[i:i+7], ' ')")}))) AS s
+           |  FROM toksw WHERE len(t) >= 8),
+           |pw AS (SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.h AS h FROM pw0),
+           |rkw AS (SELECT doc_id, pos,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+           |    count(*) OVER (PARTITION BY h) AS n_occ
+           |  FROM pw),
+           |redw AS (SELECT doc_id, pos FROM rkw WHERE n_occ > 1 AND rn > 1),
+           |giw AS (SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM redw),
+           |delw AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           |  FROM giw GROUP BY doc_id, grp),
+           |tokw AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+           |    i -> struct_pack(i := i - 1, tok := t[i]))) AS u FROM toksw),
+           |tkw AS (SELECT doc_id, CAST(u.i AS INTEGER) AS i, u.tok AS tok FROM tokw),
+           |keptw AS (SELECT tkw.doc_id, tkw.i, tkw.tok FROM tkw
+           |  WHERE NOT EXISTS (SELECT 1 FROM delw
+           |    WHERE delw.doc_id = tkw.doc_id AND tkw.i BETWEEN delw.s AND delw.e)),
+           |aggw AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_deduped,
+           |    count(*) AS n_kept
+           |  FROM keptw GROUP BY doc_id),
+           |totw AS (SELECT doc_id, len(t) AS n_tok FROM toksw)
+           |SELECT totw.doc_id, coalesce(aggw.text_deduped, '') AS text_deduped,
+           |  CAST(totw.n_tok - coalesce(aggw.n_kept, 0) AS BIGINT) AS n_tokens_removed
+           |FROM totw LEFT JOIN aggw ON totw.doc_id = aggw.doc_id""".stripMargin,
       "text_repetition" ->
         s"""WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            |gr AS (SELECT doc_id, ns.n AS n,

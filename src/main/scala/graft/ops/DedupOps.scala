@@ -388,4 +388,52 @@ object DedupOps {
       .select(col("doc_id"), col("sp.0").as("span_start"),
               (col("sp.1") - col("sp.0") + lit(k)).as("span_len_tokens"))
   }
+
+  /** The TRANSFORMATION counterpart of [[substringSpans]]: rewrite the
+    * corpus with redundant substring occurrences REMOVED (Lee et al.
+    * 2022 drop all-but-one occurrence of each duplicated span; here the
+    * keeper of a k-shingle is its globally FIRST occurrence — min
+    * (doc_id, pos) — so the rule is deterministic and order/partition-
+    * independent). Per doc, non-keeper positions of duplicated shingles
+    * merge into maximal delete ranges; the text is rebuilt from the
+    * surviving tokens. Returns (doc_id, text_deduped, n_tokens_removed)
+    * for EVERY input doc (untouched docs pass through with 0 removed).
+    *
+    * Same plan skeleton as [[substringSpans]] (narrow posexplode, one
+    * agg on the 48-bit hash — here carrying the arg-min keeper — one
+    * doc-keyed join + agg) plus one broadcast-free left join back to the
+    * corpus on doc_id; the rebuild is a per-row index-lambda filter, no
+    * extra shuffle. */
+  def substringDeduped(documents: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.PortableHash
+    val pos = parallelized(documents)
+      .select(col("doc_id"),
+              posexplode(TextOps.wordNgramsAll(col("text"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), PortableHash.md5Long48(col("gram")).as("h"))
+    val keepers = pos.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"), count(lit(1)).as("n_occ"))
+    val redundant = pos.join(keepers, Seq("h"))
+      .filter(col("n_occ") > 1 &&
+        !(col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos")))
+      .select(col("doc_id"), col("pos"))
+    val delSpans = redundant.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        s"""transform(arrays_zip(
+           |    filter(transform(ps, (p, i) -> CASE WHEN i = 0 OR ps[i-1] <> p - 1 THEN p END),
+           |           x -> x IS NOT NULL),
+           |    filter(transform(ps, (p, i) -> CASE WHEN i = size(ps) - 1 OR ps[i+1] <> p + 1 THEN p END),
+           |           x -> x IS NOT NULL)),
+           |  z -> struct(z['0'] AS s, z['1'] + $k - 1 AS e))""".stripMargin).as("dels"))
+    documents.join(delSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), coalesce(col("dels"),
+        expr("CAST(array() AS array<struct<s:int,e:int>>)")).as("dels"))
+      .select(col("doc_id"),
+        expr("""concat_ws(' ', filter(transform(split(text, ' '), (t, i) -> CASE
+               |  WHEN NOT exists(dels, d -> i >= d.s AND i <= d.e) THEN t END),
+               |  x -> x IS NOT NULL))""".stripMargin).as("text_deduped"),
+        expr("""size(filter(transform(split(text, ' '), (t, i) ->
+               |  CASE WHEN exists(dels, d -> i >= d.s AND i <= d.e) THEN 1 END),
+               |  x -> x IS NOT NULL))""".stripMargin).cast("long").as("n_tokens_removed"))
+  }
 }

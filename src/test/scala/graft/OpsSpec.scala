@@ -305,6 +305,25 @@ class OpsSpec extends SparkSpecBase {
     assert(got == Set((1L, 3, 10), (2L, 2, 10), (4L, 0, 8), (4L, 9, 8)), got.toString)
   }
 
+  test("substringDeduped removes non-keeper occurrences, keeps the first") {
+    import graft.ops.DedupOps
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),  // keeper (smallest doc_id): untouched
+      (2L, s"b1 b2 $shared y1 y2 y3"),  // redundant copy: run removed
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")) // unique: untouched
+      .toDF("doc_id", "text")
+    val got = DedupOps.substringDeduped(docs, k = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, s"a1 a2 a3 $shared z1 z2", 0L)), got(0).toString)
+    assert(got(1) == ((2L, "b1 b2 y1 y2 y3", 10L)), got(1).toString)
+    assert(got(2)._3 == 0L && got(2)._2.startsWith("u1 u2"))
+    // determinism: keeper choice survives repartitioning
+    val re = DedupOps.substringDeduped(docs.repartition(7), k = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
   test("repetitionScores: planted boilerplate maxes out, diverse text stays low") {
     import graft.ops.TextOps
     val docs = Seq(
