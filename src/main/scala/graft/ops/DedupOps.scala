@@ -350,6 +350,16 @@ object DedupOps {
       .select(col("node").as("doc_id"), col("component_id").as("cluster_id"),
               col("is_root").as("is_keeper"))
 
+  /** SQL fragment: maximal contiguous runs of the sorted int array `ps`
+    * as arrays_zip'd (run-start, run-end) position pairs — the shared
+    * gaps-and-islands core of [[substringSpans]] / [[substringDeduped]]. */
+  private val islandZipSql =
+    """arrays_zip(
+      |  filter(transform(ps, (p, i) -> CASE WHEN i = 0 OR ps[i-1] <> p - 1 THEN p END),
+      |         x -> x IS NOT NULL),
+      |  filter(transform(ps, (p, i) -> CASE WHEN i = size(ps) - 1 OR ps[i+1] <> p + 1 THEN p END),
+      |         x -> x IS NOT NULL))""".stripMargin
+
   /** Exact SUBSTRING-duplication spans — the token-level dedup family
     * next to the document-level ops above (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better", find
@@ -379,12 +389,7 @@ object DedupOps {
     pos.join(dup, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-      .select(col("doc_id"), explode(expr(
-        """arrays_zip(
-          |  filter(transform(ps, (p, i) -> CASE WHEN i = 0 OR ps[i-1] <> p - 1 THEN p END),
-          |         x -> x IS NOT NULL),
-          |  filter(transform(ps, (p, i) -> CASE WHEN i = size(ps) - 1 OR ps[i+1] <> p + 1 THEN p END),
-          |         x -> x IS NOT NULL))""".stripMargin)).as("sp"))
+      .select(col("doc_id"), explode(expr(islandZipSql)).as("sp"))
       .select(col("doc_id"), col("sp.0").as("span_start"),
               (col("sp.1") - col("sp.0") + lit(k)).as("span_len_tokens"))
   }
@@ -419,12 +424,8 @@ object DedupOps {
     val delSpans = redundant.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
       .select(col("doc_id"), expr(
-        s"""transform(arrays_zip(
-           |    filter(transform(ps, (p, i) -> CASE WHEN i = 0 OR ps[i-1] <> p - 1 THEN p END),
-           |           x -> x IS NOT NULL),
-           |    filter(transform(ps, (p, i) -> CASE WHEN i = size(ps) - 1 OR ps[i+1] <> p + 1 THEN p END),
-           |           x -> x IS NOT NULL)),
-           |  z -> struct(z['0'] AS s, z['1'] + $k - 1 AS e))""".stripMargin).as("dels"))
+        s"transform($islandZipSql, z -> struct(z['0'] AS s, z['1'] + $k - 1 AS e))")
+        .as("dels"))
     documents.join(delSpans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), coalesce(col("dels"),
         expr("CAST(array() AS array<struct<s:int,e:int>>)")).as("dels"))
