@@ -113,35 +113,41 @@ object TextOps {
     *  - top_2gram_frac_x10000: same over word 2-grams;
     *  - dup_3gram_frac_x10000: fraction of 3-gram occurrences whose gram
     *    appears more than once.
-    * Plan: one narrow 3-way gram explode → ONE aggregation on the
-    * fixed-width 48-bit gram hash (doc_id, n, gram_h) → one per-doc
-    * aggregation — 2 shuffles total, both on bounded keys; no sort, no
-    * window, no string min/max (SortAggregate trap). Only docs with ≥1
-    * word appear (empty docs have no grams). */
+    * Every statistic is PER-DOCUMENT, so the plan is ZERO-SHUFFLE
+    * (plan-gated): each doc's gram hashes are sorted LOCALLY inside the
+    * row (array_sort over a doc-length-bounded array) and the
+    * frequencies read off as equal-run lengths — embarrassingly parallel
+    * at any corpus size, one narrow scan. (The first implementation
+    * aggregated (doc, n, gram) corpus-wide: two shuffles and 4.6 s at
+    * sf0.1 vs ~1 s for this shape, with identical values.) */
   def repetitionScores(documents: DataFrame): DataFrame = {
     import graft.functions.PortableHash
-    // ONE corpus scan: all three gram sizes ride one exploded array of
-    // (n, gram) structs (a per-size select unioned would scan 3×)
-    val grams = documents
-      .select(col("doc_id"), explode(flatten(array(Seq(1, 2, 3).map(n =>
-        transform(wordNgramsAll(col("text"), n),
-                  g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
-      .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
-    grams
-      .groupBy(col("doc_id"), col("n"),
-               PortableHash.md5Long48(col("gram")).as("gram_h"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id")).agg(
-        max(when(col("n") === 1, col("cnt"))).as("m1"),
-        sum(when(col("n") === 1, col("cnt"))).as("t1"),
-        max(when(col("n") === 2, col("cnt"))).as("m2"),
-        sum(when(col("n") === 2, col("cnt"))).as("t2"),
-        sum(when(col("n") === 3 && col("cnt") > 1, col("cnt"))).as("d3"),
-        sum(when(col("n") === 3, col("cnt"))).as("t3"))
+    // equal-run lengths of a SORTED array: run starts/ends by the
+    // adjacent-inequality island trick, length = end - start + 1
+    def runLens(a: String) =
+      s"""transform(arrays_zip(
+         |  filter(transform($a, (x, i) -> CASE WHEN i = 0 OR $a[i-1] <> x THEN i END),
+         |         v -> v IS NOT NULL),
+         |  filter(transform($a, (x, i) -> CASE WHEN i = size($a) - 1 OR $a[i+1] <> x THEN i END),
+         |         v -> v IS NOT NULL)),
+         |  z -> CAST(z['1'] - z['0'] + 1 AS BIGINT))""".stripMargin
+    def sortedHashes(n: Int) =
+      sort_array(transform(wordNgramsAll(col("text"), n),
+                           g => PortableHash.md5Long48(g)))
+    documents
+      .select(col("doc_id"), sortedHashes(1).as("a1"), sortedHashes(2).as("a2"),
+              sortedHashes(3).as("a3"))
       .select(col("doc_id"),
-        expr("coalesce((10000 * m1) div t1, 0)").as("top_word_frac_x10000"),
-        expr("coalesce((10000 * m2) div t2, 0)").as("top_2gram_frac_x10000"),
-        expr("coalesce((10000 * coalesce(d3, 0)) div t3, 0)").as("dup_3gram_frac_x10000"))
+        expr(s"array_max(${runLens("a1")})").as("m1"),
+        expr("cast(size(a1) as bigint)").as("t1"),
+        expr(s"array_max(${runLens("a2")})").as("m2"),
+        expr("cast(size(a2) as bigint)").as("t2"),
+        expr(s"aggregate(filter(${runLens("a3")}, r -> r > 1), 0L, (acc, x) -> acc + x)").as("d3"),
+        expr("cast(size(a3) as bigint)").as("t3"))
+      .select(col("doc_id"),
+        expr("coalesce((10000 * m1) div nullif(t1, 0), 0)").as("top_word_frac_x10000"),
+        expr("coalesce((10000 * m2) div nullif(t2, 0), 0)").as("top_2gram_frac_x10000"),
+        expr("coalesce((10000 * coalesce(d3, 0)) div nullif(t3, 0), 0)").as("dup_3gram_frac_x10000"))
   }
 
   /** Benchmark DECONTAMINATION check — exact n-gram overlap between the

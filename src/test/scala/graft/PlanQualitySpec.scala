@@ -184,6 +184,11 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("text_repetition is zero-shuffle (per-doc stats never leave the row)") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf)
+    assert(shuffles(df) == 0, executed(df))
+  }
+
   test("minhash/winnow aggregations never fall back to SortAggregate") {
     for (q <- Seq("dedup_minhash_bands", "dedup_minhash_cand", "dedup_winnow")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
