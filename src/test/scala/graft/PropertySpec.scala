@@ -28,6 +28,35 @@ class PropertySpec extends SparkSpecBase {
   private val text: Gen[String] =
     Gen.choose(0, 900).flatMap(n => Gen.listOfN(n, token)).map(_.mkString)
 
+  test("repetitionScores equals a brute-force frequency count on random corpora") {
+    import spark.implicits._
+    // small vocab forces real collisions/repeats; includes 1-word docs
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen: Gen[String] =
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = samples(docGen, 120, 0xBEEF01)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def brute(t: String): (Long, Long, Long) = {
+      val ws = t.split(" ")
+      def grams(n: Int) = if (ws.length < n) Seq.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      def frac(n: Int) = {
+        val g = grams(n); if (g.isEmpty) 0L
+        else 10000L * g.groupBy(identity).values.map(_.size).max / g.size
+      }
+      val g3 = grams(3)
+      val dup = if (g3.isEmpty) 0L
+        else 10000L * g3.groupBy(identity).values.map(_.size).filter(_ > 1).sum / g3.size
+      (frac(1), frac(2), dup)
+    }
+    val got = graft.ops.TextOps.repetitionScores(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (((t, i)) <- texts.zipWithIndex) {
+      assert(got(i.toLong) == brute(t), s"doc $i '$t': got ${got(i.toLong)}, want ${brute(t)}")
+    }
+  }
+
   test("splitStr is total and every admitted sentence satisfies the zh window") {
     for (chunks <- samples(Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, text)), 300, 0xC0FFEE)) {
       val out = Segmenter.splitStr(chunks) // must not throw
