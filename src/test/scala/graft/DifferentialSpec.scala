@@ -50,6 +50,13 @@ class DifferentialSpec extends AnyFunSuite {
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
+  test("engine output exactly matches the reference on the round-5 fresh-seed battery") {
+    // fourth k-range for the MAIN five-list differential (50000-59999,
+    // generated in round 5): fully unseen by every earlier battery
+    runDifferential("/golden_random4.json", 10000,
+      id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
+  }
+
   test("per-sentence decomposition equals the reference's per-document processing") {
     // the reference processes documents (lists of sentences) through one
     // post_processing call; the engine processes sentences independently.
