@@ -342,6 +342,7 @@ object SparkEntry {
       DedupOps.substringDeduped(read(s, dir, "documents"), k = 8)),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
+    "text_pii" -> ((s, dir) => TextOps.piiReport(read(s, dir, "documents"))),
     "text_contamination" -> ((s, dir) => {
       // benchmark decontamination: the "evaluation set" is the first 20
       // corpus docs, so planted exact duplicates surface as contaminated
@@ -1145,6 +1146,17 @@ object SparkEntry {
            |SELECT totw.doc_id, coalesce(aggw.text_deduped, '') AS text_deduped,
            |  CAST(totw.n_tok - coalesce(aggw.n_kept, 0) AS BIGINT) AS n_tokens_removed
            |FROM totw LEFT JOIN aggw ON totw.doc_id = aggw.doc_id""".stripMargin,
+      "text_pii" -> {
+        // ONE source of truth for the patterns: the SQL is emitted from
+        // TextOps.piiPatterns (conservative RE2-compatible subset)
+        val cnt = TextOps.piiPatterns.map { case (n, p, _) =>
+          s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+        }.mkString(",\n  ")
+        val red = TextOps.piiPatterns.foldLeft("text") { case (e, (_, p, r)) =>
+          s"regexp_replace($e, '$p', '$r', 'g')"
+        }
+        s"SELECT doc_id,\n  $cnt,\n  md5($red) AS redacted_fp\nFROM documents"
+      },
       "text_repetition" ->
         s"""WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            |gr AS (SELECT doc_id, ns.n AS n,

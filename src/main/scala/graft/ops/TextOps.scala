@@ -150,6 +150,52 @@ object TextOps {
         expr("coalesce((10000 * coalesce(d3, 0)) div nullif(t3, 0), 0)").as("dup_3gram_frac_x10000"))
   }
 
+  /** PII patterns, deliberately CONSERVATIVE regex: no lookarounds, no
+    * backreferences, ASCII digit classes — the subset on which Spark's
+    * Java regex and DuckDB's RE2 agree token-for-token, so the oracle
+    * recomputes scan counts and redactions exactly. Redaction order
+    * matters (URLs can contain '@'): url → email → phone → long-id. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^ ]+", "[URL]"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "[PHONE]"),
+    ("long_id", "[0-9]{15,}", "[ID]"))
+
+  /** per-doc PII scan: match counts per category over the RAW text —
+    * the audit pass before redaction (one narrow scan, zero shuffle).
+    * Counts are per-category raw-text scans: a match inside an earlier
+    * category's span (a phone in a URL) counts in both categories but is
+    * redacted once, by the earliest pattern. */
+  def piiScan(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id") +: piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }: _*)
+
+  /** scan counts + fingerprint of the redacted text in ONE narrow select
+    * — the driver-query surface ([[piiScan]] and [[piiRedact]] fused). */
+  def piiReport(documents: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name") }
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl)) }
+    documents.select(col("doc_id") +: counts :+ md5(redacted).as("redacted_fp"): _*)
+  }
+
+  /** PII redaction: every match replaced by its category placeholder, in
+    * the fixed [[piiPatterns]] order. Returns the redacted text plus the
+    * total replacement count (cheap re-audit: the redacted text of a
+    * clean doc is byte-identical to the input). */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+    val total = piiPatterns.map { case (_, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long")
+    }.reduce(_ + _)
+    documents.select(col("doc_id"), redacted.as("text_redacted"),
+                     total.as("n_redactions"))
+  }
+
   /** Benchmark DECONTAMINATION check — exact n-gram overlap between the
     * corpus and an evaluation set (the standard contamination test:
     * 8-gram collision, as used for GPT-3/PaLM-style train/test

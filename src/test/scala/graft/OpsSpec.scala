@@ -288,6 +288,25 @@ class OpsSpec extends SparkSpecBase {
     assert(out == Map(1L -> "zh", 2L -> "en", 3L -> "other"))
   }
 
+  test("piiScan/piiRedact: planted identifiers found and replaced in order") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.org or 555-123-4567 soon"),
+      (2L, "see https://site.example/path?u=a@b.cc and id 123456789012345678"),
+      (3L, "清洁的文本没有任何标识符")).toDF("doc_id", "text")
+    val scan = TextOps.piiScan(docs).as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // doc 2: the email-like a@b.cc sits INSIDE the URL — counted by both
+    // categories, redacted once by the earlier url pattern
+    assert(scan == Seq((1L, 0L, 1L, 1L, 0L), (2L, 1L, 1L, 0L, 1L),
+                       (3L, 0L, 0L, 0L, 0L)), scan.toString)
+    val red = TextOps.piiRedact(docs).as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(red(0)._2 == "contact me at [EMAIL] or [PHONE] soon", red(0)._2)
+    assert(red(1)._2 == "see [URL] and id [ID]", red(1)._2)
+    assert(red(2)._2 == "清洁的文本没有任何标识符" && red(2)._3 == 0L)
+  }
+
   test("substringSpans: maximal duplicated runs, cross-doc and intra-doc") {
     import graft.ops.DedupOps
     val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token shared run
