@@ -342,7 +342,19 @@ object SparkEntry {
       DedupOps.substringDeduped(read(s, dir, "documents"), k = 8)),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
-    "text_pii" -> ((s, dir) => TextOps.piiReport(read(s, dir, "documents"))),
+    "text_pii" -> ((s, dir) => {
+      // the synthetic corpus carries no identifiers, which would make
+      // this oracle trivially green — plant DETERMINISTIC PII into every
+      // 25th doc (recomputed identically by the DuckDB oracle), so the
+      // scan counts and the redaction fingerprint are exercised for real
+      val planted = read(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" call 555-123-4567 or mail u"),
+                 col("doc_id"), lit("@example.com via https://ex.org/d"),
+                 col("doc_id")))
+          .otherwise(col("text")))
+      TextOps.piiReport(planted)
+    }),
     "text_contamination" -> ((s, dir) => {
       // benchmark decontamination: the "evaluation set" is the first 20
       // corpus docs, so planted exact duplicates surface as contaminated
@@ -1148,14 +1160,23 @@ object SparkEntry {
            |FROM totw LEFT JOIN aggw ON totw.doc_id = aggw.doc_id""".stripMargin,
       "text_pii" -> {
         // ONE source of truth for the patterns: the SQL is emitted from
-        // TextOps.piiPatterns (conservative RE2-compatible subset)
+        // TextOps.piiPatterns (conservative RE2-compatible subset); the
+        // deterministic PII planting mirrors the Spark query exactly
         val cnt = TextOps.piiPatterns.map { case (n, p, _) =>
           s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
         }.mkString(",\n  ")
         val red = TextOps.piiPatterns.foldLeft("text") { case (e, (_, p, r)) =>
           s"regexp_replace($e, '$p', '$r', 'g')"
         }
-        s"SELECT doc_id,\n  $cnt,\n  md5($red) AS redacted_fp\nFROM documents"
+        s"""WITH pland AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 25 = 0 THEN text || ' call 555-123-4567 or mail u'
+           |      || CAST(doc_id AS VARCHAR) || '@example.com via https://ex.org/d'
+           |      || CAST(doc_id AS VARCHAR) ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  $cnt,
+           |  md5($red) AS redacted_fp
+           |FROM pland""".stripMargin
       },
       "text_repetition" ->
         s"""WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
