@@ -15,6 +15,13 @@ import scala.util.chaining._
   */
 object SparkEntry {
 
+  /** the deterministic PII plant for text_pii — ONE source of truth for
+    * the Spark query and the DuckDB oracle SQL (hand-duplicating the
+    * fragments would let the two sides silently diverge). */
+  private val PiiPlantA = " call 555-123-4567 or mail u"
+  private val PiiPlantB = "@example.com via https://ex.org/d"
+
+
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
@@ -345,13 +352,13 @@ object SparkEntry {
     "text_pii" -> ((s, dir) => {
       // the synthetic corpus carries no identifiers, which would make
       // this oracle trivially green — plant DETERMINISTIC PII into every
-      // 25th doc (recomputed identically by the DuckDB oracle), so the
-      // scan counts and the redaction fingerprint are exercised for real
+      // 25th doc (recomputed identically by the DuckDB oracle through
+      // the SAME PiiPlantA/B constants), so the scan counts and the
+      // redaction fingerprint are exercised for real
       val planted = read(s, dir, "documents").withColumn("text",
         when(col("doc_id") % 25 === 0,
-          concat(col("text"), lit(" call 555-123-4567 or mail u"),
-                 col("doc_id"), lit("@example.com via https://ex.org/d"),
-                 col("doc_id")))
+          concat(col("text"), lit(PiiPlantA), col("doc_id"),
+                 lit(PiiPlantB), col("doc_id")))
           .otherwise(col("text")))
       TextOps.piiReport(planted)
     }),
@@ -1169,8 +1176,8 @@ object SparkEntry {
           s"regexp_replace($e, '$p', '$r', 'g')"
         }
         s"""WITH pland AS (SELECT doc_id,
-           |    CASE WHEN doc_id % 25 = 0 THEN text || ' call 555-123-4567 or mail u'
-           |      || CAST(doc_id AS VARCHAR) || '@example.com via https://ex.org/d'
+           |    CASE WHEN doc_id % 25 = 0 THEN text || '$PiiPlantA'
+           |      || CAST(doc_id AS VARCHAR) || '$PiiPlantB'
            |      || CAST(doc_id AS VARCHAR) ELSE text END AS text
            |  FROM documents)
            |SELECT doc_id,

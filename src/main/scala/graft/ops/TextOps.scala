@@ -135,6 +135,10 @@ object TextOps {
       sort_array(transform(wordNgramsAll(col("text"), n),
                            g => PortableHash.md5Long48(g)))
     documents
+      // NULL-text docs carry no grams and are ABSENT (the behavior of
+      // the previous exploded implementation and of the DuckDB oracle —
+      // an unfiltered select would emit an all-zero row for them)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), sortedHashes(1).as("a1"), sortedHashes(2).as("a2"),
               sortedHashes(3).as("a3"))
       .select(col("doc_id"),
@@ -161,38 +165,41 @@ object TextOps {
     ("phone", "[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "[PHONE]"),
     ("long_id", "[0-9]{15,}", "[ID]"))
 
+  /** the per-category match-count columns over the raw text — single
+    * builder shared by [[piiScan]] / [[piiReport]]. */
+  private def piiCountCols: Seq[Column] =
+    piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name") }
+
+  /** the ordered redaction fold — single builder shared by
+    * [[piiRedact]] / [[piiReport]]. */
+  private def piiRedactedCol: Column =
+    piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl)) }
+
   /** per-doc PII scan: match counts per category over the RAW text —
     * the audit pass before redaction (one narrow scan, zero shuffle).
     * Counts are per-category raw-text scans: a match inside an earlier
     * category's span (a phone in a URL) counts in both categories but is
     * redacted once, by the earliest pattern. */
   def piiScan(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id") +: piiPatterns.map { case (name, pat, _) =>
-      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
-    }: _*)
+    documents.select(col("doc_id") +: piiCountCols: _*)
 
   /** scan counts + fingerprint of the redacted text in ONE narrow select
     * — the driver-query surface ([[piiScan]] and [[piiRedact]] fused). */
-  def piiReport(documents: DataFrame): DataFrame = {
-    val counts = piiPatterns.map { case (name, pat, _) =>
-      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name") }
-    val redacted = piiPatterns.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl)) }
-    documents.select(col("doc_id") +: counts :+ md5(redacted).as("redacted_fp"): _*)
-  }
+  def piiReport(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id") +: piiCountCols :+ md5(piiRedactedCol).as("redacted_fp"): _*)
 
   /** PII redaction: every match replaced by its category placeholder, in
     * the fixed [[piiPatterns]] order. Returns the redacted text plus the
     * total replacement count (cheap re-audit: the redacted text of a
     * clean doc is byte-identical to the input). */
   def piiRedact(documents: DataFrame): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
-    }
     val total = piiPatterns.map { case (_, pat, _) =>
       regexp_count(col("text"), lit(pat)).cast("long")
     }.reduce(_ + _)
-    documents.select(col("doc_id"), redacted.as("text_redacted"),
+    documents.select(col("doc_id"), piiRedactedCol.as("text_redacted"),
                      total.as("n_redactions"))
   }
 
