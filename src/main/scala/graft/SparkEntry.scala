@@ -349,6 +349,10 @@ object SparkEntry {
       DedupOps.substringDeduped(read(s, dir, "documents"), k = 8)),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
+    "text_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(read(s, dir, "documents"), topK = 500)),
+    "text_len_hist" -> ((s, dir) =>
+      TextOps.lengthHistogram(read(s, dir, "documents"), bucket = 32)),
     "text_pii" -> ((s, dir) => {
       // the synthetic corpus carries no identifiers, which would make
       // this oracle trivially green — plant DETERMINISTIC PII into every
@@ -1165,6 +1169,16 @@ object SparkEntry {
            |SELECT totw.doc_id, coalesce(aggw.text_deduped, '') AS text_deduped,
            |  CAST(totw.n_tok - coalesce(aggw.n_kept, 0) AS BIGINT) AS n_tokens_removed
            |FROM totw LEFT JOIN aggw ON totw.doc_id = aggw.doc_id""".stripMargin,
+      "text_vocab" ->
+        """SELECT token, count(*) AS n_occ
+          |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |GROUP BY token ORDER BY n_occ DESC, token LIMIT 500""".stripMargin,
+      "text_len_hist" ->
+        """WITH lh AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents)
+          |SELECT (n_tok // 32) * 32 AS len_bucket, count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          |FROM lh GROUP BY 1""".stripMargin,
       "text_pii" -> {
         // ONE source of truth for the patterns: the SQL is emitted from
         // TextOps.piiPatterns (conservative RE2-compatible subset); the

@@ -154,6 +154,25 @@ object TextOps {
         expr("coalesce((10000 * coalesce(d3, 0)) div nullif(t3, 0), 0)").as("dup_3gram_frac_x10000"))
   }
 
+  /** corpus token-frequency table — the tokenizer-training input (BPE /
+    * WordPiece training starts from exactly this count table): top-K
+    * tokens by occurrence with a deterministic tie-break. One shuffle on
+    * the token key (string keys hash-aggregate fine; only string
+    * min/max trips SortAggregate), top-K as TakeOrderedAndProject. */
+  def vocabulary(documents: DataFrame, topK: Int = 500): DataFrame =
+    documents.select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(desc("n_occ"), col("token")).limit(topK)
+
+  /** sequence-length histogram in `bucket`-token bins — the
+    * context-window planning input ([[packSequences]]' maxTokens is
+    * chosen from this shape): per bin, document count and token mass.
+    * One narrow projection + one bounded aggregation. */
+  def lengthHistogram(documents: DataFrame, bucket: Int = 32): DataFrame =
+    documents.select(size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(expr(s"(n_tok div $bucket) * $bucket").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
   /** PII patterns, deliberately CONSERVATIVE regex: no lookarounds, no
     * backreferences, ASCII digit classes — the subset on which Spark's
     * Java regex and DuckDB's RE2 agree token-for-token, so the oracle

@@ -288,6 +288,23 @@ class OpsSpec extends SparkSpecBase {
     assert(out == Map(1L -> "zh", 2L -> "en", 3L -> "other"))
   }
 
+  test("vocabulary and lengthHistogram: counts, tie-breaks, bin edges") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "b a a"), (2L, "a c b"), (3L, ("x " * 33).trim))
+      .toDF("doc_id", "text")
+    // vocabulary: a=3, b=2, x=33... wait x appears 33 times in doc 3
+    val vocab = TextOps.vocabulary(docs, topK = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("x", 33L), ("a", 3L), ("b", 2L)), vocab.toString)
+    // tie-break: c (1) vs nothing else at topK=4 — deterministic order
+    val v4 = TextOps.vocabulary(docs, topK = 4).as[(String, Long)].collect().toSeq
+    assert(v4.last == (("c", 1L)))
+    // histogram: docs of 3/3/33 tokens at bucket 32 → bins 0 and 32
+    val hist = TextOps.lengthHistogram(docs, bucket = 32)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(hist == Seq((0L, 2L, 6L), (32L, 1L, 33L)), hist.toString)
+  }
+
   test("piiScan/piiRedact: planted identifiers found and replaced in order") {
     import graft.ops.TextOps
     val docs = Seq(
