@@ -93,15 +93,17 @@ object Bench {
       }
     }
     // both configurations are measured as peak sustained throughput over
-    // multiple trials (best): this is a shared host, and a depressed
-    // trial on either side swings the ratio both ways — peak-vs-peak is
-    // the stable capability comparison (exec_emulation.sh, the standalone
-    // version, shows 0.86-1.02 across clean runs). The GROUP side runs
-    // one more trial than the single side: a background-load spike
-    // depresses a 4-process group ~4× harder than a single process, and
-    // one depressed group sample is exactly what produced the round-4
-    // 0.779 t4 reading — peak-of-3 groups restores the capability number
-    // (tunable via SPARK_GRAFT_BENCH_SCALING_GTRIALS).
+    // the SAME number of trials (best-of-N on BOTH sides): this is a
+    // shared host, and a depressed trial on either side swings the ratio
+    // both ways — peak-vs-peak is the stable capability comparison
+    // (exec_emulation.sh, the standalone version, shows 0.86-1.02 across
+    // clean runs). A background-load spike depresses a 4-process group
+    // ~4× harder than a single process (one depressed group sample is
+    // exactly what produced the round-4 0.779 t4 reading), but taking
+    // the max over MORE group trials than single trials would bias the
+    // ratio upward whenever noise has a positive component too — so the
+    // trial count is symmetric, tunable via
+    // SPARK_GRAFT_BENCH_SCALING_GTRIALS (default 3/3).
     def group4(base: Long): Option[Double] = {
       val rates = (0 until 4).map(i => spawn(base + i * 10000000L)).map(rate)
       if (rates.forall(_.isDefined)) Some(rates.flatten.sum) else None
@@ -110,9 +112,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_GTRIALS", "3").toIntOption
         .filter(_ > 0).getOrElse(sys.error(
           "SPARK_GRAFT_BENCH_SCALING_GTRIALS must be a positive integer"))
-    val singles = Seq(rate(spawn(0L)), rate(spawn(50000000L))).flatten
+    val singles = (0 until groupTrials)
+      .flatMap(i => rate(spawn(i.toLong * 50000000L)))
     val aggs = (0 until groupTrials)
-      .flatMap(i => group4(10000000L + i.toLong * 90000000L))
+      .flatMap(i => group4(500000000L + i.toLong * 90000000L))
     for {
       single <- singles.maxOption
       agg <- aggs.maxOption

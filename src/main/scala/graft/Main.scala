@@ -366,7 +366,9 @@ object Main {
           (CorpusReaders.toDocs(out.docs), fp, Some(out))
       }
 
-    val fullFp = s"$fingerprint,aliases=$aliasSpec"
+    // the pin is percent-encoded into the comma-separated fingerprint
+    // (paths may contain ','); parsers decode via Pipeline.decodePin
+    val fullFp = s"$fingerprint,aliases=${Pipeline.encodePin(aliasSpec)}"
 
     if (opts.contains("incremental")) {
       // fold the fresh slice into an EXISTING run root (doc-granular

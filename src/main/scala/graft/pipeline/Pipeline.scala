@@ -663,7 +663,8 @@ object Pipeline {
     // their own dict consistency) can't be verified and are allowed.
     aliasSpec.foreach { spec =>
       val rootSpec = new CheckpointStore(root, spark).stageFingerprint("canonical")
-        .flatMap("aliases=([^,]*)".r.findFirstMatchIn(_)).map(_.group(1))
+        .flatMap("aliases=([^,]*)".r.findFirstMatchIn(_))
+        .map(m => decodePin(m.group(1)))
       rootSpec.foreach { rs =>
         require(aliasPinMatches(rs, spec),
           s"--incremental: $root/canonical was built under aliases=$rs but " +
@@ -679,10 +680,29 @@ object Pipeline {
     * hashing carries only the path and can only be compared by path —
     * both the batch fold root and the stream `_stream_config` use this
     * one rule (the caller re-stamps the legacy pin with the hashed form
-    * on first match). */
-  def aliasPinMatches(prev: String, cur: String): Boolean =
-    if (prev.contains("@x") && cur.contains("@x")) prev == cur
-    else prev.takeWhile(_ != '@') == cur.takeWhile(_ != '@')
+    * on first match). The hash suffix is detected END-ANCHORED (`@x` +
+    * hex at end of string), never by substring/first-'@': dictionary
+    * paths legitimately contain '@' (user@host, s3a://key@bucket/) and
+    * must compare whole. */
+  private val HashedPin = "(?s)^(.*)@x[0-9a-f]+$".r
+
+  /** alias pins ride inside comma-separated fingerprints whose later
+    * segments (withCoref=, incremental) follow the pin: encode the two
+    * structural characters so a dictionary path containing ',' (or '%')
+    * can neither truncate the captured pin nor desync the decode. Pins
+    * written before encoding existed decode as identity unless the path
+    * contained '%' — the same paths the old parser already mangled. */
+  private[graft] def encodePin(pin: String): String =
+    pin.replace("%", "%25").replace(",", "%2C")
+  private[graft] def decodePin(enc: String): String =
+    enc.replace("%2C", ",").replace("%25", "%")
+
+  def aliasPinMatches(prev: String, cur: String): Boolean = {
+    def hashed(pin: String) = HashedPin.pattern.matcher(pin).matches()
+    def path(pin: String) = pin match { case HashedPin(p) => p; case other => other }
+    if (hashed(prev) && hashed(cur)) prev == cur
+    else path(prev) == path(cur)
+  }
 
   /** Incremental maintenance of an EXISTING run root: fold a fresh corpus
     * slice into the maintained docs/triples/canonical stores (doc-
@@ -733,7 +753,8 @@ object Pipeline {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     validateFoldRoot(spark, root,
-      "aliases=([^,]*)".r.findFirstMatchIn(fingerprint).map(_.group(1)))
+      "aliases=([^,]*)".r.findFirstMatchIn(fingerprint)
+        .map(m => decodePin(m.group(1))))
     val store = new CheckpointStore(root, spark, fingerprint = fingerprint)
     val dict = aliases.getOrElse(synthAliases(spark))
     val marker = new org.apache.hadoop.fs.Path(s"$root/_fold_inflight")

@@ -161,10 +161,15 @@ object StreamingOps {
     * for the same batchId when `checkpointLocation` is set) recomputes
     * the identical merge: no history loss, no double count. Batches
     * ≤ the committed id are skipped; superseded generations are pruned
-    * only AFTER the marker commit. A committed marker whose generation
-    * directory is missing its _SUCCESS is CORRUPTION outside this
-    * protocol (a hand-deleted dir) and fails loudly rather than silently
-    * restarting the aggregate from one batch's delta.
+    * only AFTER the marker commit. A MISSING marker next to committed
+    * data is resolved by attribution: if the only committed generation
+    * is the replayed batch's own (a crash between its parquet commit and
+    * the marker write), the replay recomputes and overwrites it; any
+    * other committed generation means history whose batch id is lost —
+    * that fails loudly (with a recovery hint) rather than silently
+    * restarting the aggregate from one batch's delta. A committed marker
+    * whose generation directory is missing its _SUCCESS is corruption
+    * outside the protocol and fails loudly too.
     *
     * `checkpointLocation` is REQUIRED when resuming an existing
     * maintained aggregate: without it a restarted query renumbers
@@ -212,19 +217,38 @@ object StreamingOps {
           // loudly instead (the marker write below is temp+rename
           // atomic, so this branch indicates damage outside the
           // protocol).
-          def committedGens = // only consulted on the corruption branch
+          def committedGens = // only consulted when the marker is absent
             if (!fs.exists(base)) Seq.empty
             else fs.listStatus(base).map(_.getPath).toSeq.filter(p =>
               (p.getName == "agg" || (p.getName.startsWith("agg_") &&
                 p.getName.drop(4).toLongOption.isDefined)) && hasSuccess(p))
           val current: Option[org.apache.hadoop.fs.Path] =
             if (last < 0L) {
-              if (committedGens.nonEmpty) sys.error(
+              // no marker. Two states reach here INSIDE the protocol: a
+              // genuinely fresh store (no generations), or THIS batch's
+              // own crashed commit — its generation parquet landed (with
+              // _SUCCESS) but the crash hit before the first marker write
+              // or inside the documented delete→rename sliver. When the
+              // ONLY committed generation is gen(batchId) — the batch
+              // being replayed right now — that data is a previous
+              // attempt's output for THIS batch: recomputing with no
+              // prior aggregate and overwriting it IS the replay
+              // contract. Any OTHER committed generation is real prior
+              // history whose batch id is lost with the marker — refuse
+              // loudly rather than reinitialize from one batch's delta
+              // and then prune that history.
+              val others = committedGens.filterNot(_.getName == s"agg_$batchId")
+              if (others.nonEmpty) sys.error(
                 s"maintainEdges: $aggPath holds committed aggregate data " +
-                  s"(${committedGens.map(_.getName).mkString(", ")}) but " +
-                  "_last_batch is missing or unreadable — the store is " +
-                  "corrupted outside the generation protocol; refusing to " +
-                  "reinitialize the aggregate from a single batch's delta")
+                  s"(${others.map(_.getName).mkString(", ")}) but " +
+                  "_last_batch is missing or unreadable. This state is " +
+                  "reachable by a crash in the marker delete→rename " +
+                  "sliver as well as by hand-deletion; either way the " +
+                  "committed history can no longer be attributed to a " +
+                  "batch id, so refusing to reinitialize the aggregate " +
+                  "from a single batch's delta. Recover by restoring " +
+                  "_last_batch with the newest intact generation's id " +
+                  "('N' for agg_N)")
               None
             }
             else if (hasSuccess(gen(last))) Some(gen(last))

@@ -480,4 +480,32 @@ class PipelineSpec extends SparkSpecBase {
     val chain = causeChain(e)
     assert(chain.contains("results for"), chain)
   }
+
+  test("alias pin comparison survives '@' and ',' inside dictionary paths") {
+    import Pipeline.aliasPinMatches
+    // hashed vs hashed: whole-string equality, even when the PATH itself
+    // contains '@' (s3a key@bucket, user@host) or the '@x' substring
+    val p = "s3a://AKIA@bucket/dicts/v2,final.tsv"
+    assert(aliasPinMatches(s"$p@xdeadbeef", s"$p@xdeadbeef"))
+    assert(!aliasPinMatches(s"$p@xdeadbeef", s"$p@xcafe1234"))
+    // legacy (no end-anchored hash suffix) vs hashed: compare by path —
+    // the '@' inside the path must NOT truncate the legacy side
+    assert(aliasPinMatches(p, s"$p@xdeadbeef"))
+    assert(!aliasPinMatches("s3a://other@bucket/d.tsv", s"$p@xdeadbeef"))
+    // a path merely CONTAINING '@x' mid-string is not a hashed pin
+    val tricky = "/data/v@xfer/dict.tsv"
+    assert(aliasPinMatches(tricky, tricky))
+    assert(!aliasPinMatches(tricky, "/data/v"))
+    assert(aliasPinMatches(tricky, s"$tricky@x12ab"))
+    // synth default
+    assert(aliasPinMatches("synth", "synth"))
+    assert(!aliasPinMatches("synth", s"$p@xdeadbeef"))
+    // fingerprint embedding: the encoded pin survives commas in the path
+    // AND segments appended after it (withCoref=, incremental)
+    val fp = s"reader=x,aliases=${Pipeline.encodePin(s"$p@xdeadbeef")},withCoref=false"
+    val parsed = "aliases=([^,]*)".r.findFirstMatchIn(fp)
+      .map(m => Pipeline.decodePin(m.group(1)))
+    assert(parsed.contains(s"$p@xdeadbeef"), parsed.toString)
+    assert(Pipeline.decodePin(Pipeline.encodePin("a%2C,b%")) == "a%2C,b%")
+  }
 }

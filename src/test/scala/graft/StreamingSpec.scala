@@ -287,6 +287,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(java.nio.file.Files.exists(gen.resolve("_SUCCESS")))
   }
 
+  test("maintainEdges recovers a first-batch crash between parquet commit and marker write") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Pipeline
+    // the IN-PROTOCOL reachable no-marker state: batch 0's generation
+    // parquet landed (with _SUCCESS) but the crash hit before the first
+    // marker write. The only committed generation is the replayed batch's
+    // own → the replay must recompute and overwrite, not wedge.
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-selfcrash").toString
+    val aggPath = s"$dir/pairpred"
+    val gen0 = java.nio.file.Paths.get(aggPath, "agg_0")
+    java.nio.file.Files.createDirectories(gen0)
+    java.nio.file.Files.writeString(gen0.resolve("part-stale.parquet"), "junk from the crashed attempt")
+    java.nio.file.Files.writeString(gen0.resolve("_SUCCESS"), "")
+    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges")
+    val b1 = Seq(("e1", "e2", "p1"), ("e1", "e2", "p2"), ("e1", "e2", "p1"))
+    input.addData(b1: _*)
+    q.processAllAvailable() // replayed batch 0 overwrites its own crashed write
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/edges").collect().map(_.toSeq).toSet
+    val batch = Pipeline.edgesFromPairPred(Pipeline.pairPredAggregate(
+      b1.toDF("subj_canonical", "obj_canonical", "pred"))).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"self-crash replay diverged: $streamed vs $batch")
+    // and the marker now commits batch 0
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(aggPath, "_last_batch")).trim == "0")
+  }
+
   test("maintainEdges fails loudly when the committed generation is missing") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, String)]
