@@ -105,18 +105,34 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------- triples
-  /** parse (deterministic per-partition "model" call) + full extraction.
-    * `unparsedAcc`, when supplied, counts sentences the parser could not
-    * analyze (observability; the reference prints such mismatches,
-    * dudepparse.py:1894-1897). */
+  /** dependency parse + full extraction, through the pluggable
+    * [[DepParser]] boundary: one parser connection per PARTITION
+    * (`open()` before the first batch, `close()` on the task-completion
+    * listener — success OR failure), requests in bounded `batchSize`
+    * batches, replies required aligned. With the default
+    * [[FixtureDepParser]] this is one narrow flatMap, no shuffle; a live
+    * deployment passes [[HttpDepParser]] pointed at its DDParser server
+    * (the reference loads the model per slice process,
+    * dudepparse.py:1851,1899). `unparsedAcc`, when supplied, counts
+    * sentences the parser could not analyze (observability; the
+    * reference prints such mismatches, dudepparse.py:1894-1897). */
   def extractTriples(sentences: Dataset[SentenceRow],
                      unparsedAcc: Option[LongAccumulator] = None,
-                     addHalfCoarse: Boolean = false): Dataset[TripleRow] = {
+                     addHalfCoarse: Boolean = false,
+                     parser: DepParser = FixtureDepParser,
+                     batchSize: Int = 64): Dataset[TripleRow] = {
     import sentences.sparkSession.implicits._
-    sentences.mapPartitions { rows =>
-      rows.flatMap { row =>
-        FixtureParser.analyze(row.sent) match {
-          case Some((parse, tags)) =>
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    sentences.mapPartitions { it =>
+      parser.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => parser.close()))
+      it.grouped(batchSize).flatMap { rows =>
+        val parses = parser.parse(rows.map(_.sent))
+        require(parses.length == rows.length,
+          s"parser returned ${parses.length} results for ${rows.length} sentences")
+        rows.iterator.zip(parses.iterator).flatMap {
+          case (row, Some((parse, tags))) =>
             val rels = PostProcess.processSentence(parse, Some(tags),
                                                    addHalfCoarse = addHalfCoarse)
             def emit(listName: String, rs: Vector[Rel]): Iterator[TripleRow] =
@@ -131,7 +147,7 @@ object Pipeline {
               // ADD_HALF_COARSE families (empty under the shipped config —
               // schema parity with the reference's entry fields)
               emit("crossed", rels.crossed) ++ emit("amend_crossed", rels.amendCrossed)
-          case None =>
+          case (_, None) =>
             unparsedAcc.foreach(_.add(1))
             Iterator.empty
         }
@@ -589,11 +605,16 @@ object Pipeline {
     * canonicalized output (the reference's merged entry shape,
     * merge_parsed_results.py + dudepparse.py:2149-2167) — the flag is
     * folded into the store fingerprint so toggling it invalidates the
-    * downstream stages instead of silently reusing them. */
+    * downstream stages instead of silently reusing them. `parser` is the
+    * dependency-parse seam for the triples stage; a NON-default parser
+    * (e.g. [[HttpDepParser]]) must be identified in the caller's
+    * `fingerprint` — a different model produces different triples, and
+    * the store cannot see through the connection to know. */
   def runFromDocs(spark: SparkSession, checkpointRoot: String, inputDocs: Dataset[Doc],
                   fingerprint: String,
                   aliases: Option[Dataset[AliasRow]] = None,
-                  withCoref: Boolean = false): RunResult = {
+                  withCoref: Boolean = false,
+                  parser: DepParser = FixtureDepParser): RunResult = {
     import spark.implicits._
     val store = new CheckpointStore(checkpointRoot, spark,
       fingerprint = s"$fingerprint,withCoref=$withCoref")
@@ -604,7 +625,7 @@ object Pipeline {
     val docs = store.runStage("docs", bucketCol = Some("doc_id"))(inputDocs)
     val sentences = store.runStage("sentences", Seq("docs"))(segmentDocs(docs))
     val base = store.runStage("triples", Seq("sentences"), bucketCol = Some("doc_id"))(
-      extractTriples(sentences))
+      extractTriples(sentences, parser = parser))
     val triples =
       if (!withCoref) base
       else base.unionByName(

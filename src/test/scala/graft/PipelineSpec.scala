@@ -481,6 +481,73 @@ class PipelineSpec extends SparkSpecBase {
     assert(chain.contains("results for"), chain)
   }
 
+  test("parser boundary: HTTP client path == fixture path exactly") {
+    import graft.pipeline.{FixtureDepParser, HttpDepParser}
+    // in-JVM mock DDParser server speaking the documented wire contract,
+    // backed by the SAME fixture parses — proves the connection-per-
+    // partition batched client feeds extraction identically to the
+    // in-process path (including unparseable sentences riding as null)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/parse", { exchange =>
+      requests.incrementAndGet()
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      val sents = {
+        val arr = mapper.readTree(body).get("sentences")
+        (0 until arr.size()).map(arr.get(_).asText())
+      }
+      val root = mapper.createObjectNode()
+      val out = root.putArray("parses")
+      FixtureDepParser.parse(sents).foreach {
+        case None => out.addNull()
+        case Some((parse, pos)) =>
+          val o = out.addObject()
+          val w = o.putArray("word"); parse.words.foreach(w.add)
+          val h = o.putArray("head"); parse.heads.foreach(h.add)
+          val d = o.putArray("deprel"); parse.deprels.foreach(d.add)
+          val p = o.putObject("pos")
+          pos.foreach { case (word, tags) =>
+            val t = p.putArray(word); tags.foreach(t.add)
+          }
+      }
+      val bytes = mapper.writeValueAsBytes(root)
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/parse"
+      val sentences = Pipeline.segmentDocs(Pipeline.synthDocs(spark, 30))
+      def rows(t: org.apache.spark.sql.Dataset[graft.model.TripleRow]) =
+        t.collect().map(r => (r.doc_id, r.sent_id, r.rel_list, r.subj, r.pred,
+                              r.obj, r.subj_idx, r.pred_idx, r.obj_idx)).toSet
+      // batchSize 7 (non-divisor) exercises the trailing partial batch
+      val viaHttp = rows(Pipeline.extractTriples(sentences,
+        parser = new HttpDepParser(endpoint), batchSize = 7))
+      val fixture = rows(Pipeline.extractTriples(sentences))
+      assert(viaHttp == fixture, "HTTP parser path diverged from fixture path")
+      assert(fixture.nonEmpty)
+      assert(requests.get() > 1, "expected multiple bounded batches")
+    } finally server.stop(0)
+  }
+
+  test("parser boundary: a misaligned reply fails loudly") {
+    import graft.pipeline.DepParser
+    val bad = new DepParser {
+      def parse(ss: Seq[String]) = Seq.empty // wrong count
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(spark, 3)),
+        parser = bad).collect()
+    }
+    val chain = causeChain(e)
+    assert(chain.contains("results for"), chain)
+  }
+
   test("alias pin comparison survives '@' and ',' inside dictionary paths") {
     import Pipeline.aliasPinMatches
     // hashed vs hashed: whole-string equality, even when the PATH itself
