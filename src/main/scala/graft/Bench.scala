@@ -124,6 +124,33 @@ object Bench {
     System.err.println(s"[bench] scaling emulation failed: $e"); None
   }
 
+  /** per-query sampling with contention self-diagnosis: time `run`
+    * `qRuns` times; when the slowest SUCCESSFUL sample exceeds
+    * `rerunRatio` × the fastest — the signature of a host-contention
+    * stall, not of the query (a genuinely slow query is slow in every
+    * sample) — take ONE extra sample so the stalled reading
+    * self-identifies as noise inside the published run list instead of
+    * standing as the query's only alternative number. Returns
+    * (successful-sample times in order, every run succeeded, the outlier
+    * re-run fired). `run` returns false for a failed attempt (the caller
+    * records the error); failed attempts never contribute a time. */
+  private[graft] def sampleTimes(run: () => Boolean, qRuns: Int,
+                                 rerunRatio: Double = 3.0,
+                                 clock: () => Long = System.nanoTime)
+      : (Vector[Double], Boolean, Boolean) = {
+    def once(): (Double, Boolean) = {
+      val t0 = clock()
+      val ok = run()
+      ((clock() - t0) / 1e9, ok)
+    }
+    val base = Vector.fill(qRuns)(once())
+    val good = base.collect { case (t, true) => t }
+    val rerun = good.length >= 2 && good.max > rerunRatio * good.min
+    val all = if (rerun) base :+ once() else base
+    (all.collect { case (t, true) => t },
+     all.forall(_._2), rerun)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -157,26 +184,30 @@ object Bench {
     val synthSec = synthSecs.min
 
     // per-query wall times: min of 2 passes (variance guard — the shared
-    // 32-core host showed 6× contention swings in round 1). Failures are
+    // 32-core host showed 6× contention swings in round 1), with the
+    // sampleTimes outlier re-run on top, and the FULL per-query run list
+    // published (`query_samples`) so a contended sample is self-evident
+    // to the reader, not only to the kg_sec_runs spread. Failures are
     // NEVER silently folded into a timing: they land in `errors`.
     val qRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QRUNS", "2").toInt
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to qRuns).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   errors += s"$name: ${e.getClass.getSimpleName}"; false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+      val runOnce = () => try { fn(spark, sfDir).count(); true }
+                          catch { case e: Throwable =>
+                            errors += s"$name: ${e.getClass.getSimpleName}"; false }
+      val (good, allOk, rerun) = sampleTimes(runOnce, qRuns)
       // min over SUCCESSFUL runs only — a fast-failing run must not mask
       // the real wall time; all-failed → -1 (plus the errors entry)
-      val good = times.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else -1.0, good.length == times.length)
+      (name, if (good.nonEmpty) good.min else -1.0, good, allOk, rerun)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val samples = results.map { case (k, _, good, _, _) =>
+      "\"" + k + "\":" + good.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val reruns = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2._1).filter(_ >= 0).sum + kgSec
+    val total = results.map(_._2).filter(_ >= 0).sum + kgSec
 
     // north-rule scaling evidence: N vs 4N emulated executors, in-band.
     // Spark is stopped FIRST so the emulation owns the host (skippable
@@ -204,7 +235,7 @@ object Bench {
 
     def runsJson(ss: Seq[Double]) = ss.map(s => f"$s%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_sec_runs":${runsJson(scanSecs)},"kg_scan_sec":$kgSec%.3f,"kg_scan_docs_per_sec":$docsPerSec%.1f,"kg_synth_sec":$synthSec%.3f,"kg_synth_docs_per_sec":${nd / synthSec}%.1f,"kg_synth_sec_runs":${runsJson(synthSecs)},"cpus":"$cpus","query_runs":$qRuns,"n_errors":${errors.distinct.length},"errors":$errs$scalingJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_samples":$samples,"query_reruns":$reruns,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_sec_runs":${runsJson(scanSecs)},"kg_scan_sec":$kgSec%.3f,"kg_scan_docs_per_sec":$docsPerSec%.1f,"kg_synth_sec":$synthSec%.3f,"kg_synth_docs_per_sec":${nd / synthSec}%.1f,"kg_synth_sec_runs":${runsJson(synthSecs)},"cpus":"$cpus","query_runs":$qRuns,"n_errors":${errors.distinct.length},"errors":$errs$scalingJson}"""
     // stdout (bare line — run/outputStrategy bypasses sbt's [info] logger)
     println(json)
     // and a file copy so the driver never depends on stdout framing
