@@ -273,6 +273,12 @@ object SparkEntry {
     "mm_media_features" -> ((s, _) =>
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),
+    "mm_media_features_real" -> ((s, _) =>
+      // image payloads are REAL PNGs decoded through javax.imageio; the
+      // oracle independently re-parses the IHDR bytes, so the codec path
+      // itself is value-verified (audio/video stay on the GRFT stub)
+      MultimodalOps.extractFeatures(MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(s, VerifyDocs)))
+        .toDF()),
     "mm_media_dedup" -> ((s, _) =>
       MultimodalOps.dedupAssets(
         MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))),
@@ -984,6 +990,29 @@ object SparkEntry {
            |  ${duckBeInt("hx", 17)} AS height,
            |  ${duckBeInt("hx", 25)} AS n_frames,
            |  ${duckBeInt("hx", 33)} AS sample_rate,
+           |  CAST(octet_length(payload) AS BIGINT) AS byte_len
+           |FROM a""".stripMargin,
+      "mm_media_features_real" ->
+        // the REAL image codec checked independently: for kind=image the
+        // payload is an actual PNG, and DuckDB re-parses the IHDR fields
+        // straight from the bytes (PNG layout: 8-byte signature + 4-byte
+        // chunk length + "IHDR", so width is the big-endian int32 at byte
+        // offset 16 and height at 20 — hex-char offsets 33/41); a PNG has
+        // exactly 1 frame and no sample rate. Audio/video still carry the
+        // GRFT stub header at the usual offsets. If javax.imageio ever
+        // decoded dimensions wrong, this oracle would catch it.
+        s"""WITH a AS (SELECT doc_id, media_ref, kind, payload,
+           |    lower(hex(payload)) AS hx
+           |  FROM read_parquet('__OUT__/_aux/media_assets_real/*.parquet'))
+           |SELECT doc_id, media_ref, kind,
+           |  CASE WHEN kind = 'image' THEN ${duckBeInt("hx", 33)}
+           |       ELSE ${duckBeInt("hx", 9)} END AS width,
+           |  CASE WHEN kind = 'image' THEN ${duckBeInt("hx", 41)}
+           |       ELSE ${duckBeInt("hx", 17)} END AS height,
+           |  CASE WHEN kind = 'image' THEN CAST(1 AS INTEGER)
+           |       ELSE ${duckBeInt("hx", 25)} END AS n_frames,
+           |  CASE WHEN kind = 'image' THEN CAST(0 AS INTEGER)
+           |       ELSE ${duckBeInt("hx", 33)} END AS sample_rate,
            |  CAST(octet_length(payload) AS BIGINT) AS byte_len
            |FROM a""".stripMargin,
       "mm_media_dedup" ->

@@ -54,6 +54,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/corefed")
       graft.ops.MultimodalOps.mediaAssets(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/media_assets")
+      graft.ops.MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/media_assets_real")
       // the coref diff inputs (both sides, flat keyed, incl. rule tag) —
       // lets the kg_coref oracle recompute the serialize-key set diff
       Pipeline.corefRelTable(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))

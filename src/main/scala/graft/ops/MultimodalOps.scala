@@ -8,10 +8,13 @@ import graft.model.Doc
 /** Multimodal columns: media payloads ride as opaque `binary` columns with
   * typed metadata, decoded/feature-extracted in batched per-partition
   * passes — the Spark-side plumbing (schema, batch shape, partitioning) is
-  * real and tested; the actual codec is a clearly-marked STUB seam
-  * (`decodeHeader`) because no image/audio libraries exist in this
-  * container. In production the stub body is replaced by the real decoder
-  * invoked over the same Iterator-of-batches shape.
+  * real and tested. IMAGE decode is REAL: `decodePayload` routes
+  * non-GRFT image payloads through the JDK's own `javax.imageio`
+  * (JPEG/PNG/BMP/GIF readers ship in every JRE — zero new dependencies).
+  * Audio/video decode stays a clearly-marked STUB seam (`decodeHeader`)
+  * because no such codecs exist in this container; in production that
+  * stub body is replaced by the real decoder invoked over the same
+  * Iterator-of-batches shape.
   */
 object MultimodalOps {
 
@@ -51,15 +54,76 @@ object MultimodalOps {
     }
   }
 
-  /** ==== STUB SEAM ====
-    * Real deployments replace this with an actual decoder (image decode /
-    * audio resample / video frame-sample) over the same batch iterator.
+  /** deterministic REAL image dimensions for a media ref — the same hash
+    * recipe as [[synthPayload]] at decode-cheap sizes (16–72 × 12–54). */
+  def synthImageDims(mediaRef: String): (Int, Int) = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(mediaRef, 42)
+    (16 + math.floorMod(h, 8) * 8, 12 + math.floorMod(h >> 3, 8) * 6)
+  }
+
+  /** deterministic REAL PNG payload for a media ref: dimensions from
+    * [[synthImageDims]], a deterministic pixel gradient, encoded by the
+    * JDK's own `javax.imageio` PNG writer — zero new dependencies. Lets
+    * the real-decode path below be exercised end-to-end in-sandbox. */
+  def synthImagePayload(mediaRef: String): Array[Byte] = {
+    val (width, height) = synthImageDims(mediaRef)
+    val h = scala.util.hashing.MurmurHash3.stringHash(mediaRef, 42)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (x * 31 + y * 17 + h) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** the media-asset table with REAL image payloads (PNG, decodable by
+    * any codec) — audio/video keep the GRFT stub, since the JDK ships
+    * image readers (`javax.imageio`: PNG/JPEG/BMP/GIF) but no
+    * audio/video codecs. */
+  def mediaAssetsReal(docs: Dataset[Doc]): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      doc.spans.iterator.filter(s => s.kind != "text" && s.media_ref != null).map { s =>
+        val payload = if (s.kind == "image") synthImagePayload(s.media_ref)
+                      else synthPayload(s.media_ref, s.kind)
+        MediaAsset(doc.doc_id, s.media_ref, s.kind, payload)
+      }
+    }
+  }
+
+  /** ==== STUB SEAM (audio/video only, as of the image decoder below) ====
+    * Real deployments replace this with an actual decoder (audio
+    * resample / video frame-sample) over the same batch iterator.
     * Here: parse our deterministic 20-byte header. Throws on foreign
     * payloads — decode failures must be visible, not silent. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int, Int) = {
     val buf = ByteBuffer.wrap(payload)
     require(buf.getInt() == Magic, "not a GRFT synthetic payload (real codec goes here)")
     (buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt())
+  }
+
+  /** decode a payload → (width, height, n_frames, sample_rate). GRFT stub
+    * payloads parse their header (both asset modes ride the same batched
+    * seam); anything else with kind=image decodes through the REAL codec
+    * path — `javax.imageio` (JPEG/PNG/BMP/GIF readers ship in the JDK) —
+    * and a foreign audio/video payload fails loudly: no such codec
+    * exists in this runtime, and a silent zero would hide data
+    * corruption at scale. */
+  def decodePayload(payload: Array[Byte], kind: String): (Int, Int, Int, Int) = {
+    if (payload.length >= 4 && ByteBuffer.wrap(payload).getInt() == Magic)
+      decodeHeader(payload)
+    else if (kind == "image") {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload (${payload.length} bytes)")
+      (img.getWidth, img.getHeight, 1, 0)
+    } else sys.error(
+      s"no $kind codec in this runtime — GRFT stub payloads only (got " +
+        s"${payload.length} foreign bytes)")
   }
 
   /** batched decode / feature extraction: mapPartitions so a real codec
@@ -71,7 +135,7 @@ object MultimodalOps {
     assets.mapPartitions { batch =>
       // per-partition init for the real codec would go here
       batch.map { a =>
-        val (w, h, f, r) = decodeHeader(a.payload)
+        val (w, h, f, r) = decodePayload(a.payload, a.kind)
         MediaFeatures(a.doc_id, a.media_ref, a.kind, w, h, f, r, a.payload.length.toLong)
       }
     }
@@ -88,7 +152,7 @@ object MultimodalOps {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.filter(a => a.kind == "image" || a.kind == "video").map { a =>
-        val (w, h, _, _) = decodeHeader(a.payload)
+        val (w, h, _, _) = decodePayload(a.payload, a.kind)
         val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
         ResizedAsset(a.doc_id, a.media_ref, a.kind, w, h,
                      math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
@@ -102,7 +166,7 @@ object MultimodalOps {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.filter(_.kind == "video").flatMap { a =>
-        val (_, _, frames, _) = decodeHeader(a.payload)
+        val (_, _, frames, _) = decodePayload(a.payload, a.kind)
         val n = math.min(k, frames)
         (0 until n).iterator.map(i => FrameSample(a.doc_id, a.media_ref, i * frames / math.max(n, 1)))
       }

@@ -242,6 +242,48 @@ class OpsSpec extends SparkSpecBase {
     assert(stats.map(_.getString(0)).toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("real image decode recovers the encoder's dimensions via javax.imageio") {
+    // PNG roundtrip: synth encoder dims == decoded dims
+    for (ref <- Seq("imgA", "imgB", "imgC")) {
+      val (w, h) = MultimodalOps.synthImageDims(ref)
+      val png = MultimodalOps.synthImagePayload(ref)
+      // actually a PNG, not a GRFT header
+      assert((png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47)), ref)
+      assert(MultimodalOps.decodePayload(png, "image") == ((w, h, 1, 0)), ref)
+    }
+    // cross-codec: the same seam decodes BMP and JPEG (both JDK readers)
+    for (fmt <- Seq("bmp", "jpg")) {
+      val img = new java.awt.image.BufferedImage(37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      assert(MultimodalOps.decodePayload(bos.toByteArray, "image") == ((37, 23, 1, 0)), fmt)
+    }
+    // GRFT stub payloads still ride the same entry point
+    val stub = MultimodalOps.synthPayload("refS", "audio")
+    assert(MultimodalOps.decodePayload(stub, "audio") == MultimodalOps.decodeHeader(stub))
+    // a foreign audio payload fails loudly — no silent zeros
+    val e = intercept[RuntimeException](
+      MultimodalOps.decodePayload(Array[Byte](1, 2, 3, 4, 5), "audio"))
+    assert(e.getMessage.contains("no audio codec"), e.getMessage)
+  }
+
+  test("real-mode media features decode distributed PNGs to the encoder dims") {
+    val docs = Pipeline.synthDocs(spark, 50)
+    val feats = MultimodalOps.extractFeatures(MultimodalOps.mediaAssetsReal(docs)).collect()
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    for (f <- images) {
+      val (w, h) = MultimodalOps.synthImageDims(f.media_ref)
+      assert((f.width, f.height, f.n_frames, f.sample_rate) == ((w, h, 1, 0)), f.media_ref)
+    }
+    // audio/video rows are unchanged vs stub mode (same GRFT header)
+    val stubFeats = MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(docs)).collect()
+      .filter(f => f.kind != "image").map(f => (f.media_ref, f.width, f.height, f.n_frames, f.sample_rate)).toSet
+    val realFeats = feats.filter(_.kind != "image")
+      .map(f => (f.media_ref, f.width, f.height, f.n_frames, f.sample_rate)).toSet
+    assert(realFeats == stubFeats)
+  }
+
   test("multimodal resize and frame sampling honor geometry") {
     val assets = MultimodalOps.mediaAssets(Pipeline.synthDocs(spark, 80))
     val resized = MultimodalOps.resize(assets, maxDim = 200).collect()
