@@ -100,15 +100,19 @@ object DedupOps {
     * are dropped (stopword-like shingles carry no signal and create
     * quadratic blowup — deterministic skew guard).
     *
-    * The shuffle key is the HASH, not the gram string: the exploded gram
-    * table is the engine's largest dedup intermediate at 100 TB, and an
-    * 8-byte fixed-width key shrinks its shuffle bytes ~4-7× vs 30-60-byte
-    * UTF-8 shingles (and keeps the aggregation in HashAggregate).
-    * Measured tradeoff (interleaved A/B, sf0.1 local[32], min-of-3):
-    * string key 2.32 s vs hash key 2.52 s — locally the md5 compute
-    * slightly outweighs the memory-shuffle savings; on a real cluster the
-    * saved NETWORK bytes dominate, which is the regime this op targets
-    * (the local[*] cost ceiling is ~8%). The
+    * The DEFAULT shuffle key is the HASH, not the gram string: the
+    * exploded gram table is the engine's largest dedup intermediate at
+    * 100 TB, and an 8-byte fixed-width key shrinks its shuffle bytes
+    * ~4-7× vs 30-60-byte UTF-8 shingles (and keeps the aggregation in
+    * HashAggregate). The choice is a PARAMETER (`hashShuffleKey`) so the
+    * tradeoff stays re-measurable: interleaved A/B at sf0.1 local[32]
+    * min-of-3 gave string 2.32 s vs hash 2.52 s (~8%), and the 10× sf1
+    * rehearsal (tools/ScaleRehearsal, BENCH.md) re-measured at 50k docs:
+    * string 4.21 s vs hash 5.42 s (~22% — the md5-per-gram-instance cost
+    * grows with the exploded table while localhost "shuffle" stays
+    * in-memory). Locally the string key wins; on a real cluster the
+    * 4-7× saved NETWORK bytes dominate, which is the regime this op
+    * targets — that is what the hash default buys. The
     * Jaccard DENOMINATOR stays exact (distinct-string gram counts,
     * computed before hashing); only `shared` rides hashed buckets, where
     * a 48-bit collision perturbs one count with probability ~2^-48 per
@@ -122,16 +126,20 @@ object DedupOps {
     * exploded gram table). */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
                         thresholdX1000: Int = 500,
-                        maxBucketSize: Int = 200): DataFrame = {
+                        maxBucketSize: Int = 200,
+                        hashShuffleKey: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     graft.functions.ZhFunctions.register(spark) // native md5_long48 (idempotent)
     import spark.implicits._
-    val grams = parallelized(documents)
+    val exploded = parallelized(documents)
       .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), col("n_grams"),
-              PortableHash.md5Long48(col("gram")).as("gram_h"))
+    val grams =
+      if (hashShuffleKey)
+        exploded.select(col("doc_id"), col("n_grams"),
+                        PortableHash.md5Long48(col("gram")).as("gram_h"))
+      else exploded.withColumnRenamed("gram", "gram_h")
     grams
       .groupBy(col("gram_h"))
       .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("members"))

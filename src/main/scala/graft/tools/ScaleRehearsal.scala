@@ -1,0 +1,176 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Bench
+import graft.ops.DedupOps
+
+/** sf1 scale rehearsal — the strongest 100×-design evidence available
+  * in-sandbox: run the SAME jobs at sf0.1 and at a synthesized 10× "sf1",
+  * and check that wall time grows ~linearly while the JVM's peak heap
+  * stays bounded (nothing in these plans accumulates state proportional
+  * to the input on the driver: no collect, no driver-side loop, no
+  * global sort in the measured family).
+  *
+  * sf1 is synthesized DETERMINISTICALLY from the driver's own sf0.1
+  * parquet (no external data): 10 replicas of `documents` with remapped
+  * doc_ids and a per-replica suffix on EVERY token. The per-token suffix
+  * makes replica vocabularies disjoint, so each replica reproduces the
+  * original corpus's gram/shingle bucket-size DISTRIBUTION instead of
+  * stacking 10 copies of every gram into one bucket — the first draft
+  * tagged only the text head, interior n-grams collided across replicas,
+  * bucket density grew ~10× and dedup_ngram went superlinear (11.9× at
+  * 10× input): a workload-character change masquerading as a scaling
+  * result. With disjoint replicas the corpus has 10× the docs, 10× the
+  * buckets, and the same per-bucket shape — scale changes, character
+  * doesn't.
+  *
+  * Also carries the ngram shuffle-key A/B (hash vs string bucket key),
+  * INTERLEAVED (h,s,h,s) so host drift cannot bias one side, at both
+  * scales — keeping the `hashShuffleKey` default justified by data at
+  * the larger scale (VERDICT r5 ask #6).
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [sf01Dir] [outMdPath]
+  */
+object ScaleRehearsal {
+
+  /** deterministic 10× expansion of sf0.1 documents into outDir. */
+  def synthesizeSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
+    if (done.exists()) return
+    val docs = spark.read.parquet(s"$sf01Dir/documents.parquet")
+    docs
+      .withColumn("r", explode(sequence(lit(0L), lit(9L))))
+      .select(
+        (col("doc_id") + col("r") * lit(10000000L)).as("doc_id"),
+        when(col("r") === 0L, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+                      t => concat(t, lit("~"), col("r"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** peak heap via a 50 ms sampling thread over the collector's own
+    * aggregate (`getHeapMemoryUsage`) — summing per-pool PEAKS instead
+    * would overcount (pools peak at different moments; the first draft
+    * reported 10.9 GB against an 8 GB -Xmx that way). */
+  private final class HeapSampler {
+    @volatile private var run = true
+    @volatile var peakMb: Long = 0L
+    private val t = new Thread(() => {
+      val mx = ManagementFactory.getMemoryMXBean
+      while (run) {
+        peakMb = math.max(peakMb, mx.getHeapMemoryUsage.getUsed / (1024 * 1024))
+        Thread.sleep(50)
+      }
+    })
+    t.setDaemon(true); t.start()
+    def stop(): Long = { run = false; t.join(500); peakMb }
+  }
+
+  final case class Measured(name: String, sec: Double, rows: Long, peakMb: Long)
+
+  /** min-of-`reps` wall time; peak heap sampled across all reps. */
+  private def time(name: String, reps: Int = 2)(job: () => Long): Measured = {
+    var best = Double.MaxValue; var rows = 0L
+    System.gc()
+    val sampler = new HeapSampler
+    (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      rows = job()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    Measured(name, best, rows, sampler.stop())
+  }
+
+  /** interleaved A/B: alternate the two jobs `reps` times each (a,b,a,b)
+    * so slow host drift lands on both sides; min per side. */
+  private def timeAB(nameA: String, nameB: String, reps: Int = 2)
+                    (jobA: () => Long)(jobB: () => Long): Seq[Measured] = {
+    var bestA = Double.MaxValue; var bestB = Double.MaxValue
+    var rowsA = 0L; var rowsB = 0L
+    System.gc()
+    val sampler = new HeapSampler
+    (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime(); rowsA = jobA()
+      bestA = math.min(bestA, (System.nanoTime() - t0) / 1e9)
+      val t1 = System.nanoTime(); rowsB = jobB()
+      bestB = math.min(bestB, (System.nanoTime() - t1) / 1e9)
+    }
+    val peak = sampler.stop()
+    Seq(Measured(nameA, bestA, rowsA, peak), Measured(nameB, bestB, rowsB, peak))
+  }
+
+  /** the measured family at one scale: KG parquet-scan extraction plus
+    * the text dedup/substring operators (the embedding exact baseline is
+    * intentionally excluded — it is the documented O(block²) exactness
+    * baseline whose scale path is the LSH sibling, so it would measure
+    * the baseline's quadratic character, not the engine's scaling). */
+  def familyAt(spark: SparkSession, docsParquet: String, kgDocs: Long,
+               kgDocsPath: String): Seq[Measured] = {
+    def docs: DataFrame = spark.read.parquet(docsParquet)
+    if (!new java.io.File(s"$kgDocsPath/_SUCCESS").exists())
+      graft.pipeline.Pipeline.synthDocs(spark, kgDocs)
+        .write.mode("overwrite").parquet(kgDocsPath)
+    Seq(
+      time("kg_scan") { () =>
+        val (_, t, _) = Bench.kgRunFromParquet(spark, kgDocsPath, kgDocs); t },
+      time("dedup_exact") { () => DedupOps.exact(docs).count() }) ++
+    timeAB("dedup_ngram_hashkey", "dedup_ngram_stringkey") { () =>
+      DedupOps.ngramJaccardPairs(docs, hashShuffleKey = true).count() } { () =>
+      DedupOps.ngramJaccardPairs(docs, hashShuffleKey = false).count() } ++
+    Seq(
+      time("dedup_minhash_bands") { () => DedupOps.minhashBands(docs).count() },
+      time("dedup_minhash_cand") { () => DedupOps.minhashCandidates(docs).count() },
+      time("dedup_simhash") { () => DedupOps.simhashPairs(docs).count() },
+      time("dedup_winnow") { () => DedupOps.winnowing(docs).count() },
+      time("dedup_substring") { () => DedupOps.substringSpans(docs, k = 8).count() },
+      time("dedup_substring_rw") { () => DedupOps.substringDeduped(docs, k = 8).count() },
+      time("dedup_clusters") { () =>
+        DedupOps.dedupClusters(DedupOps.ngramJaccardPairs(docs)).count() })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outMd = if (args.length > 1) Some(args(1)) else None
+    val sf1Dir = "/tmp/graft_sf1"
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    synthesizeSf1(spark, sf01, sf1Dir)
+
+    // warmup (JIT + codegen + C2 over the rule engine)
+    Bench.kgRun(spark, 2000); DedupOps.exact(spark.read.parquet(s"$sf01/documents.parquet")).count()
+
+    val small = familyAt(spark, s"$sf01/documents.parquet", 20000L, "/tmp/graft_bench_docs_20000")
+    val big = familyAt(spark, s"$sf1Dir/documents.parquet", 200000L, "/tmp/graft_bench_docs_200000")
+    val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+
+    val rows = small.zip(big).map { case (s, b) =>
+      f"| ${s.name} | ${s.sec}%.2f | ${b.sec}%.2f | ${b.sec / s.sec}%.1fx | ${s.peakMb} | ${b.peakMb} | ${s.rows} -> ${b.rows} |"
+    }
+    val totS = small.map(_.sec).sum; val totB = big.map(_.sec).sum
+    val header =
+      f"""## sf1 scale rehearsal (10× input, same jobs, same box)
+         |
+         |`documents` 5k → 50k rows (deterministic 10-replica expansion,
+         |remapped ids, per-token replica suffix → disjoint replica
+         |vocabularies: 10× the docs and buckets at the SAME per-bucket
+         |shape); KG scan 20k → 200k docs. min-of-2 wall sec (ngram A/B
+         |interleaved h,s,h,s); peak heap sampled at 50 ms over the whole
+         |job group (driver AND executors share this local[*] JVM, so it
+         |upper-bounds driver memory; max heap $maxHeapMb MB).
+         |
+         || job | sf0.1 sec | sf1 sec | ratio (ideal ≤10x) | sf0.1 peak MB | sf1 peak MB | rows |
+         ||---|---|---|---|---|---|---|
+         |@ROWS@
+         || **total** | $totS%.1f | $totB%.1f | ${totB / totS}%.1fx | | | |
+         |""".stripMargin
+    val report = header.replace("@ROWS@", rows.mkString("\n"))
+    println(report)
+    outMd.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), report))
+    spark.stop()
+  }
+}

@@ -51,6 +51,18 @@ class OpsSpec extends SparkSpecBase {
     for (i <- 1L until 10L) assert(pairs.get((i, 100L + i)).exists(_ >= 800L))
   }
 
+  test("ngram pair sets are identical under the hash and string shuffle keys") {
+    def asMap(hashKey: Boolean) =
+      DedupOps.ngramJaccardPairs(plantedDocs, thresholdX1000 = 500, hashShuffleKey = hashKey)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val hashed = asMap(hashKey = true)
+    val strung = asMap(hashKey = false)
+    assert(hashed == strung,
+           s"key-choice changed the result: only-hash=${hashed.keySet -- strung.keySet} " +
+             s"only-string=${strung.keySet -- hashed.keySet}")
+    assert(hashed.nonEmpty)
+  }
+
   test("LSH ANN agrees with brute force on returned candidates") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = SimilarityOps.bruteForceTopK(emb, nQueries = 4, k = 200).collect()
