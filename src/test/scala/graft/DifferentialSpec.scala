@@ -57,6 +57,13 @@ class DifferentialSpec extends AnyFunSuite {
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
+  test("engine output exactly matches the reference on the round-6 fresh-seed battery") {
+    // fifth k-range for the MAIN five-list differential (65000-74999,
+    // generated in round 6): fully unseen by every earlier battery
+    runDifferential("/golden_random5.json", 10000,
+      id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
+  }
+
   test("per-sentence decomposition equals the reference's per-document processing") {
     // the reference processes documents (lists of sentences) through one
     // post_processing call; the engine processes sentences independently.
