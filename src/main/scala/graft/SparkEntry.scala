@@ -359,6 +359,10 @@ object SparkEntry {
       TextOps.vocabulary(read(s, dir, "documents"), topK = 500)),
     "text_len_hist" -> ((s, dir) =>
       TextOps.lengthHistogram(read(s, dir, "documents"), bucket = 32)),
+    "text_bigram_lm" -> ((s, dir) =>
+      // CCNet-style fluency ranking, self-scored MLE bigram LM; log-free
+      // fixed point so the DuckDB oracle hash-matches bit-exactly
+      TextOps.bigramLmScores(read(s, dir, "documents"))),
     "text_pii" -> ((s, dir) => {
       // the synthetic corpus carries no identifiers, which would make
       // this oracle trivially green — plant DETERMINISTIC PII into every
@@ -1208,6 +1212,36 @@ object SparkEntry {
           |SELECT (n_tok // 32) * 32 AS len_bucket, count(*) AS n_docs,
           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
           |FROM lh GROUP BY 1""".stripMargin,
+      "text_bigram_lm" ->
+        // self-scored MLE bigram LM, recomputed end-to-end in SQL: same
+        // 48-bit gram keys, same left-join/zero-for-unseen semantics,
+        // same position-sorted left-fold sum (the duckCos precedent for
+        // bit-equal double folds) and the same (1e6 * sum) / n → floor —
+        // count + correctly-rounded division only, no ln anywhere
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |    i -> struct_pack(o := i, pv := toks[i], bg := toks[i] || ' ' || toks[i + 1]))) AS g
+           |  FROM t WHERE len(toks) >= 2),
+           |occ AS (SELECT doc_id, g.o AS pos,
+           |    ${duckMd5Long48("g.bg")} AS bh, ${duckMd5Long48("g.pv")} AS uh FROM ex),
+           |bc AS (SELECT bh, count(*) AS bc FROM occ GROUP BY bh),
+           |uc AS (SELECT uh, count(*) AS uc FROM occ GROUP BY uh),
+           |p AS (SELECT doc_id, pos,
+           |    CASE WHEN bc.bc IS NULL THEN 0.0
+           |         ELSE CAST(bc.bc AS DOUBLE) / CAST(uc.uc AS DOUBLE) END AS p,
+           |    CASE WHEN bc.bc IS NULL THEN 0 ELSE 1 END AS known
+           |  FROM occ LEFT JOIN bc USING (bh) LEFT JOIN uc USING (uh)),
+           |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+           |    CAST(sum(known) AS BIGINT) AS n_known,
+           |    CAST(floor(1000000.0 * list_sum(list_transform(
+           |        list_sort(list(struct_pack(o := pos, p := p))), x -> x.p))
+           |      / count(*)) AS BIGINT) AS fluency_x1e6
+           |  FROM p GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           |  COALESCE(a.n_known, 0) AS n_known,
+           |  COALESCE(a.fluency_x1e6, -1) AS fluency_x1e6
+           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
       "text_pii" -> {
         // ONE source of truth for the patterns: the SQL is emitted from
         // TextOps.piiPatterns (conservative RE2-compatible subset); the

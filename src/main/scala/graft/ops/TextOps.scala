@@ -173,6 +173,71 @@ object TextOps {
       .groupBy(expr(s"(n_tok div $bucket) * $bucket").as("len_bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
 
+  /** Bigram-LM fluency scores — the perplexity-style quality filter of
+    * CCNet (Wenzek et al. 2020: rank documents by LM score, keep the
+    * fluent head of the distribution). The model is a maximum-likelihood
+    * bigram LM counted over `reference` (default: the corpus itself —
+    * self-scoring, the in-domain ranking CCNet's wikipedia-LM
+    * approximates); each document's score is the MEAN bigram probability
+    *   p(cur|prev) = c(prev,cur) / c(prev-as-prefix)
+    * in x1e6 fixed point. Deliberately LOG-FREE: a true log-perplexity
+    * needs `ln`, which is not correctly-rounded and can differ in the
+    * last ulp between the JVM and DuckDB's libm — mean probability ranks
+    * documents monotonically for a fixed length profile and uses only
+    * count, correctly-rounded IEEE division, ORDER-FIXED summation
+    * (position-sorted left fold, the duckCos precedent) and floor, all
+    * bit-portable, so the oracle hash-matches exactly.
+    *
+    * Scale shape: one exploded bigram pass over the reference (two
+    * hash-agg counts on fixed-width 48-bit keys), two equi-joins of the
+    * scored corpus's bigram occurrences against the count tables (longs;
+    * AQE broadcasts them when the vocabulary is small), one per-doc
+    * aggregation. A bigram unseen in the reference scores p = 0 (no
+    * smoothing — smoothing exists to protect log(0), which mean
+    * probability doesn't have); `n_known` reports how many bigrams the
+    * model covered. Docs with < 2 tokens carry no bigrams:
+    * n_bigrams = 0, fluency_x1e6 = -1. */
+  def bigramLmScores(documents: DataFrame,
+                     reference: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.PortableHash
+    def occ(df: DataFrame): DataFrame = {
+      val toks = wsTokens(col("text"))
+      df.filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(
+          when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2),
+              i => struct(element_at(toks, i + 1).as("pv"),
+                          concat_ws(" ", element_at(toks, i + 1),
+                                         element_at(toks, i + 2)).as("bg"))))
+            .otherwise(array().cast("array<struct<pv:string,bg:string>>"))))
+        .select(col("doc_id"), col("pos"),
+                PortableHash.md5Long48(col("col.bg")).as("bh"),
+                PortableHash.md5Long48(col("col.pv")).as("uh"))
+    }
+    val refOcc = occ(reference.getOrElse(documents))
+    val bigCounts = refOcc.groupBy(col("bh")).agg(count(lit(1)).as("bc"))
+    val prefCounts = refOcc.groupBy(col("uh")).agg(count(lit(1)).as("uc"))
+    val scored = occ(documents)
+      .join(bigCounts, Seq("bh"), "left")
+      .join(prefCounts, Seq("uh"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("bc").isNull, lit(0.0))
+          .otherwise(col("bc").cast("double") / col("uc").cast("double")).as("p"),
+        col("bc").isNotNull.cast("long").as("known"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("known")).as("n_known"),
+           sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        floor(lit(1000000.0) *
+              aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p")) /
+              col("n_bigrams")).cast("long").as("fluency_x1e6"))
+    documents.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("fluency_x1e6"), lit(-1L)).as("fluency_x1e6"))
+  }
+
   /** PII patterns, deliberately CONSERVATIVE regex: no lookarounds, no
     * backreferences, ASCII digit classes — the subset on which Spark's
     * Java regex and DuckDB's RE2 agree token-for-token, so the oracle

@@ -254,6 +254,36 @@ class OpsSpec extends SparkSpecBase {
     assert(stats.map(_.getString(0)).toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("bigram LM fluency matches a brute-force model and handles unseen bigrams") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a b c a b"),          // bigrams: ab bc ca ab
+      (2L, "a b a b a b"),        // ab ba ab ba ab
+      (3L, "x"),                  // no bigrams
+      (4L, "c a b c")             // ca ab bc
+    ).toDF("doc_id", "text")
+    // brute-force MLE model over the same corpus
+    val toks = Seq("a b c a b", "a b a b a b", "x", "c a b c").map(_.split(" ").toSeq)
+    val bigs = toks.flatMap(t => t.zip(t.drop(1)))
+    val bc = bigs.groupBy(identity).map { case (k, v) => (k, v.size) }
+    val uc = bigs.groupBy(_._1).map { case (k, v) => (k, v.size) }
+    def expected(t: Seq[String]): Long = {
+      val ps = t.zip(t.drop(1)).map(b => bc(b).toDouble / uc(b._1))
+      math.floor(1000000.0 * ps.foldLeft(0.0)(_ + _) / ps.length).toLong
+    }
+    val got = TextOps.bigramLmScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(3L) == ((0L, 0L, -1L)))
+    for ((id, t) <- Seq(1L -> toks(0), 2L -> toks(1), 4L -> toks(3)))
+      assert(got(id) == ((t.length - 1L, t.length - 1L, expected(t))), s"doc $id")
+    // reference-corpus mode: bigrams unseen in the reference score 0
+    val ref = Seq((10L, "a b c")).toDF("doc_id", "text") // model: ab=1/1, bc=1/1
+    val vs = TextOps.bigramLmScores(Seq((5L, "a b q")).toDF("doc_id", "text"), Some(ref))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // bigrams of "a b q": ab (p=1, known), bq (unseen, p=0) → mean 0.5
+    assert(vs == ((2L, 1L, 500000L)), vs.toString)
+  }
+
   test("real image decode recovers the encoder's dimensions via javax.imageio") {
     // PNG roundtrip: synth encoder dims == decoded dims
     for (ref <- Seq("imgA", "imgB", "imgC")) {
