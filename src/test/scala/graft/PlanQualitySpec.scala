@@ -197,6 +197,17 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("text_bigram_lm has no sort and no SortAggregate (counts stay hash-agg'd)") {
+    // the only ordering in the op is the row-local sort_array over each
+    // doc's (pos, p) structs — a distributed SortExec or a SortAggregate
+    // fallback would mean the fixed-width-long key discipline broke
+    val plan = executed(SparkEntry.queries("text_bigram_lm")(spark, sf))
+    assert(!plan.contains("SortAggregate"), s"bigram counts fell to SortAggregate:\n$plan")
+    assert(!"\\bSort\\b \\[".r.findFirstIn(plan).isDefined &&
+           !plan.contains("SortExec"), s"unexpected distributed sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_ngram has no Window operator (bucket cap rides the aggregation)") {
     val plan = executed(SparkEntry.queries("dedup_ngram")(spark, sf))
     assert(!plan.contains("Window"), s"dedup_ngram regressed to a window sort:\n$plan")
