@@ -349,10 +349,25 @@ object SparkEntry {
     "text_pack" -> ((s, dir) =>
       // sequence packing into 512-token bins across 8 parallel streams
       TextOps.packSequences(read(s, dir, "documents"), maxTokens = 512)),
+    "text_mix_rates" -> ((s, dir) =>
+      // temperature-scaled source-mixing table (alpha = 0.5, budget =
+      // half the corpus) — the GPT-3/Llama data-mixture primitive
+      TextOps.temperatureRates(read(s, dir, "documents"))),
+    "text_mix_sample" -> ((s, dir) =>
+      // and its corpus-side application via content-hash tickets
+      TextOps.temperatureSample(read(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) =>
       DedupOps.substringSpans(read(s, dir, "documents"), k = 8)),
     "dedup_substring_rw" -> ((s, dir) =>
       DedupOps.substringDeduped(read(s, dir, "documents"), k = 8)),
+    "dedup_lines" -> ((s, dir) =>
+      // C4/RefinedWeb-style global duplicate-LINE report (12-token
+      // pseudo-lines over the newline-free synthetic corpus)
+      DedupOps.duplicateLines(read(s, dir, "documents"))),
+    "dedup_lines_rw" -> ((s, dir) =>
+      // the rewrite counterpart: drop every non-first occurrence of a
+      // duplicated line, keeper = globally-first (partition-invariant)
+      DedupOps.lineDeduped(read(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
     "text_vocab" -> ((s, dir) =>
@@ -1157,6 +1172,45 @@ object SparkEntry {
            |SELECT doc_id, stream, n_tokens,
            |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
            |FROM c""".stripMargin,
+      "text_mix_rates" ->
+        // same exact isqrt (floor(sqrt) ± 1 integer correction — both
+        // engines' IEEE sqrt is correctly rounded, the correction
+        // absorbs the one possible ulp) and the same wide-integer
+        // fixed-point rate arithmetic (HUGEINT here, DECIMAL(38,0)
+        // on the Spark side — both exact at these magnitudes)
+        s"""WITH cmx AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+           |wmx0 AS (SELECT source, n_docs,
+           |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS x0 FROM cmx),
+           |wmx AS (SELECT source, n_docs,
+           |    x0 - CASE WHEN x0 * x0 > n_docs THEN 1 ELSE 0 END
+           |       + CASE WHEN (x0 + 1) * (x0 + 1) <= n_docs THEN 1 ELSE 0 END AS weight
+           |  FROM wmx0),
+           |tmx AS (SELECT sum(weight) AS sum_w, sum(n_docs) AS n_total FROM wmx)
+           |SELECT source, n_docs, weight,
+           |  CAST(least(CAST(10000 AS HUGEINT),
+           |    (CAST(n_total AS HUGEINT) * 5000 * weight) // (sum_w * n_docs))
+           |    AS BIGINT) AS rate_x10000
+           |FROM wmx, tmx""".stripMargin,
+      "text_mix_sample" ->
+        s"""WITH cms AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+           |wms0 AS (SELECT source, n_docs,
+           |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS x0 FROM cms),
+           |wms AS (SELECT source, n_docs,
+           |    x0 - CASE WHEN x0 * x0 > n_docs THEN 1 ELSE 0 END
+           |       + CASE WHEN (x0 + 1) * (x0 + 1) <= n_docs THEN 1 ELSE 0 END AS weight
+           |  FROM wms0),
+           |tms AS (SELECT sum(weight) AS sum_w, sum(n_docs) AS n_total FROM wms),
+           |rms AS (SELECT source,
+           |    CAST(least(CAST(10000 AS HUGEINT),
+           |      (CAST(n_total AS HUGEINT) * 5000 * weight) // (sum_w * n_docs))
+           |      AS BIGINT) AS rate_x10000
+           |  FROM wms, tms),
+           |dms AS (SELECT doc_id, source,
+           |    ${graft.functions.PortableHash.duckMd5Long48("CAST(doc_id AS VARCHAR)")} % 10000 AS ticket_x10000
+           |  FROM documents)
+           |SELECT dms.doc_id, dms.source, dms.ticket_x10000, rms.rate_x10000
+           |FROM dms JOIN rms USING (source)
+           |WHERE dms.ticket_x10000 < rms.rate_x10000""".stripMargin,
       "dedup_substring" ->
         s"""WITH toksd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            |pos0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
@@ -1202,6 +1256,39 @@ object SparkEntry {
            |SELECT totw.doc_id, coalesce(aggw.text_deduped, '') AS text_deduped,
            |  CAST(totw.n_tok - coalesce(aggw.n_kept, 0) AS BIGINT) AS n_tokens_removed
            |FROM totw LEFT JOIN aggw ON totw.doc_id = aggw.doc_id""".stripMargin,
+      "dedup_lines" ->
+        // same 12-token pseudo-line split, same 48-bit content hash,
+        // same packed-long (doc_id << 21 | line_idx) keeper min
+        s"""WITH ldl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |lel0 AS (SELECT doc_id, unnest(list_transform(
+           |    generate_series(0, CAST((len(t) - 1) // 12 AS INTEGER)),
+           |    i -> struct_pack(idx := i,
+           |      h := ${graft.functions.PortableHash.duckMd5Long48("array_to_string(t[i*12+1 : i*12+12], ' ')")}))) AS s
+           |  FROM ldl),
+           |lel AS (SELECT doc_id, CAST(s.idx AS INTEGER) AS line_idx, s.h AS line_h
+           |  FROM lel0)
+           |SELECT line_h, count(*) AS n_occ,
+           |  CAST(min(doc_id * 2097152 + line_idx) // 2097152 AS BIGINT) AS keeper_doc,
+           |  CAST(min(doc_id * 2097152 + line_idx) % 2097152 AS INTEGER) AS keeper_idx
+           |FROM lel GROUP BY line_h HAVING count(*) > 1""".stripMargin,
+      "dedup_lines_rw" ->
+        s"""WITH ldw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |lew0 AS (SELECT doc_id, unnest(list_transform(
+           |    generate_series(0, CAST((len(t) - 1) // 12 AS INTEGER)),
+           |    i -> struct_pack(idx := i,
+           |      line := array_to_string(t[i*12+1 : i*12+12], ' ')))) AS s
+           |  FROM ldw),
+           |lew AS (SELECT doc_id, CAST(s.idx AS INTEGER) AS line_idx, s.line AS line,
+           |    ${graft.functions.PortableHash.duckMd5Long48("s.line")} AS line_h FROM lew0),
+           |kpw AS (SELECT line_h, min(doc_id * 2097152 + line_idx) AS kpk
+           |  FROM lew GROUP BY line_h)
+           |SELECT lew.doc_id, count(*) AS n_lines,
+           |  CAST(sum(CASE WHEN lew.doc_id * 2097152 + lew.line_idx = kpw.kpk
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  coalesce(string_agg(CASE WHEN lew.doc_id * 2097152 + lew.line_idx = kpw.kpk
+           |    THEN lew.line END, ' ' ORDER BY lew.line_idx), '') AS text_deduped
+           |FROM lew JOIN kpw USING (line_h)
+           |GROUP BY lew.doc_id""".stripMargin,
       "text_vocab" ->
         """SELECT token, count(*) AS n_occ
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -445,4 +445,83 @@ object DedupOps {
                |  CASE WHEN exists(dels, d -> i >= d.s AND i <= d.e) THEN 1 END),
                |  x -> x IS NOT NULL))""".stripMargin).cast("long").as("n_tokens_removed"))
   }
+
+  /** max lines per document for the packed-long line keeper key
+    * (doc_id * 2^21 + line_idx stays lexicographic iff line_idx < 2^21;
+    * at 12 tokens/line that is a 25M-token document — far past any real
+    * web document, and the packed key keeps the keeper aggregation in
+    * HashAggregate where a struct min would fall back to a sort-based
+    * aggregate). */
+  val LineIdxBound: Long = 1L << 21
+
+  /** per-doc pseudo-line table: (doc_id, line_idx, line, line_h). A
+    * "line" is `tokensPerLine` consecutive whitespace tokens — the
+    * synthetic corpus carries no newlines, so the chunking stands in
+    * for the newline split a real web corpus would use (swap the
+    * builder for `split(text, '\n')` there; everything downstream is
+    * delimiter-agnostic). Row-local array build (index lambda over
+    * sequence), one narrow posexplode, 48-bit content hash as the
+    * fixed-width shuffle key. */
+  private def lineExplode(documents: DataFrame, tokensPerLine: Int): DataFrame = {
+    graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48
+    val L = tokensPerLine
+    documents
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast((size(split(text, ' ')) - 1) div $L as int)),
+           |  i -> array_join(slice(split(text, ' '), i * $L + 1, $L), ' '))""".stripMargin))
+        .as(Seq("line_idx", "line")))
+      .select(col("doc_id"), col("line_idx"),
+              col("line"),
+              graft.functions.PortableHash.md5Long48(col("line")).as("line_h"))
+  }
+
+  /** GLOBAL exact duplicate-LINE report — the C4 / RefinedWeb line-level
+    * dedup primitive (Raffel et al. 2020 discard all-but-one occurrence
+    * of every three-sentence span; Penedo et al. 2023 "we remove
+    * duplicated lines" corpus-wide): every line content occurring more
+    * than once across the whole corpus, with its occurrence count and
+    * the GLOBAL keeper (first occurrence = min (doc_id, line_idx),
+    * packed into one long so the min stays in HashAggregate).
+    *
+    * Plan: one narrow line explode + ONE hash aggregation on the 48-bit
+    * line hash. No join, no window, no sort. */
+  def duplicateLines(documents: DataFrame, tokensPerLine: Int = 12): DataFrame =
+    lineExplode(parallelized(documents), tokensPerLine)
+      .groupBy(col("line_h"))
+      .agg(count(lit(1)).as("n_occ"),
+           min(col("doc_id") * lit(LineIdxBound) + col("line_idx")).as("kpk"))
+      .filter(col("n_occ") > 1)
+      .select(col("line_h"), col("n_occ"),
+              expr(s"kpk div $LineIdxBound").as("keeper_doc"),
+              pmod(col("kpk"), lit(LineIdxBound)).cast("int").as("keeper_idx"))
+
+  /** The TRANSFORMATION counterpart of [[duplicateLines]]: rewrite the
+    * corpus with every non-keeper occurrence of a duplicated line
+    * REMOVED (keeper = globally first occurrence, so the result is
+    * deterministic and partition/order-independent — same keeper rule
+    * as [[substringDeduped]]). Returns (doc_id, n_lines, n_kept,
+    * text_deduped) for EVERY input doc; a doc made entirely of
+    * already-seen lines survives as an empty string (its row is the
+    * signal a downstream length filter acts on).
+    *
+    * Plan: line explode → keeper aggregation on the 48-bit hash → one
+    * equi-join of occurrences against keepers on that fixed-width key
+    * (AQE broadcasts the keeper side when it is small) → one per-doc
+    * reassembly aggregation (row-local sort_array on (line_idx, line)
+    * structs — no distributed sort). 3 bounded shuffles total. */
+  def lineDeduped(documents: DataFrame, tokensPerLine: Int = 12): DataFrame = {
+    val ex = lineExplode(parallelized(documents), tokensPerLine)
+    val keepers = ex.groupBy(col("line_h"))
+      .agg(min(col("doc_id") * lit(LineIdxBound) + col("line_idx")).as("kpk"))
+    ex.join(keepers, Seq("line_h"))
+      .withColumn("kept",
+        col("doc_id") * lit(LineIdxBound) + col("line_idx") === col("kpk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("kept").cast("long")).as("n_kept"),
+           sort_array(collect_list(when(col("kept"),
+             struct(col("line_idx"), col("line"))))).as("ks"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+              array_join(expr("transform(ks, x -> x.line)"), " ").as("text_deduped"))
+  }
 }

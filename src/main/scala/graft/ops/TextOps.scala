@@ -415,4 +415,77 @@ object TextOps {
               col("digit_ratio_x1000") <= maxDigitRatioX1000 &&
               col("lang_pred").isin(langs: _*))
   }
+
+  /** exact integer square root as a Column — floor(sqrt(c)) for
+    * c < 2^52. IEEE-754 sqrt is correctly rounded on both engines, so
+    * the double result is within one ulp of the true root; the ±1
+    * integer correction makes the value EXACT regardless of which side
+    * the rounding landed on (the DuckDB oracle applies the identical
+    * correction), keeping the x^(1/2) temperature weight bit-portable
+    * without any float in the output. */
+  private def isqrt(c: Column): Column = {
+    val x0 = floor(sqrt(c.cast("double"))).cast("long")
+    x0 - when(x0 * x0 > c, lit(1L)).otherwise(lit(0L)) +
+      when((x0 + 1) * (x0 + 1) <= c, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Temperature-scaled SOURCE-mixing rates — the data-mixture
+    * primitive of GPT-3 / Llama-style pretraining corpora (sample
+    * source s with probability ∝ n_s^alpha; alpha < 1 upweights small
+    * high-quality sources against the web crawl's bulk). Supported
+    * temperatures are exact-integer by construction: alphaX2 ∈
+    * {0 (uniform budget), 1 (sqrt — the common 0.5), 2 (proportional)}
+    * — a general real alpha needs pow(), whose libm rounding differs
+    * across engines and would break the oracle hash.
+    *
+    * Per source: weight w_s = n_s^(alphaX2/2), keep-rate
+    * r_s = min(1, B·w_s / (Σw · n_s)) in x10000 fixed point where
+    * B = N·budgetFracX10000/10000 is the target corpus budget —
+    * expected kept mass ∝ w_s, total ≈ B. All products ride
+    * DECIMAL(38,0) (exact at petascale counts; long products would
+    * wrap). Plan: one tiny per-source aggregation + a one-row totals
+    * aggregate joined back by cross-of-one-row (broadcast) — the corpus
+    * is scanned ONCE. */
+  def temperatureRates(documents: DataFrame, alphaX2: Int = 1,
+                       budgetFracX10000: Int = 5000): DataFrame = {
+    require(Set(0, 1, 2)(alphaX2), s"alphaX2 must be 0, 1 or 2, got $alphaX2")
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.select(col("source"), col("n_docs"),
+      (alphaX2 match {
+        case 0 => lit(1L)
+        case 1 => isqrt(col("n_docs"))
+        case 2 => col("n_docs")
+      }).as("weight"))
+    val totals = weighted.agg(sum(col("weight")).as("sum_w"),
+                              sum(col("n_docs")).as("n_total"))
+    weighted.join(totals) // one-row totals side — broadcast nested loop of 1
+      .select(col("source"), col("n_docs"), col("weight"),
+        expr(s"""cast(least(cast(10000 as decimal(38,0)),
+                 |  (cast(n_total as decimal(38,0)) * $budgetFracX10000 * weight)
+                 |    div (sum_w * n_docs)) as long)""".stripMargin)
+          .as("rate_x10000"))
+  }
+
+  /** The corpus-side application of [[temperatureRates]]: keep a doc
+    * iff its content-hash ticket (same md5-derived ticket as
+    * [[stratifiedSample]] — reproducible across runs, engines and
+    * partitionings; no rand()) falls under its source's rate. The rate
+    * table is sources-count-sized, so the join back is a BROADCAST —
+    * the corpus side stays a single narrow scan + filter. */
+  def temperatureSample(documents: DataFrame, alphaX2: Int = 1,
+                        budgetFracX10000: Int = 5000): DataFrame = {
+    graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48
+    val rates = temperatureRates(documents, alphaX2, budgetFracX10000)
+      .select(col("source"), col("rate_x10000"))
+    val ticket = pmod(
+      graft.functions.PortableHash.md5Long48(col("doc_id").cast("string")),
+      lit(10000L))
+    documents.select(col("doc_id"), col("source"),
+                     ticket.cast("long").as("ticket_x10000"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("ticket_x10000") < col("rate_x10000"))
+      .select(col("doc_id"), col("source"), col("ticket_x10000"),
+              col("rate_x10000"))
+  }
 }

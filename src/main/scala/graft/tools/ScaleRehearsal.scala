@@ -130,6 +130,8 @@ object ScaleRehearsal {
       time("dedup_winnow") { () => DedupOps.winnowing(docs).count() },
       time("dedup_substring") { () => DedupOps.substringSpans(docs, k = 8).count() },
       time("dedup_substring_rw") { () => DedupOps.substringDeduped(docs, k = 8).count() },
+      time("dedup_lines") { () => DedupOps.duplicateLines(docs).count() },
+      time("dedup_lines_rw") { () => DedupOps.lineDeduped(docs).count() },
       time("dedup_clusters") { () =>
         DedupOps.dedupClusters(DedupOps.ngramJaccardPairs(docs)).count() })
   }

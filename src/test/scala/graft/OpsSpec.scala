@@ -444,6 +444,82 @@ class OpsSpec extends SparkSpecBase {
     assert(re == got)
   }
 
+  test("duplicateLines: global line report with first-occurrence keeper") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "a b c d e f"),   // lines "a b c", "d e f"
+      (2L, "x y z a b c"),   // "x y z", "a b c" (dup of doc1 idx0)
+      (3L, "a b c"))         // third occurrence
+      .toDF("doc_id", "text")
+    val got = DedupOps.duplicateLines(docs, tokensPerLine = 3)
+      .select("n_occ", "keeper_doc", "keeper_idx")
+      .as[(Long, Long, Int)].collect().toSeq
+    // exactly ONE duplicated line content ("a b c"), 3 occurrences,
+    // keeper = globally-first (doc 1, line 0)
+    assert(got == Seq((3L, 1L, 0)), got.toString)
+  }
+
+  test("lineDeduped drops non-keeper lines, rejoins in order, ragged tail ok") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "a b c d e f"),   // both lines keepers → untouched
+      (2L, "x y z a b c"),   // "a b c" dropped
+      (3L, "a b c"),         // entire doc already seen → empty survivor row
+      (4L, "p q r s"))       // ragged tail line "s" — unique, kept
+      .toDF("doc_id", "text")
+    val got = DedupOps.lineDeduped(docs, tokensPerLine = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 2L, "p q r s")), got.toString)
+    // keeper choice and reassembly are partition/order-invariant
+    val re = DedupOps.lineDeduped(docs.repartition(7), tokensPerLine = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
+  test("temperatureRates: exact sqrt-temperature keep-rates, all alphas") {
+    import graft.ops.TextOps
+    val docs = (Seq.fill(9)("A") ++ Seq("B") ++ Seq.fill(2)("C")).zipWithIndex
+      .map { case (src, i) => (i.toLong, src, s"doc $i") }
+      .toDF("doc_id", "source", "text")
+    def rates(alphaX2: Int) = TextOps.temperatureRates(docs, alphaX2 = alphaX2)
+      .select("source", "n_docs", "weight", "rate_x10000")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // alpha=0.5: w=(3,1,1) isqrt(9/1/2), sum_w=5, n_total=12, budget=6:
+    //   A: 12*5000*3 // (5*9) = 4000; B: 60000//5 → capped; C: 60000//10
+    assert(rates(1) == Seq(("A", 9L, 3L, 4000L), ("B", 1L, 1L, 10000L),
+                           ("C", 2L, 1L, 6000L)), rates(1).toString)
+    // alpha=0 (uniform budget): w=1 each, sum_w=3
+    assert(rates(0) == Seq(("A", 9L, 1L, 2222L), ("B", 1L, 1L, 10000L),
+                           ("C", 2L, 1L, 10000L)), rates(0).toString)
+    // alpha=1 (proportional): every source keeps exactly the budget frac
+    assert(rates(2).map(_._4) == Seq(5000L, 5000L, 5000L), rates(2).toString)
+  }
+
+  test("temperatureSample keeps exactly the ticket-under-rate docs, deterministically") {
+    import graft.ops.TextOps
+    import graft.functions.PortableHash
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 6 == 0) "small" else "big", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val rates = TextOps.temperatureRates(docs)
+      .select("source", "rate_x10000").as[(String, Long)].collect().toMap
+    val expected = (0L until 60L).filter { i =>
+      val src = if (i % 6 == 0) "small" else "big"
+      val ticket = ((PortableHash.md5Long48Jvm(i.toString) % 10000) + 10000) % 10000
+      ticket < rates(src)
+    }.toSet
+    val got = TextOps.temperatureSample(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty && got.size < 60, got.toString)
+    val re = TextOps.temperatureSample(docs.repartition(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == got)
+  }
+
   test("repetitionScores: planted boilerplate maxes out, diverse text stays low") {
     import graft.ops.TextOps
     val docs = Seq(

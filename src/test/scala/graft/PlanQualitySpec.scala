@@ -208,6 +208,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dedup_lines family: hash-agg'd keeper min, no sort, sample join broadcast") {
+    // the packed-long (doc_id << 21 | line_idx) keeper key exists exactly
+    // so the global min stays in HashAggregate — a struct min would fall
+    // back to SortAggregate and a 100 TB corpus would sort
+    for (q <- Seq("dedup_lines", "dedup_lines_rw")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("SortAggregate"),
+             s"$q keeper min fell to SortAggregate:\n$plan")
+      assert(!plan.contains("SortExec") && !plan.contains("CartesianProduct"),
+             s"$q has a distributed sort or cartesian:\n$plan")
+      assert(!plan.contains("Window"), s"$q regressed to a window:\n$plan")
+    }
+    // the mixture-rate table is sources-sized: the corpus-side join must
+    // be a broadcast, and the one-row totals join a broadcast nested loop
+    val mix = executed(SparkEntry.queries("text_mix_sample")(spark, sf))
+    assert(mix.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$mix")
+    assert(!mix.contains("SortMergeJoin") && !mix.contains("ShuffledHashJoin"), mix)
+  }
+
   test("dedup_ngram has no Window operator (bucket cap rides the aggregation)") {
     val plan = executed(SparkEntry.queries("dedup_ngram")(spark, sf))
     assert(!plan.contains("Window"), s"dedup_ngram regressed to a window sort:\n$plan")
