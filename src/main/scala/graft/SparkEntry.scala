@@ -21,6 +21,23 @@ object SparkEntry {
   private val PiiPlantA = " call 555-123-4567 or mail u"
   private val PiiPlantB = "@example.com via https://ex.org/d"
 
+  /** deterministic shared boilerplate planted into BOTH sides of the
+    * cross-corpus ingestion split (the synthetic corpus has no natural
+    * exact duplicates, so without the plant the cross-dedup anti-join
+    * would be vacuously all-pass); the DuckDB oracle replants it from
+    * the same constant. */
+  private val CrossPlant =
+    "shared boilerplate navigation footer copyright terms privacy cookie banner menu home"
+
+  /** seen corpus = doc_id % 3 == 0; the rest is the incoming batch;
+    * every 21st doc (seen side) and every (7k+1)th incoming doc carry
+    * the planted boilerplate → exact cross-corpus duplicates exist. */
+  private def crossPlanted(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 21 === 0 ||
+           (col("doc_id") % 7 === 1 && col("doc_id") % 3 =!= 0), lit(CrossPlant))
+        .otherwise(col("text")))
+
 
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
@@ -368,6 +385,20 @@ object SparkEntry {
       // the rewrite counterpart: drop every non-first occurrence of a
       // duplicated line, keeper = globally-first (partition-invariant)
       DedupOps.lineDeduped(read(s, dir, "documents"))),
+    "dedup_cross_new" -> ((s, dir) => {
+      // incremental-ingestion exact dedup: which incoming docs are new
+      // against the already-kept corpus (anti-join on full md5)
+      val planted = crossPlanted(read(s, dir, "documents"))
+      DedupOps.newAgainstSeen(planted.filter(col("doc_id") % 3 =!= 0),
+                              planted.filter(col("doc_id") % 3 === 0))
+    }),
+    "dedup_cross_screen" -> ((s, dir) => {
+      // the LSH near-dup screen of the same ingestion step: per incoming
+      // doc, how many MinHash bands collide with the seen corpus
+      val planted = crossPlanted(read(s, dir, "documents"))
+      DedupOps.nearNewScreen(planted.filter(col("doc_id") % 3 =!= 0),
+                             planted.filter(col("doc_id") % 3 === 0))
+    }),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
     "text_vocab" -> ((s, dir) =>
@@ -575,16 +606,17 @@ object SparkEntry {
         |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
-    val gramsCte =
-      """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |grams AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
-        |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        |    ELSE [array_to_string(t, ' ')] END)) AS gram FROM toks)""".stripMargin
+    def gramsCteOver(src: String) =
+      s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+         |grams AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+         |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE [array_to_string(t, ' ')] END)) AS gram FROM toks)""".stripMargin
+    val gramsCte = gramsCteOver("documents")
     // minhash signature + band CTEs (mirrors DedupOps.minhashBands:
     // 64 affine family hashes over ONE md5Long48 base per gram; band
     // bucket = md5 of the comma-joined 4 row minima rendered as decimal)
-    val bandsCte =
-      s"""$gramsCte,
+    def bandsCteOver(src: String) =
+      s"""${gramsCteOver(src)},
          |gb AS (SELECT doc_id, ${duckMd5Long48("gram")} AS base FROM grams),
          |hx AS (SELECT doc_id, hi.hi AS hi,
          |    min(${graft.functions.PortableHash.duckFamilyHashLongOver("base", "hi.hi")}) AS h
@@ -592,6 +624,13 @@ object SparkEntry {
          |bands AS (SELECT doc_id, CAST(hi // 4 AS INTEGER) AS band,
          |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY hi)) AS bucket
          |  FROM hx GROUP BY doc_id, hi // 4)""".stripMargin
+    val bandsCte = bandsCteOver("documents")
+    // the planted cross-corpus ingestion fixture (mirrors crossPlanted)
+    val crossPlantCte =
+      s"""plx AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 21 = 0 OR (doc_id % 7 = 1 AND doc_id % 3 <> 0)
+         |    THEN '$CrossPlant' ELSE text END AS text
+         |  FROM documents)""".stripMargin
     val winnowFps = (0 until 8)
       .map(i => s"min(${duckFamilyHashLong(i, "s")}) AS fp$i").mkString(",\n  ")
     // big-endian int32 at 1-based hex-char offset `startChar` of a
@@ -1289,6 +1328,23 @@ object SparkEntry {
            |    THEN lew.line END, ' ' ORDER BY lew.line_idx), '') AS text_deduped
            |FROM lew JOIN kpw USING (line_h)
            |GROUP BY lew.doc_id""".stripMargin,
+      "dedup_cross_new" ->
+        s"""WITH $crossPlantCte,
+           |snx AS (SELECT DISTINCT md5(text) AS md5_fp FROM plx WHERE doc_id % 3 = 0)
+           |SELECT doc_id, md5(text) AS md5_fp FROM plx
+           |WHERE doc_id % 3 <> 0
+           |  AND md5(text) NOT IN (SELECT md5_fp FROM snx)""".stripMargin,
+      "dedup_cross_screen" ->
+        s"""WITH $crossPlantCte,
+           |${bandsCteOver("plx")},
+           |snb AS (SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 3 = 0),
+           |hitx AS (SELECT b.doc_id, count(*) AS n_hit_bands
+           |  FROM bands b JOIN snb USING (band, bucket)
+           |  WHERE b.doc_id % 3 <> 0 GROUP BY b.doc_id)
+           |SELECT p.doc_id, COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+           |  CAST(CASE WHEN h.n_hit_bands IS NULL THEN 0 ELSE 1 END AS INTEGER) AS suspect
+           |FROM plx p LEFT JOIN hitx h USING (doc_id)
+           |WHERE p.doc_id % 3 <> 0""".stripMargin,
       "text_vocab" ->
         """SELECT token, count(*) AS n_occ
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

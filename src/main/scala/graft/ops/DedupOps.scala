@@ -203,6 +203,46 @@ object DedupOps {
       }.toDF("a", "b").distinct()
   }
 
+  /** Cross-corpus EXACT dedup — the incremental-ingestion primitive of a
+    * continuously crawled pipeline: which `incoming` docs are NEW against
+    * the already-kept `seen` corpus? Full-width md5 content fingerprints
+    * (the anti-join key must be collision-FREE — a 48-bit key starts
+    * dropping genuinely-new docs to birthday collisions around 10^7
+    * docs; dedup keys may collide, drop keys may not), distinct'd seen
+    * side, LEFT ANTI hash join. Both sides partition by the fingerprint —
+    * no broadcast assumption, because at 100 TB the seen corpus is as
+    * large as the incoming batch. */
+  def newAgainstSeen(incoming: DataFrame, seen: DataFrame): DataFrame =
+    parallelized(incoming)
+      .select(col("doc_id"), md5(col("text")).as("md5_fp"))
+      .join(parallelized(seen).select(md5(col("text")).as("md5_fp")).distinct(),
+            Seq("md5_fp"), "left_anti")
+      .select(col("doc_id"), col("md5_fp"))
+
+  /** The NEAR-dup SCREEN of the same ingestion step: flag incoming docs
+    * whose MinHash band buckets collide with the seen corpus — the
+    * standard LSH screen (suspects go on to a pairwise verifier; clean
+    * docs stream straight through). One row per incoming doc with its
+    * colliding-band count and the 0/1 verdict. The seen side is reduced
+    * to DISTINCT (band, bucket) keys — band-bucket cardinality, not
+    * corpus size — and the probe is a semi-join on that fixed-width pair
+    * followed by ONE doc-granular count; the closing left join restores
+    * clean docs with n_hit_bands = 0. */
+  def nearNewScreen(incoming: DataFrame, seen: DataFrame, shingleN: Int = 3,
+                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val hits = minhashBands(incoming, shingleN, bands, rowsPerBand)
+      .join(minhashBands(seen, shingleN, bands, rowsPerBand)
+              .select(col("band"), col("bucket")).distinct(),
+            Seq("band", "bucket"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_bands"))
+    incoming.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+              when(col("n_hit_bands").isNotNull, lit(1)).otherwise(lit(0))
+                .cast("int").as("suspect"))
+  }
+
   /** 48-bit SimHash over word tokens: sign-sum of per-token md5Long48 bits.
     * Computed per-partition with a typed transformation (bit loops are not
     * expressible efficiently in Catalyst); 48 bits so every value is exact

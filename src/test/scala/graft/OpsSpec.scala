@@ -480,6 +480,36 @@ class OpsSpec extends SparkSpecBase {
     assert(re == got)
   }
 
+  test("newAgainstSeen: exact anti-join keeps only genuinely new docs") {
+    import graft.ops.DedupOps
+    val seen = Seq((1L, "x y z"), (2L, "k l m")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "x y z"),          // exact copy of seen doc 1 → dropped
+      (11L, "fresh text here"),
+      (12L, "k l m"),          // exact copy of seen doc 2 → dropped
+      (13L, "x y z q"))        // superset, NOT an exact dup → kept
+      .toDF("doc_id", "text")
+    val got = DedupOps.newAgainstSeen(incoming, seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L), got.toString)
+  }
+
+  test("nearNewScreen: band collisions flag copies, clean docs pass with 0 hits") {
+    import graft.ops.DedupOps
+    val seen = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h i j"),     // identical → every band collides
+      (11L, "q r s t u v w x y z"),     // disjoint shingles → clean
+      (12L, "a b c d e f g h i CHANGED")) // near-dup: most shingles shared
+      .toDF("doc_id", "text")
+    val got = DedupOps.nearNewScreen(incoming, seen)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(10L, 11L, 12L), got.toString) // ALL incoming present
+    assert(got(0) == ((10L, 16L, 1)), got(0).toString)        // all 16 bands hit
+    assert(got(1) == ((11L, 0L, 0)), got(1).toString)         // clean passes through
+    assert(got(2)._2 > 0L && got(2)._3 == 1, got(2).toString) // near-dup flagged
+  }
+
   test("temperatureRates: exact sqrt-temperature keep-rates, all alphas") {
     import graft.ops.TextOps
     val docs = (Seq.fill(9)("A") ++ Seq("B") ++ Seq.fill(2)("C")).zipWithIndex

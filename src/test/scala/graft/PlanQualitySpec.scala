@@ -225,6 +225,14 @@ class PlanQualitySpec extends SparkSpecBase {
     val mix = executed(SparkEntry.queries("text_mix_sample")(spark, sf))
     assert(mix.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$mix")
     assert(!mix.contains("SortMergeJoin") && !mix.contains("ShuffledHashJoin"), mix)
+    // cross-corpus ingestion: equi-join probes only — a cartesian or a
+    // sort-based fallback here would be quadratic at ingest scale
+    for (q <- Seq("dedup_cross_new", "dedup_cross_screen")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"), s"$q non-equi join:\n$plan")
+      assert(!plan.contains("SortAggregate"), s"$q SortAggregate fallback:\n$plan")
+    }
   }
 
   test("dedup_ngram has no Window operator (bucket cap rides the aggregation)") {
