@@ -1223,13 +1223,13 @@ object SparkEntry {
            |wmx AS (SELECT source, n_docs,
            |    x0 - CASE WHEN x0 * x0 > n_docs THEN 1 ELSE 0 END
            |       + CASE WHEN (x0 + 1) * (x0 + 1) <= n_docs THEN 1 ELSE 0 END AS weight
-           |  FROM wmx0),
-           |tmx AS (SELECT sum(weight) AS sum_w, sum(n_docs) AS n_total FROM wmx)
+           |  FROM wmx0)
            |SELECT source, n_docs, weight,
            |  CAST(least(CAST(10000 AS HUGEINT),
-           |    (CAST(n_total AS HUGEINT) * 5000 * weight) // (sum_w * n_docs))
+           |    (CAST(sum(n_docs) OVER () AS HUGEINT) * 5000 * weight)
+           |      // (sum(weight) OVER () * n_docs))
            |    AS BIGINT) AS rate_x10000
-           |FROM wmx, tmx""".stripMargin,
+           |FROM wmx""".stripMargin,
       "text_mix_sample" ->
         s"""WITH cms AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
            |wms0 AS (SELECT source, n_docs,
@@ -1238,12 +1238,12 @@ object SparkEntry {
            |    x0 - CASE WHEN x0 * x0 > n_docs THEN 1 ELSE 0 END
            |       + CASE WHEN (x0 + 1) * (x0 + 1) <= n_docs THEN 1 ELSE 0 END AS weight
            |  FROM wms0),
-           |tms AS (SELECT sum(weight) AS sum_w, sum(n_docs) AS n_total FROM wms),
            |rms AS (SELECT source,
            |    CAST(least(CAST(10000 AS HUGEINT),
-           |      (CAST(n_total AS HUGEINT) * 5000 * weight) // (sum_w * n_docs))
+           |      (CAST(sum(n_docs) OVER () AS HUGEINT) * 5000 * weight)
+           |        // (sum(weight) OVER () * n_docs))
            |      AS BIGINT) AS rate_x10000
-           |  FROM wms, tms),
+           |  FROM wms),
            |dms AS (SELECT doc_id, source,
            |    ${graft.functions.PortableHash.duckMd5Long48("CAST(doc_id AS VARCHAR)")} % 10000 AS ticket_x10000
            |  FROM documents)

@@ -443,9 +443,11 @@ object TextOps {
     * B = N·budgetFracX10000/10000 is the target corpus budget —
     * expected kept mass ∝ w_s, total ≈ B. All products ride
     * DECIMAL(38,0) (exact at petascale counts; long products would
-    * wrap). Plan: one tiny per-source aggregation + a one-row totals
-    * aggregate joined back by cross-of-one-row (broadcast) — the corpus
-    * is scanned ONCE. */
+    * wrap). Plan: ONE corpus scan into one per-source aggregation; the
+    * corpus-wide totals ride an unpartitioned window over the
+    * sources-sized result (n_sources rows — single-partition by
+    * design). A separate totals aggregate joined back would duplicate
+    * the scan subtree into both join sides — two corpus scans. */
   def temperatureRates(documents: DataFrame, alphaX2: Int = 1,
                        budgetFracX10000: Int = 5000): DataFrame = {
     require(Set(0, 1, 2)(alphaX2), s"alphaX2 must be 0, 1 or 2, got $alphaX2")
@@ -457,9 +459,10 @@ object TextOps {
         case 1 => isqrt(col("n_docs"))
         case 2 => col("n_docs")
       }).as("weight"))
-    val totals = weighted.agg(sum(col("weight")).as("sum_w"),
-                              sum(col("n_docs")).as("n_total"))
-    weighted.join(totals) // one-row totals side — broadcast nested loop of 1
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    weighted
+      .withColumn("sum_w", sum(col("weight")).over(all))
+      .withColumn("n_total", sum(col("n_docs")).over(all))
       .select(col("source"), col("n_docs"), col("weight"),
         expr(s"""cast(least(cast(10000 as decimal(38,0)),
                  |  (cast(n_total as decimal(38,0)) * $budgetFracX10000 * weight)

@@ -225,6 +225,12 @@ class PlanQualitySpec extends SparkSpecBase {
     val mix = executed(SparkEntry.queries("text_mix_sample")(spark, sf))
     assert(mix.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$mix")
     assert(!mix.contains("SortMergeJoin") && !mix.contains("ShuffledHashJoin"), mix)
+    // the rate table reads the corpus exactly ONCE: totals ride a window
+    // over the sources-sized aggregate — a joined-back totals aggregate
+    // would duplicate the scan subtree into both join sides
+    val rates = executed(SparkEntry.queries("text_mix_rates")(spark, sf))
+    val nScans = "FileScan|Scan parquet".r.findAllIn(rates).length
+    assert(nScans == 1, s"text_mix_rates scans the corpus $nScans times:\n$rates")
     // cross-corpus ingestion: equi-join probes only — a cartesian or a
     // sort-based fallback here would be quadratic at ingest scale
     for (q <- Seq("dedup_cross_new", "dedup_cross_screen")) {
