@@ -1227,7 +1227,7 @@ object SparkEntry {
            |SELECT source, n_docs, weight,
            |  CAST(least(CAST(10000 AS HUGEINT),
            |    (CAST(sum(n_docs) OVER () AS HUGEINT) * 5000 * weight)
-           |      // (sum(weight) OVER () * n_docs))
+           |      // (CAST(sum(weight) OVER () AS HUGEINT) * n_docs))
            |    AS BIGINT) AS rate_x10000
            |FROM wmx""".stripMargin,
       "text_mix_sample" ->
@@ -1241,7 +1241,7 @@ object SparkEntry {
            |rms AS (SELECT source,
            |    CAST(least(CAST(10000 AS HUGEINT),
            |      (CAST(sum(n_docs) OVER () AS HUGEINT) * 5000 * weight)
-           |        // (sum(weight) OVER () * n_docs))
+           |        // (CAST(sum(weight) OVER () AS HUGEINT) * n_docs))
            |      AS BIGINT) AS rate_x10000
            |  FROM wms),
            |dms AS (SELECT doc_id, source,
@@ -1298,7 +1298,7 @@ object SparkEntry {
       "dedup_lines" ->
         // same 12-token pseudo-line split, same 48-bit content hash,
         // same packed-long (doc_id << 21 | line_idx) keeper min
-        s"""WITH ldl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        s"""WITH ldl AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
            |lel0 AS (SELECT doc_id, unnest(list_transform(
            |    generate_series(0, CAST((len(t) - 1) // 12 AS INTEGER)),
            |    i -> struct_pack(idx := i,
@@ -1311,7 +1311,7 @@ object SparkEntry {
            |  CAST(min(doc_id * 2097152 + line_idx) % 2097152 AS INTEGER) AS keeper_idx
            |FROM lel GROUP BY line_h HAVING count(*) > 1""".stripMargin,
       "dedup_lines_rw" ->
-        s"""WITH ldw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        s"""WITH ldw AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
            |lew0 AS (SELECT doc_id, unnest(list_transform(
            |    generate_series(0, CAST((len(t) - 1) // 12 AS INTEGER)),
            |    i -> struct_pack(idx := i,
@@ -1331,9 +1331,12 @@ object SparkEntry {
       "dedup_cross_new" ->
         s"""WITH $crossPlantCte,
            |snx AS (SELECT DISTINCT md5(text) AS md5_fp FROM plx WHERE doc_id % 3 = 0)
-           |SELECT doc_id, md5(text) AS md5_fp FROM plx
+           |-- NOT EXISTS, not NOT IN: three-valued NOT IN semantics would
+           |-- diverge from Spark's left_anti if a text were ever NULL (one
+           |-- NULL on the seen side empties the whole result)
+           |SELECT doc_id, md5(text) AS md5_fp FROM plx p
            |WHERE doc_id % 3 <> 0
-           |  AND md5(text) NOT IN (SELECT md5_fp FROM snx)""".stripMargin,
+           |  AND NOT EXISTS (SELECT 1 FROM snx WHERE snx.md5_fp = md5(p.text))""".stripMargin,
       "dedup_cross_screen" ->
         s"""WITH $crossPlantCte,
            |${bandsCteOver("plx")},

@@ -505,10 +505,15 @@ object DedupOps {
   private def lineExplode(documents: DataFrame, tokensPerLine: Int): DataFrame = {
     graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48
     val L = tokensPerLine
+    // coalesce: a NULL text must behave like the empty text (one empty
+    // line), not silently drop the doc from the output — size(NULL) is
+    // NULL, so the raw posexplode would emit no row for it and
+    // lineDeduped's every-input-doc contract would break on real
+    // corpora (the oracle SQL carries the same COALESCE)
     documents
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, cast((size(split(text, ' ')) - 1) div $L as int)),
-           |  i -> array_join(slice(split(text, ' '), i * $L + 1, $L), ' '))""".stripMargin))
+        s"""transform(sequence(0, cast((size(split(coalesce(text, ''), ' ')) - 1) div $L as int)),
+           |  i -> array_join(slice(split(coalesce(text, ''), ' '), i * $L + 1, $L), ' '))""".stripMargin))
         .as(Seq("line_idx", "line")))
       .select(col("doc_id"), col("line_idx"),
               col("line"),

@@ -115,8 +115,28 @@ object MultimodalOps {
     * exists in this runtime, and a silent zero would hide data
     * corruption at scale. */
   def decodePayload(payload: Array[Byte], kind: String): (Int, Int, Int, Int) = {
-    if (payload.length >= 4 && ByteBuffer.wrap(payload).getInt() == Magic)
-      decodeHeader(payload)
+    // a foreign payload whose first 4 bytes happen to collide with the
+    // magic (expected among billions of assets) must not be silently
+    // parsed as a stub: the stub route also requires the header fields
+    // to satisfy the generator's kind-invariants (image → 1 frame, no
+    // rate; audio → no frames, positive rate; video → frames, no rate),
+    // which a colliding foreign prefix fails with overwhelming
+    // probability — it then falls through to the real codec or the loud
+    // no-codec error below. No real image format begins with "GRFT", so
+    // genuine images can never be mis-routed in the other direction.
+    val stub =
+      if (payload.length < 20 || ByteBuffer.wrap(payload).getInt() != Magic) None
+      else {
+        val h @ (w, ht, frames, rate) = decodeHeader(payload)
+        val plausible = w > 0 && ht > 0 && (kind match {
+          case "image" => frames == 1 && rate == 0
+          case "audio" => frames == 0 && rate > 0
+          case "video" => frames > 0 && rate == 0
+          case _       => false
+        })
+        if (plausible) Some(h) else None
+      }
+    if (stub.isDefined) stub.get
     else if (kind == "image") {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, s"undecodable image payload (${payload.length} bytes)")

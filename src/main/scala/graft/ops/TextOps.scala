@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** the shared content-hash doc ticket: `md5Long48(doc_id) mod m` —
+    * ONE recipe for every sampling/packing op (stratifiedSample,
+    * packSequences, temperatureSample) and their DuckDB oracle twins;
+    * reproducible across runs, engines, cluster sizes and
+    * partitionings (no rand()). Any change here must land in the
+    * PortableHash duck* emitters' call sites in the same commit. */
+  private def docTicket(mod: Long): Column = pmod(
+    graft.functions.PortableHash.md5Long48(col("doc_id").cast("string")),
+    lit(mod))
+
+
   /** stopword list for quality scoring (English function words — the
     * synthetic corpus is space-tokenized English-like text). */
   val stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
@@ -342,9 +353,7 @@ object TextOps {
   def stratifiedSample(documents: DataFrame,
                        fracX10000ByLang: Map[String, Int]): DataFrame = {
     val lang = langIdExpr(col("text"))
-    val ticket = pmod(
-      graft.functions.PortableHash.md5Long48(col("doc_id").cast("string")),
-      lit(10000L))
+    val ticket = docTicket(10000L)
     val quota = fracX10000ByLang.foldLeft(lit(0)) {
       case (acc, (l, f)) => when(lang === l, lit(f)).otherwise(acc)
     }
@@ -367,9 +376,7 @@ object TextOps {
   def packSequences(documents: DataFrame, maxTokens: Long = 2048,
                     nStreams: Int = 8): DataFrame = {
     val nTok = size(wsTokens(col("text"))).cast("long")
-    val stream = pmod(
-      graft.functions.PortableHash.md5Long48(col("doc_id").cast("string")),
-      lit(nStreams.toLong)).cast("int")
+    val stream = docTicket(nStreams.toLong).cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stream")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -466,7 +473,7 @@ object TextOps {
       .select(col("source"), col("n_docs"), col("weight"),
         expr(s"""cast(least(cast(10000 as decimal(38,0)),
                  |  (cast(n_total as decimal(38,0)) * $budgetFracX10000 * weight)
-                 |    div (sum_w * n_docs)) as long)""".stripMargin)
+                 |    div (cast(sum_w as decimal(38,0)) * n_docs)) as long)""".stripMargin)
           .as("rate_x10000"))
   }
 
@@ -481,9 +488,7 @@ object TextOps {
     graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48
     val rates = temperatureRates(documents, alphaX2, budgetFracX10000)
       .select(col("source"), col("rate_x10000"))
-    val ticket = pmod(
-      graft.functions.PortableHash.md5Long48(col("doc_id").cast("string")),
-      lit(10000L))
+    val ticket = docTicket(10000L)
     documents.select(col("doc_id"), col("source"),
                      ticket.cast("long").as("ticket_x10000"))
       .join(broadcast(rates), Seq("source"))

@@ -109,7 +109,16 @@ final class HttpDepParser(endpoint: String, timeoutMs: Long = 90000L)
         val headsNode = node.get("head")
         require(headsNode != null && headsNode.isArray,
           "parser reply missing array 'head'")
-        val heads = (0 until headsNode.size()).map(j => headsNode.get(j).asInt())
+        // strict: asInt() would silently coerce a malformed head (null,
+        // string, object) to 0 = ROOT, attaching every word to the root
+        // without an error — exactly the silent-wrong-attachment mode
+        // this boundary promises to fail loudly on
+        val heads = (0 until headsNode.size()).map { j =>
+          val h = headsNode.get(j)
+          require(h != null && h.canConvertToInt,
+            s"parser reply head[$j] is not an integer: $h")
+          h.asInt()
+        }
         val deprels = strings("deprel")
         require(words.length == heads.length && words.length == deprels.length,
           s"parser reply ragged: ${words.length} words, ${heads.length} heads, " +

@@ -765,11 +765,21 @@ object Pipeline {
     * Restriction (ENFORCED): the root must have been built WITHOUT
     * --coref — the fresh slice runs base extraction only, and folding
     * base-only rows into a base+coref store would mix entry shapes per
-    * doc (new docs would permanently lack corefed contributions). */
+    * doc (new docs would permanently lack corefed contributions).
+    *
+    * `parser` is the same dependency-parse seam [[runFromDocs]] takes:
+    * the fold's repair and fresh-slice extraction run through it, so a
+    * root built with a live parser can be MAINTAINED with that parser
+    * instead of silently mixing fixture-parsed triples into the store.
+    * The same fingerprint contract applies — a non-default parser must
+    * be identified in `fingerprint`, and because the fold validates its
+    * fingerprint against the root's, a fold submitted with a different
+    * parser tag than the root was built with is refused up front. */
   def incrementalFold(spark: SparkSession, root: String, freshDocs: Dataset[Doc],
                       fingerprint: String,
                       aliases: Option[Dataset[AliasRow]] = None,
-                      beforeCommit: IncrementalResult => Unit = _ => ()): IncrementalResult = {
+                      beforeCommit: IncrementalResult => Unit = _ => (),
+                      parser: DepParser = FixtureDepParser): IncrementalResult = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -813,7 +823,8 @@ object Pipeline {
         .select(col("doc_id"), col("spans")).as[Doc](docEnc)
         .join(storeIds("triples"), Seq("doc_id"), "left_anti")
         .as[Doc](docEnc)
-      val repairT = extractTriples(segmentDocs(docsMissingT)).toDF().localCheckpoint()
+      val repairT = extractTriples(segmentDocs(docsMissingT), parser = parser)
+        .toDF().localCheckpoint()
       if (!repairT.isEmpty)
         store.appendStage(repairT, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
       val missingC = readStore("triples")
@@ -832,7 +843,8 @@ object Pipeline {
     // (eager localCheckpoint) before any append below mutates a store
     val docsNew = freshDocs.toDF()
       .join(storeIds("docs"), Seq("doc_id"), "left_anti").localCheckpoint()
-    val freshTriples = extractTriples(segmentDocs(freshDocs)).toDF().localCheckpoint()
+    val freshTriples = extractTriples(segmentDocs(freshDocs), parser = parser)
+      .toDF().localCheckpoint()
     val tNew = freshTriples
       .join(storeIds("triples"), Seq("doc_id"), "left_anti").localCheckpoint()
     val cNew = canonicalize(

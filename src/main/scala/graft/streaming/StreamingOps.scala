@@ -89,9 +89,15 @@ object StreamingOps {
     * typed transformations run under Structured Streaming unchanged —
     * per-micro-batch output is identical to a batch run over the same
     * rows (asserted by StreamingSpec against the batch path). This is the
-    * continuously-fed counterpart of `Pipeline.extractTriples`. */
-  def streamingTriples(docs: Dataset[graft.model.Doc]): Dataset[graft.model.TripleRow] =
-    graft.pipeline.Pipeline.extractTriples(graft.pipeline.Pipeline.segmentDocs(docs))
+    * continuously-fed counterpart of `Pipeline.extractTriples`. `parser`
+    * is the same dependency-parse seam the batch entry points take, so a
+    * stream can feed a store built with a live parser without silently
+    * mixing fixture-parsed triples into it. */
+  def streamingTriples(docs: Dataset[graft.model.Doc],
+                       parser: graft.pipeline.DepParser = graft.pipeline.FixtureDepParser)
+      : Dataset[graft.model.TripleRow] =
+    graft.pipeline.Pipeline.extractTriples(
+      graft.pipeline.Pipeline.segmentDocs(docs), parser = parser)
 
   /** streaming exact dedup: the first-arriving occurrence of each text
     * fingerprint passes, later duplicates are dropped — ACROSS

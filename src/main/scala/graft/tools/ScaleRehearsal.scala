@@ -35,10 +35,17 @@ import graft.ops.DedupOps
   */
 object ScaleRehearsal {
 
-  /** deterministic 10× expansion of sf0.1 documents into outDir. */
+  /** deterministic 10× expansion of sf0.1 documents into outDir. The
+    * cache is keyed by the SOURCE dir, not just by existence — a re-run
+    * pointed at different input must re-synthesize, or the published
+    * sf0.1-vs-sf1 ratios would silently compare two different corpora. */
   def synthesizeSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
-    if (done.exists()) return
+    val srcTag = new java.io.File(s"$outDir/_source_dir")
+    val canonicalSrc = new java.io.File(sf01Dir).getCanonicalPath
+    if (done.exists() && srcTag.exists() &&
+        new String(java.nio.file.Files.readAllBytes(srcTag.toPath),
+                   java.nio.charset.StandardCharsets.UTF_8) == canonicalSrc) return
     val docs = spark.read.parquet(s"$sf01Dir/documents.parquet")
     docs
       .withColumn("r", explode(sequence(lit(0L), lit(9L))))
@@ -52,6 +59,8 @@ object ScaleRehearsal {
       .withColumn("n_chars", length(col("text")))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    java.nio.file.Files.write(srcTag.toPath,
+      canonicalSrc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** peak heap via a 50 ms sampling thread over the collector's own
