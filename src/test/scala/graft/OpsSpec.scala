@@ -309,6 +309,27 @@ class OpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("no audio codec"), e.getMessage)
   }
 
+  test("a foreign payload colliding with the GRFT magic is not parsed as a stub") {
+    // first 4 bytes == magic but the header fields violate the
+    // generator's kind-invariants (image must be frames=1, rate=0):
+    // must fall through to the real codec and fail loudly, never
+    // return the garbage bytes 4-19 as dimensions
+    val forged = java.nio.ByteBuffer.allocate(64)
+      .putInt(0x47524654).putInt(-7).putInt(999).putInt(3).putInt(44100).array()
+    val ei = intercept[RuntimeException](
+      graft.ops.MultimodalOps.decodePayload(forged, "image"))
+    assert(ei.getMessage.contains("undecodable image payload"), ei.getMessage)
+    val ea = intercept[RuntimeException](
+      graft.ops.MultimodalOps.decodePayload(forged, "audio"))
+    assert(ea.getMessage.contains("no audio codec"), ea.getMessage)
+    // the generator's own stubs still parse for every kind
+    for (kind <- Seq("image", "audio", "video")) {
+      val stub = graft.ops.MultimodalOps.synthPayload(s"ref-$kind", kind)
+      assert(graft.ops.MultimodalOps.decodePayload(stub, kind) ==
+        graft.ops.MultimodalOps.decodeHeader(stub), kind)
+    }
+  }
+
   test("real-mode media features decode distributed PNGs to the encoder dims") {
     val docs = Pipeline.synthDocs(spark, 50)
     val feats = MultimodalOps.extractFeatures(MultimodalOps.mediaAssetsReal(docs)).collect()
@@ -478,6 +499,21 @@ class OpsSpec extends SparkSpecBase {
     val re = DedupOps.lineDeduped(docs.repartition(7), tokensPerLine = 3)
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(re == got)
+  }
+
+  test("lineDeduped keeps a row for NULL-text docs (behaves as empty text)") {
+    import graft.ops.DedupOps
+    // a NULL text must not vanish from the output (the every-input-doc
+    // contract): it behaves exactly like the empty text — one empty
+    // line, deduped corpus-wide like any other line content
+    val docs = Seq((1L, Some("a b c")), (2L, None), (3L, Some("")))
+      .toDF("doc_id", "text")
+    val got = DedupOps.lineDeduped(docs, tokensPerLine = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), got.toString)
+    // doc 2 (first empty-line occurrence) is the keeper; doc 3's copy drops
+    assert(got(1) == ((2L, 1L, 1L, "")), got.toString)
+    assert(got(2) == ((3L, 1L, 0L, "")), got.toString)
   }
 
   test("newAgainstSeen: exact anti-join keeps only genuinely new docs") {

@@ -548,6 +548,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(chain.contains("results for"), chain)
   }
 
+  test("parser boundary: a malformed head in the reply fails loudly, not as ROOT") {
+    import graft.pipeline.HttpDepParser
+    // a buggy server emitting heads as strings/nulls must not be
+    // silently coerced to 0 (= every word attached to ROOT)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/parse", { exchange =>
+      exchange.getRequestBody.readAllBytes()
+      val root = mapper.createObjectNode()
+      val o = root.putArray("parses").addObject()
+      o.putArray("word").add("很").add("好")
+      o.putArray("head").add("2").add("0") // strings, not ints
+      o.putArray("deprel").add("ADV").add("HED")
+      val bytes = mapper.writeValueAsBytes(root)
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/parse"
+      val e = intercept[IllegalArgumentException](
+        new HttpDepParser(endpoint).parse(Seq("很好")))
+      assert(e.getMessage.contains("not an integer"), e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("alias pin comparison survives '@' and ',' inside dictionary paths") {
     import Pipeline.aliasPinMatches
     // hashed vs hashed: whole-string equality, even when the PATH itself
