@@ -366,6 +366,11 @@ object SparkEntry {
     "text_pack" -> ((s, dir) =>
       // sequence packing into 512-token bins across 8 parallel streams
       TextOps.packSequences(read(s, dir, "documents"), maxTokens = 512)),
+    "text_chunks" -> ((s, dir) =>
+      // context-window chunking: 32-token windows, 8-token overlap —
+      // the RAG/long-doc splitter upstream of embedding or packing
+      TextOps.chunkDocs(read(s, dir, "documents"),
+        chunkTokens = 32, overlap = 8)),
     "text_mix_rates" -> ((s, dir) =>
       // temperature-scaled source-mixing table (alpha = 0.5, budget =
       // half the corpus) — the GPT-3/Llama data-mixture primitive
@@ -1211,6 +1216,23 @@ object SparkEntry {
            |SELECT doc_id, stream, n_tokens,
            |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
            |FROM c""".stripMargin,
+      "text_chunks" ->
+        // same positional window rule, chunk boundaries recomputed
+        // exactly: starts 0, 24, 48, … while < n_tokens (32-token
+        // windows, 8 overlap); DuckDB list slice t[a:b] clamps at the
+        // array end exactly like Spark's slice(t, a, len)
+        s"""WITH tcw AS (SELECT doc_id,
+           |    string_split(COALESCE(text, ''), ' ') AS t FROM documents),
+           |chw AS (SELECT doc_id, len(t) AS n, unnest(list_transform(
+           |    generate_series(0, CAST((len(t) - 1) // 24 AS BIGINT)),
+           |    i -> struct_pack(idx := i,
+           |      txt := array_to_string(t[i*24+1 : i*24+32], ' ')))) AS s
+           |  FROM tcw)
+           |SELECT doc_id, CAST(s.idx AS INTEGER) AS chunk_idx,
+           |  CAST(s.idx * 24 AS BIGINT) AS start_tok,
+           |  CAST(least(32, n - s.idx * 24) AS BIGINT) AS n_chunk_toks,
+           |  s.txt AS chunk_text
+           |FROM chw""".stripMargin,
       "text_mix_rates" ->
         // same exact isqrt (floor(sqrt) ± 1 integer correction — both
         // engines' IEEE sqrt is correctly rounded, the correction

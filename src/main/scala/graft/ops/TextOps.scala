@@ -436,6 +436,45 @@ object TextOps {
       when((x0 + 1) * (x0 + 1) <= c, lit(1L)).otherwise(lit(0L))
   }
 
+  /** Document CHUNKING with overlap — the context-window splitter an
+    * embedding/RAG ingest or a long-doc training pipeline runs before
+    * packing: stride-stepped token windows of `chunkTokens` whitespace
+    * tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = chunkTokens − overlap). The window rule is POSITIONAL
+    * ONLY (starts at 0, stride, 2·stride, … while < n_tokens; the tail
+    * window is emitted even when short) so it is partition-free,
+    * order-free and exact-integer — the DuckDB oracle recomputes every
+    * chunk boundary bit-identically. A NULL text behaves as the empty
+    * text (one empty chunk), keeping the every-input-doc contract of
+    * the other rewriting ops.
+    *
+    * Output: (doc_id, chunk_idx, start_tok, n_chunk_toks, chunk_text).
+    *
+    * Plan: ZERO SHUFFLE — one narrow scan + a row-local posexplode of
+    * a doc-length-bounded window array; embarrassingly parallel at any
+    * corpus size. */
+  def chunkDocs(documents: DataFrame, chunkTokens: Int = 128,
+                overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val step = chunkTokens - overlap
+    documents
+      // split never yields an empty array (split('', ' ') = ['']), so
+      // every doc has n >= 1 tokens and emits >= 1 chunk
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
+      .select(col("doc_id"), expr("size(t)").as("n"), col("t"))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"""transform(sequence(0, n - 1, $step),
+             |  s -> array_join(slice(t, s + 1, $chunkTokens), ' '))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx").cast("long") * step).as("start_tok"),
+        least(lit(chunkTokens.toLong),
+              col("n").cast("long") - col("chunk_idx") * step).as("n_chunk_toks"),
+        col("chunk_text"))
+  }
+
   /** Temperature-scaled SOURCE-mixing rates — the data-mixture
     * primitive of GPT-3 / Llama-style pretraining corpora (sample
     * source s with probability ∝ n_s^alpha; alpha < 1 upweights small

@@ -501,6 +501,29 @@ class OpsSpec extends SparkSpecBase {
     assert(re == got)
   }
 
+  test("chunkDocs: stride-stepped overlapping windows, exact boundaries") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, Some("a b c d e f g")), (2L, None), (3L, Some("x y")))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 2)
+      .as[(Long, Int, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      // starts 0,2,4,6 (stride = 4 - 2 = 2), tail windows emitted short
+      (1L, 0, 0L, 4L, "a b c d"),
+      (1L, 1, 2L, 4L, "c d e f"),
+      (1L, 2, 4L, 3L, "e f g"),
+      (1L, 3, 6L, 1L, "g"),
+      // NULL text == empty text: one empty chunk, never a dropped doc
+      (2L, 0, 0L, 1L, ""),
+      (3L, 0, 0L, 2L, "x y")), got.toString)
+    // positional rule → partition/order invariant
+    val re = TextOps.chunkDocs(docs.repartition(5), chunkTokens = 4, overlap = 2)
+      .as[(Long, Int, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(re == got)
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 4))
+  }
+
   test("lineDeduped keeps a row for NULL-text docs (behaves as empty text)") {
     import graft.ops.DedupOps
     // a NULL text must not vanish from the output (the every-input-doc

@@ -189,6 +189,11 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffles(df) == 0, executed(df))
   }
 
+  test("text_chunks is zero-shuffle (row-local window explode)") {
+    val df = SparkEntry.queries("text_chunks")(spark, sf)
+    assert(shuffles(df) == 0, executed(df))
+  }
+
   test("minhash/winnow aggregations never fall back to SortAggregate") {
     for (q <- Seq("dedup_minhash_bands", "dedup_minhash_cand", "dedup_winnow")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
