@@ -112,8 +112,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_GTRIALS", "3").toIntOption
         .filter(_ > 0).getOrElse(sys.error(
           "SPARK_GRAFT_BENCH_SCALING_GTRIALS must be a positive integer"))
+    // seed-space disjointness FOR ANY trial count: both sides stride by
+    // 90M, so a seed's residue mod 90M identifies its side — singles sit
+    // at residue 0, the four members of every group at 50/60/70/80M
+    // (500M ≡ 50M, +j·10M), and each child only consumes
+    // [offset, offset+sents) with sents ≪ 10M. The previous single
+    // stride (i·50M) collided with the group space from GTRIALS ≥ 11.
     val singles = (0 until groupTrials)
-      .flatMap(i => rate(spawn(i.toLong * 50000000L)))
+      .flatMap(i => rate(spawn(i.toLong * 90000000L)))
     val aggs = (0 until groupTrials)
       .flatMap(i => group4(500000000L + i.toLong * 90000000L))
     for {

@@ -710,13 +710,21 @@ object Pipeline {
   /** alias pins ride inside comma-separated fingerprints whose later
     * segments (withCoref=, incremental) follow the pin: encode the two
     * structural characters so a dictionary path containing ',' (or '%')
-    * can neither truncate the captured pin nor desync the decode. Pins
-    * written before encoding existed decode as identity unless the path
-    * contained '%' — the same paths the old parser already mangled. */
+    * can neither truncate the captured pin nor desync the decode. The
+    * encoding is VERSIONED with an `e:` marker so a pin written before
+    * encoding existed is never run through the decoder — a legacy path
+    * that literally contains '%2C'/'%25' must decode as itself, not as
+    * ','/'%'. Legacy pins (no marker) decode as identity and compare by
+    * the usual [[aliasPinMatches]] rule; a mismatch refuses loudly (the
+    * safe direction) and the caller re-stamps with the marked form on
+    * first match, as with the hash-pin migration. */
+  private val EncodedPinMarker = "e:"
   private[graft] def encodePin(pin: String): String =
-    pin.replace("%", "%25").replace(",", "%2C")
+    EncodedPinMarker + pin.replace("%", "%25").replace(",", "%2C")
   private[graft] def decodePin(enc: String): String =
-    enc.replace("%2C", ",").replace("%25", "%")
+    if (enc.startsWith(EncodedPinMarker))
+      enc.stripPrefix(EncodedPinMarker).replace("%2C", ",").replace("%25", "%")
+    else enc // legacy unversioned pin: identity, NEVER percent-decoded
 
   def aliasPinMatches(prev: String, cur: String): Boolean = {
     def hashed(pin: String) = HashedPin.pattern.matcher(pin).matches()

@@ -196,6 +196,17 @@ object StreamingOps {
           "at 0 and the idempotence marker would silently drop all new " +
           "data; pass the original checkpointLocation (or a fresh aggPath)")
     }
+    // the query-run identity stamped next to every generation: batch ids
+    // are only meaningful WITHIN one checkpoint lineage, so a generation
+    // may be claimed as "this batch's own crashed commit" only when it
+    // was written by the same lineage. Checkpointed queries share the
+    // lineage across restarts (same checkpoint → same renumbering);
+    // a query WITHOUT a checkpoint renumbers batches from 0 on every
+    // start, so each start is its own lineage — an orphan agg_0 from a
+    // previous no-checkpoint run must hit the loud refusal below, not
+    // the self-overwrite branch.
+    val runId = checkpointLocation.map("cp:" + _)
+      .getOrElse("ephemeral:" + java.util.UUID.randomUUID().toString)
     val writer = canonical.writeStream
       .outputMode("append")
     trigger.foreach(writer.trigger)
@@ -213,6 +224,16 @@ object StreamingOps {
           def hasSuccess(p: org.apache.hadoop.fs.Path) =
             fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
           val legacy = new org.apache.hadoop.fs.Path(aggPath, "agg")
+          def genRunId(p: org.apache.hadoop.fs.Path): Option[String] = {
+            val f = new org.apache.hadoop.fs.Path(p, "_run_id")
+            if (!fs.exists(f)) None
+            else {
+              val in = fs.open(f)
+              try Some(new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally in.close()
+            }
+          }
           // the committed aggregate: the marker's generation dir, or the
           // pre-generation flat `agg` layout (one-time migration read).
           // A MISSING/EMPTY marker next to committed data is corruption
@@ -239,11 +260,18 @@ object StreamingOps {
               // being replayed right now — that data is a previous
               // attempt's output for THIS batch: recomputing with no
               // prior aggregate and overwriting it IS the replay
-              // contract. Any OTHER committed generation is real prior
-              // history whose batch id is lost with the marker — refuse
-              // loudly rather than reinitialize from one batch's delta
-              // and then prune that history.
-              val others = committedGens.filterNot(_.getName == s"agg_$batchId")
+              // contract. "Own" requires BOTH the name agg_<batchId> AND
+              // a _run_id stamp matching this query's lineage — batch
+              // ids renumber from 0 across no-checkpoint restarts, so a
+              // name match alone would let a new run mistake a previous
+              // run's orphan agg_0 for its own crashed commit and
+              // recompute that history away. Any other committed
+              // generation (wrong name, wrong lineage, or a crash sliver
+              // that lost the stamp) is real-or-unattributable prior
+              // history — refuse loudly rather than reinitialize from
+              // one batch's delta and then prune it.
+              val others = committedGens.filterNot(p =>
+                p.getName == s"agg_$batchId" && genRunId(p).contains(runId))
               if (others.nonEmpty) sys.error(
                 s"maintainEdges: $aggPath holds committed aggregate data " +
                   s"(${others.map(_.getName).mkString(", ")}) but " +
@@ -251,10 +279,11 @@ object StreamingOps {
                   "reachable by a crash in the marker delete→rename " +
                   "sliver as well as by hand-deletion; either way the " +
                   "committed history can no longer be attributed to a " +
-                  "batch id, so refusing to reinitialize the aggregate " +
-                  "from a single batch's delta. Recover by restoring " +
-                  "_last_batch with the newest intact generation's id " +
-                  "('N' for agg_N)")
+                  "batch id (or belongs to a different query lineage — " +
+                  "batch ids renumber across no-checkpoint restarts), so " +
+                  "refusing to reinitialize the aggregate from a single " +
+                  "batch's delta. Recover by restoring _last_batch with " +
+                  "the newest intact generation's id ('N' for agg_N)")
               None
             }
             else if (hasSuccess(gen(last))) Some(gen(last))
@@ -270,6 +299,16 @@ object StreamingOps {
             .getOrElse(delta)
             .localCheckpoint() // one materialization, two consumers below
           merged.write.mode("overwrite").parquet(gen(batchId).toString)
+          // lineage stamp, written BEFORE the marker commit: a crash
+          // between the parquet job and this write leaves a _SUCCESS'd
+          // generation with no stamp, which the no-marker branch above
+          // correctly refuses (unattributable ≠ own)
+          locally {
+            val rid = fs.create(
+              new org.apache.hadoop.fs.Path(gen(batchId), "_run_id"), true)
+            rid.write(runId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            rid.close()
+          }
           Pipeline.edgesFromPairPred(merged)
             .write.mode("overwrite").parquet(edgesPath)
           // atomic marker commit: write-temp-then-rename — a crash can

@@ -39,13 +39,21 @@ object ScaleRehearsal {
     * cache is keyed by the SOURCE dir, not just by existence — a re-run
     * pointed at different input must re-synthesize, or the published
     * sf0.1-vs-sf1 ratios would silently compare two different corpora. */
+  /** the expansion recipe, versioned INTO the cache sentinel: a code
+    * change to the replica count or suffix scheme must invalidate the
+    * cached corpus, or a later run would silently publish ratios computed
+    * against data synthesized by the OLD recipe. Bump on any change to
+    * the expansion below. */
+  private[tools] val Recipe = "replicas=10;idstride=10000000;suffix=~r-per-token;v=1"
+
   def synthesizeSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
     val srcTag = new java.io.File(s"$outDir/_source_dir")
     val canonicalSrc = new java.io.File(sf01Dir).getCanonicalPath
+    val sentinel = s"$canonicalSrc\n$Recipe"
     if (done.exists() && srcTag.exists() &&
         new String(java.nio.file.Files.readAllBytes(srcTag.toPath),
-                   java.nio.charset.StandardCharsets.UTF_8) == canonicalSrc) return
+                   java.nio.charset.StandardCharsets.UTF_8) == sentinel) return
     val docs = spark.read.parquet(s"$sf01Dir/documents.parquet")
     docs
       .withColumn("r", explode(sequence(lit(0L), lit(9L))))
@@ -60,7 +68,7 @@ object ScaleRehearsal {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     java.nio.file.Files.write(srcTag.toPath,
-      canonicalSrc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sentinel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** peak heap via a 50 ms sampling thread over the collector's own

@@ -602,5 +602,11 @@ class PipelineSpec extends SparkSpecBase {
       .map(m => Pipeline.decodePin(m.group(1)))
     assert(parsed.contains(s"$p@xdeadbeef"), parsed.toString)
     assert(Pipeline.decodePin(Pipeline.encodePin("a%2C,b%")) == "a%2C,b%")
+    // encoding is VERSIONED (`e:` marker): a legacy pin written before
+    // encoding existed is never percent-decoded — a path literally
+    // containing '%2C'/'%25' must decode to itself, not to ','/'%'
+    assert(Pipeline.decodePin("/data/d%2Cict%25.tsv") == "/data/d%2Cict%25.tsv")
+    assert(Pipeline.encodePin("/plain/dict.tsv").startsWith("e:"))
+    assert(Pipeline.decodePin(Pipeline.encodePin("/plain/dict.tsv")) == "/plain/dict.tsv")
   }
 }

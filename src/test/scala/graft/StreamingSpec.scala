@@ -291,18 +291,23 @@ class StreamingSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Pipeline
     // the IN-PROTOCOL reachable no-marker state: batch 0's generation
-    // parquet landed (with _SUCCESS) but the crash hit before the first
-    // marker write. The only committed generation is the replayed batch's
-    // own → the replay must recompute and overwrite, not wedge.
+    // parquet landed (with _SUCCESS and this lineage's _run_id) but the
+    // crash hit before the first marker write. The only committed
+    // generation is the replayed batch's own — provably, because the
+    // _run_id stamp matches the restarted query's checkpoint lineage —
+    // so the replay must recompute and overwrite, not wedge.
     val input = MemoryStream[(String, String, String)]
     val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-selfcrash").toString
     val aggPath = s"$dir/pairpred"
+    val ckpt = s"$dir/ckpt"
     val gen0 = java.nio.file.Paths.get(aggPath, "agg_0")
     java.nio.file.Files.createDirectories(gen0)
     java.nio.file.Files.writeString(gen0.resolve("part-stale.parquet"), "junk from the crashed attempt")
     java.nio.file.Files.writeString(gen0.resolve("_SUCCESS"), "")
-    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges")
+    java.nio.file.Files.writeString(gen0.resolve("_run_id"), s"cp:$ckpt")
+    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges",
+      checkpointLocation = Some(ckpt))
     val b1 = Seq(("e1", "e2", "p1"), ("e1", "e2", "p2"), ("e1", "e2", "p1"))
     input.addData(b1: _*)
     q.processAllAvailable() // replayed batch 0 overwrites its own crashed write
@@ -314,6 +319,37 @@ class StreamingSpec extends SparkSpecBase {
     // and the marker now commits batch 0
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(aggPath, "_last_batch")).trim == "0")
+  }
+
+  test("maintainEdges refuses another lineage's orphan agg_0 despite the batch-id match") {
+    implicit val sqlCtx = spark.sqlContext
+    // the renumbering trap the lineage stamp exists for: a PREVIOUS
+    // no-checkpoint run committed agg_0, its marker was lost, and a NEW
+    // no-checkpoint query starts — whose own batch ids also start at 0.
+    // The name agg_0 matches "this batch", but the _run_id (a different
+    // ephemeral lineage — or, as here, a pre-stamp orphan with no _run_id
+    // at all) does not: treating it as this batch's own crashed commit
+    // would recompute the previous run's real history away. Must refuse.
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-foreign").toString
+    val aggPath = s"$dir/pairpred"
+    val gen0 = java.nio.file.Paths.get(aggPath, "agg_0")
+    java.nio.file.Files.createDirectories(gen0)
+    java.nio.file.Files.writeString(gen0.resolve("_SUCCESS"), "")
+    java.nio.file.Files.writeString(gen0.resolve("_run_id"), "ephemeral:previous-run")
+    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges")
+    input.addData(("e1", "e2", "p1"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("_last_batch is missing"), chain)
+    // the foreign generation survived the refusal
+    assert(java.nio.file.Files.exists(gen0.resolve("_SUCCESS")))
+    assert(java.nio.file.Files.readString(gen0.resolve("_run_id")) == "ephemeral:previous-run")
   }
 
   test("maintainEdges fails loudly when the committed generation is missing") {
