@@ -189,6 +189,27 @@ object SparkEntry {
           Pipeline.pairPredAggregate(canon(0, 250)),
           Pipeline.pairPredAggregate(canon(250, VerifyDocs))))
     }),
+    "kg_edge_weights" -> ((s, _) => {
+      // the downstream-EntGraph local weight surface: directional
+      // conditional P(dst|src) + log-free PMI ratio in exact fixed point
+      // over the SAME capped pair-pred space as kg_edges
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      Pipeline.edgeWeightsFromPairPred(Pipeline.pairPredAggregate(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s))))
+    }),
+    "kg_edge_weights_incr" -> ((s, _) => {
+      // incremental twin: two slices' additive aggregates folded, the
+      // non-additive weight derivation recomputed — must equal the batch
+      // kg_edge_weights exactly, so it SHARES its oracle SQL
+      def canon(from: Long, until: Long) = Pipeline.canonicalize(
+        Pipeline.extractTriples(Pipeline.segmentDocs(
+          Pipeline.synthDocsRange(s, from, until))),
+        Pipeline.synthAliases(s))
+      Pipeline.edgeWeightsFromPairPred(
+        Pipeline.mergePairPred(
+          Pipeline.pairPredAggregate(canon(0, 250)),
+          Pipeline.pairPredAggregate(canon(250, VerifyDocs))))
+    }),
     "kg_entity_rank" -> ((s, _) => {
       // entity importance: fixed-point integer PageRank over the same
       // bounded co-occurrence graph as kg_cooc_components — pure BIGINT
@@ -592,8 +613,8 @@ object SparkEntry {
     // contract). Pair orientation (pred_src < pred_dst) relies on
     // BMP-only predicates, where DuckDB's UTF-8 byte order == JVM
     // UTF-16 order
-    val kgEdgesSql =
-      """WITH pp AS (SELECT subj_canonical AS arg_s, obj_canonical AS arg_o, pred,
+    val ppCappedCte =
+      """pp AS (SELECT subj_canonical AS arg_s, obj_canonical AS arg_o, pred,
         |    count(*) AS support
         |  FROM read_parquet('__OUT__/kg_canonical/*.parquet')
         |  WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
@@ -601,7 +622,9 @@ object SparkEntry {
         |capped AS (SELECT arg_s, arg_o, pred, support FROM (
         |    SELECT *, row_number() OVER (PARTITION BY arg_s, arg_o
         |                                 ORDER BY support DESC, pred) AS rk FROM pp)
-        |  WHERE rk <= 32),
+        |  WHERE rk <= 32)""".stripMargin
+    val kgEdgesSql =
+      s"""WITH $ppCappedCte,
         |pairs AS (SELECT x.pred AS pred_src, y.pred AS pred_dst,
         |    least(x.support, y.support) AS pw
         |  FROM capped x JOIN capped y
@@ -609,6 +632,30 @@ object SparkEntry {
         |SELECT pred_src, pred_dst, CAST(sum(pw) AS BIGINT) AS weight,
         |  count(*) AS n_arg_pairs
         |FROM pairs GROUP BY pred_src, pred_dst""".stripMargin
+    // shared by kg_edge_weights and kg_edge_weights_incr (same contract
+    // as kgEdgesSql). Exact fixed point: HUGEINT products // divisor ==
+    // Spark DECIMAL(38,0) products `div` — both integral quotients of
+    // exact integers. All marginals over the SAME capped space.
+    val kgEdgeWeightsSql =
+      s"""WITH $ppCappedCte,
+        |pairs AS (SELECT x.pred AS pred_src, y.pred AS pred_dst
+        |  FROM capped x JOIN capped y
+        |    ON x.arg_s = y.arg_s AND x.arg_o = y.arg_o AND x.pred <> y.pred),
+        |sh AS (SELECT pred_src, pred_dst, count(*) AS shared_pairs
+        |  FROM pairs GROUP BY 1, 2),
+        |marg AS (SELECT pred, count(*) AS n_pairs FROM capped GROUP BY pred),
+        |tot AS (SELECT count(*) AS total_pairs
+        |  FROM (SELECT DISTINCT arg_s, arg_o FROM capped))
+        |SELECT s.pred_src, s.pred_dst, s.shared_pairs,
+        |  ms.n_pairs AS n_src_pairs, md.n_pairs AS n_dst_pairs,
+        |  CAST((CAST(s.shared_pairs AS HUGEINT) * 1000000) // ms.n_pairs
+        |    AS BIGINT) AS cond_ppm,
+        |  CAST((CAST(s.shared_pairs AS HUGEINT) * t.total_pairs * 1000000)
+        |    // (CAST(ms.n_pairs AS HUGEINT) * md.n_pairs) AS BIGINT) AS pmi_ppm
+        |FROM sh s
+        |JOIN marg ms ON ms.pred = s.pred_src
+        |JOIN marg md ON md.pred = s.pred_dst
+        |CROSS JOIN tot t""".stripMargin
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
     def gramsCteOver(src: String) =
@@ -845,7 +892,7 @@ object SparkEntry {
         // fields Rel.serialize keys on (names, tag, idxs) per
         // (doc, sent, list). The extraction cores behind both sides stay
         // differential-tested; THIS proves the diff/assembly relationally.
-        """WITH a AS (SELECT * FROM read_parquet('__OUT__/_aux/coref_rels/*.parquet')),
+        """WITH a AS (SELECT * FROM read_parquet('__AUX__/coref_rels/*.parquet')),
           |f AS (SELECT * FROM a WHERE side = 'corefed'),
           |b AS (SELECT * FROM a WHERE side = 'base')
           |SELECT f.doc_id, f.sent_id, f.rel_list || '_corefed' AS rel_list,
@@ -922,7 +969,7 @@ object SparkEntry {
         // positions equal the JVM's UTF-16 indices.
         """WITH RECURSIVE
           |sents AS (SELECT doc_id, sent_id, sent FROM read_parquet('__OUT__/kg_sentences/*.parquet')),
-          |al AS (SELECT * FROM read_parquet('__OUT__/_aux/aliases/*.parquet')),
+          |al AS (SELECT * FROM read_parquet('__AUX__/aliases/*.parquet')),
           |step AS (
           |  SELECT doc_id, sent_id, sent, 1 AS pos,
           |         CAST(NULL AS VARCHAR) AS m_alias, CAST(NULL AS VARCHAR) AS m_entity,
@@ -950,8 +997,8 @@ object SparkEntry {
         """SELECT n.doc_id, n.sent_id, n.sent,
           |  COALESCE(array_to_string(n.mention_words, '|'), '') AS mention_words,
           |  n.n_mentions, n.misplaced, c.corefed AS corefed_sent
-          |FROM read_parquet('__OUT__/_aux/nerpos/*.parquet') n
-          |LEFT JOIN read_parquet('__OUT__/_aux/corefed/*.parquet') c
+          |FROM read_parquet('__AUX__/nerpos/*.parquet') n
+          |LEFT JOIN read_parquet('__AUX__/corefed/*.parquet') c
           |  ON n.doc_id = c.doc_id AND n.sent_id = c.sent_id""".stripMargin,
       "kg_mention_stats" ->
         """SELECT entity_id, canonical, count(*) AS n_mentions,
@@ -959,13 +1006,15 @@ object SparkEntry {
           |FROM read_parquet('__OUT__/kg_mentions/*.parquet') GROUP BY entity_id, canonical""".stripMargin,
       "kg_canonical" ->
         """WITH t AS (SELECT * FROM read_parquet('__OUT__/kg_triples/*.parquet')),
-          |a AS (SELECT * FROM read_parquet('__OUT__/_aux/aliases/*.parquet'))
+          |a AS (SELECT * FROM read_parquet('__AUX__/aliases/*.parquet'))
           |SELECT t.doc_id, t.sent_id, t.rel_list, t.subj, t.pred, t.obj,
           |  t.subj_idx, t.pred_idx, t.obj_idx,
           |  sa.entity_id AS subj_entity_id, COALESCE(sa.canonical, t.subj) AS subj_canonical,
           |  oa.entity_id AS obj_entity_id, COALESCE(oa.canonical, t.obj) AS obj_canonical
           |FROM t LEFT JOIN a sa ON t.subj = sa.alias LEFT JOIN a oa ON t.obj = oa.alias""".stripMargin,
       "kg_edges" -> kgEdgesSql,
+      "kg_edge_weights" -> kgEdgeWeightsSql,
+      "kg_edge_weights_incr" -> kgEdgeWeightsSql,
       // the incremental maintenance path must land on the IDENTICAL edge
       // table — proven by sharing the batch oracle verbatim
       "kg_edges_incr" -> kgEdgesSql,
@@ -1009,7 +1058,7 @@ object SparkEntry {
           |      s -> s.text), '') AS doc_text,
           |    CAST(len(list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL))
           |      AS INTEGER) AS n_text_spans
-          |  FROM read_parquet('__OUT__/_aux/docs/*.parquet')),
+          |  FROM read_parquet('__AUX__/docs/*.parquet')),
           |s AS (SELECT doc_id, sent FROM read_parquet('__OUT__/kg_sentences/*.parquet')),
           |ag AS (SELECT doc_id, count(*) AS n_sentences,
           |    min(CASE WHEN strpos(d.doc_text, s.sent) > 0 THEN 1 ELSE 0 END) AS allc
@@ -1023,14 +1072,14 @@ object SparkEntry {
           |FROM read_parquet('__OUT__/kg_coref/*.parquet') GROUP BY rel_list""".stripMargin,
       "kg_metrics" ->
         """SELECT metric, CAST(sum(n) AS BIGINT) AS total
-          |FROM read_parquet('__OUT__/_aux/metric_events/*.parquet') GROUP BY metric""".stripMargin,
+          |FROM read_parquet('__AUX__/metric_events/*.parquet') GROUP BY metric""".stripMargin,
       "kg_span_report" ->
         // same posexplode → sort-by-(offset, original position) reassembly,
         // recomputed in SQL. LEFT JOIN + empty-list fallback mirrors
         // posexplode_outer: a doc with an empty span array survives the
         // round trip; the positional tiebreak keeps equal-offset spans in
         // input order on both engines.
-        """WITH a AS (SELECT * FROM read_parquet('__OUT__/_aux/docs/*.parquet')),
+        """WITH a AS (SELECT * FROM read_parquet('__AUX__/docs/*.parquet')),
           |ex AS (SELECT doc_id, unnest(generate_series(1, len(spans))) AS pos,
           |    unnest(spans) AS span FROM a),
           |re AS (SELECT doc_id,
@@ -1047,7 +1096,7 @@ object SparkEntry {
         // mapPartitions decode path is value-verified end to end
         s"""WITH a AS (SELECT doc_id, media_ref, kind, payload,
            |    lower(hex(payload)) AS hx
-           |  FROM read_parquet('__OUT__/_aux/media_assets/*.parquet'))
+           |  FROM read_parquet('__AUX__/media_assets/*.parquet'))
            |SELECT doc_id, media_ref, kind,
            |  ${duckBeInt("hx", 9)} AS width,
            |  ${duckBeInt("hx", 17)} AS height,
@@ -1066,7 +1115,7 @@ object SparkEntry {
         // decoded dimensions wrong, this oracle would catch it.
         s"""WITH a AS (SELECT doc_id, media_ref, kind, payload,
            |    lower(hex(payload)) AS hx
-           |  FROM read_parquet('__OUT__/_aux/media_assets_real/*.parquet'))
+           |  FROM read_parquet('__AUX__/media_assets_real/*.parquet'))
            |SELECT doc_id, media_ref, kind,
            |  CASE WHEN kind = 'image' THEN ${duckBeInt("hx", 33)}
            |       ELSE ${duckBeInt("hx", 9)} END AS width,
@@ -1081,7 +1130,7 @@ object SparkEntry {
       "mm_media_dedup" ->
         """SELECT kind, md5(hex(payload)) AS payload_fp,
           |  min(doc_id) AS keeper_doc, count(*) AS n_copies
-          |FROM read_parquet('__OUT__/_aux/media_assets/*.parquet')
+          |FROM read_parquet('__AUX__/media_assets/*.parquet')
           |GROUP BY kind, md5(hex(payload))""".stripMargin,
       "mm_media_stats" ->
         """SELECT kind, count(*) AS n_assets, CAST(sum(byte_len) AS BIGINT) AS total_bytes,

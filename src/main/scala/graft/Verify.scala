@@ -38,28 +38,32 @@ object Verify {
     }
     // aux tables for the relational KG oracles (the oracle SQL re-derives
     // kg_canonical/kg_edges/kg_metrics/kg_span_report from these + the
-    // materialized stage outputs above)
+    // materialized stage outputs above). They live in a SIBLING directory
+    // of outDir — the round driver enumerates every subdirectory of
+    // outDir as a query row, so an in-namespace _aux dir would surface as
+    // a spurious no_oracle row in the correctness report.
+    val auxDir = s"${outAbs}_aux"
     try {
       import graft.pipeline.Pipeline
       Pipeline.synthAliases(spark).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/_aux/aliases")
+        .write.mode("overwrite").parquet(s"$auxDir/aliases")
       Pipeline.synthDocs(spark, SparkEntry.VerifyDocs).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/_aux/docs")
+        .write.mode("overwrite").parquet(s"$auxDir/docs")
       Pipeline.extractionMetricEvents(
           Pipeline.segmentDocs(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs)))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/metric_events")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/metric_events")
       Pipeline.nerPosTable(Pipeline.segmentDocs(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs)))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/nerpos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/nerpos")
       Pipeline.corefedSentenceTable(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/corefed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/corefed")
       graft.ops.MultimodalOps.mediaAssets(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/media_assets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/media_assets")
       graft.ops.MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/media_assets_real")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/media_assets_real")
       // the coref diff inputs (both sides, flat keyed, incl. rule tag) —
       // lets the kg_coref oracle recompute the serialize-key set diff
       Pipeline.corefRelTable(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/coref_rels")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/coref_rels")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] aux tables failed: ${e.getMessage}")
     }
@@ -75,10 +79,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // __OUT__ → the absolute verify output dir, so oracles can read the
-    // materialized stage parquet the loop above just wrote
+    // __OUT__ → the absolute verify output dir (materialized stage
+    // parquet); __AUX__ → the sibling aux-table dir written above
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT__", outAbs))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__AUX__", auxDir).replace("__OUT__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -222,19 +222,18 @@ object Pipeline {
       .groupBy(col("arg_s"), col("arg_o"), col("pred"))
       .agg(sum(col("support")).as("support"))
 
-  /** Stage 2 of the edge build: deterministic top-k cap per argument
-    * pair (salted two-phase under skew) + local pairwise expansion +
-    * final edge aggregation. See [[entailmentEdges]] for the plan notes. */
-  def edgesFromPairPred(pairPred: DataFrame, maxPredsPerPair: Int = 32,
-                        saltBuckets: Int = 8): DataFrame = {
+  /** the deterministic top-k cap per argument pair (salted two-phase
+    * under skew) shared by the edge and edge-weight derivations.
+    * saltBuckets > 1 selects the salted variant for skewed corpora:
+    * phase 1 takes top-k within (pair, hash(pred) % S) — bounding any
+    * single window partition to ~1/S of a hot pair's predicates —
+    * phase 2 merges the ≤ k·S survivors. Result is identical to the
+    * unsalted plan (row_number ordering is total: support desc, pred
+    * asc). */
+  private[graft] def cappedPairPred(pairPred: DataFrame, maxPredsPerPair: Int,
+                                    saltBuckets: Int): DataFrame = {
     val spark = pairPred.sparkSession
     import spark.implicits._
-    // top-k predicates per argument pair. saltBuckets > 1 selects the
-    // salted two-phase variant for skewed corpora: phase 1 takes top-k
-    // within (pair, hash(pred) % S) — bounding any single window
-    // partition to ~1/S of a hot pair's predicates — phase 2 merges the
-    // ≤ k·S survivors. Result is identical to the unsalted plan
-    // (row_number ordering is total: support desc, pred asc).
     val preCapped =
       if (saltBuckets <= 1) pairPred
       else {
@@ -247,10 +246,25 @@ object Pipeline {
           .drop("rk", "salt")
       }
     val w = Window.partitionBy($"arg_s", $"arg_o").orderBy($"support".desc, $"pred")
-    val capped = preCapped
+    preCapped
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= maxPredsPerPair)
       .drop("rk")
+  }
+
+  /** Stage 2 of the edge build: deterministic top-k cap per argument
+    * pair (salted two-phase under skew) + local pairwise expansion +
+    * final edge aggregation. See [[entailmentEdges]] for the plan notes. */
+  def edgesFromPairPred(pairPred: DataFrame, maxPredsPerPair: Int = 32,
+                        saltBuckets: Int = 8): DataFrame =
+    edgesFromCapped(cappedPairPred(pairPred, maxPredsPerPair, saltBuckets))
+
+  /** the pairwise expansion + final edge aggregation over an
+    * already-capped pair-pred table: a local flatMap over the grouped
+    * list — never a self-join — so per-group work is bounded at k². */
+  private def edgesFromCapped(capped: DataFrame): DataFrame = {
+    val spark = capped.sparkSession
+    import spark.implicits._
     val grouped = capped
       .groupBy($"arg_s", $"arg_o")
       .agg(collect_list(struct($"pred", $"support")).as("preds"))
@@ -265,6 +279,69 @@ object Pipeline {
     }.toDF("pred_src", "pred_dst", "pair_weight")
       .groupBy($"pred_src", $"pred_dst")
       .agg(sum($"pair_weight").as("weight"), count(lit(1)).as("n_arg_pairs"))
+  }
+
+  /** The entailment-graph LOCAL WEIGHT surface — the directional scores a
+    * downstream EntGraph build consumes (the reference defers graph
+    * construction to its EntGraph_Zh successor, README.md:52-56; this is
+    * the local-similarity half that repo derives from exactly this
+    * co-occurrence evidence). For every ordered predicate pair that
+    * shares at least one capped argument pair:
+    *
+    *   - `shared_pairs`           |pairs(src) ∩ pairs(dst)|
+    *   - `n_src_pairs`/`n_dst_pairs`  |pairs(src)|, |pairs(dst)|
+    *   - `cond_ppm`  = ⌊shared · 10⁶ / n_src⌋           — P(dst | src)
+    *     over the argument-pair space (DIRT/Berant-style directional
+    *     conditional; asymmetric by construction)
+    *   - `pmi_ppm`   = ⌊shared · total · 10⁶ / (n_src · n_dst)⌋ — the
+    *     PMI ratio in log-free exact fixed point (PMI's log is monotone,
+    *     so ranking/thresholding downstream is unchanged and the value
+    *     stays bit-reproducible in any engine; products ride
+    *     DECIMAL(38,0) — long arithmetic would wrap at petascale counts)
+    *
+    * All marginals are computed over the SAME capped pair-pred table as
+    * [[edgesFromPairPred]] (the cap is the skew contract), so weights and
+    * edges describe one consistent evidence space. Like the edge build,
+    * this is re-derived from the additive `pairpred` aggregate — counts
+    * fold in by summation ([[mergePairPred]]), the cap/marginals are
+    * non-additive and always recomputed from the merged aggregate, which
+    * is triples-sized ÷ dedup factor, a tiny fraction of the corpus.
+    *
+    * Plan shape: the capped subtree feeds three consumers (directional
+    * shared counts, per-pred marginals, the one-row total) — pass a
+    * MATERIALIZED aggregate (the fold's `pairpred` store, as
+    * [[incrementalFold]] does) so the re-scans are parquet-cheap. The
+    * total-pairs scalar rides a one-row broadcast crossJoin (the
+    * SimilarityOps codebook pattern); marginal joins shuffle on pred —
+    * pred-cardinality-sized, AQE broadcasts them when small. */
+  def edgeWeightsFromPairPred(pairPred: DataFrame, maxPredsPerPair: Int = 32,
+                              saltBuckets: Int = 8): DataFrame = {
+    val spark = pairPred.sparkSession
+    import spark.implicits._
+    val capped = cappedPairPred(pairPred, maxPredsPerPair, saltBuckets)
+    val edges = edgesFromCapped(capped)
+    // both directions of every unordered co-occurrence edge: shared
+    // counts are symmetric, the scores are not
+    val dir = edges
+      .select($"pred_src", $"pred_dst", $"n_arg_pairs".as("shared_pairs"))
+      .unionByName(edges.select($"pred_dst".as("pred_src"),
+        $"pred_src".as("pred_dst"), $"n_arg_pairs".as("shared_pairs")))
+    val marg = capped.groupBy($"pred").agg(count(lit(1)).as("n_pairs"))
+    val tot = capped.select($"arg_s", $"arg_o").distinct()
+      .agg(count(lit(1)).as("total_pairs"))
+    dir
+      .join(marg.select($"pred".as("pred_src"), $"n_pairs".as("n_src_pairs")),
+        Seq("pred_src"))
+      .join(marg.select($"pred".as("pred_dst"), $"n_pairs".as("n_dst_pairs")),
+        Seq("pred_dst"))
+      .crossJoin(broadcast(tot))
+      .select($"pred_src", $"pred_dst", $"shared_pairs", $"n_src_pairs",
+        $"n_dst_pairs",
+        expr("""cast((cast(shared_pairs as decimal(38,0)) * 1000000)
+               |  div n_src_pairs as long)""".stripMargin).as("cond_ppm"),
+        expr("""cast((cast(shared_pairs as decimal(38,0)) * total_pairs * 1000000)
+               |  div (cast(n_src_pairs as decimal(38,0)) * n_dst_pairs) as long)"""
+          .stripMargin).as("pmi_ppm"))
   }
 
   // ------------------------------------------------------------- metrics
@@ -641,6 +718,12 @@ object Pipeline {
     val edgesBack = store.runStageDF("edges", Seq("canonical"),
       bucketCol = Some("pred_src"))(
       entailmentEdges(canonBack))
+    // the downstream-EntGraph weight surface, derived from the same
+    // aggregate space (canonBack is a checkpointed parquet read, so the
+    // shared capped subtree's re-scans are cheap)
+    store.runStageDF("edge_weights", Seq("canonical"),
+      bucketCol = Some("pred_src"))(
+      edgeWeightsFromPairPred(pairPredAggregate(canonBack)))
     RunResult(canonBack, edgesBack, docs)
   }
 
@@ -893,8 +976,14 @@ object Pipeline {
         // stage (runStageDF under THIS fingerprint re-stamps the meta;
         // the standing marker keeps isComplete false here, which is what
         // a mutating fold needs anyway — only the no-op branch skips)
-        store.runStageDF("edges", Seq("canonical"),
+        val e = store.runStageDF("edges", Seq("canonical"),
           bucketCol = Some("pred_src"))(edgesFromPairPred(ppMerged))
+        // the weight surface re-derives from the SAME merged aggregate —
+        // the incremental path maintains weights for free (a pre-weights
+        // root simply gains the stage on its first mutating fold)
+        store.runStageDF("edge_weights", Seq("canonical"),
+          bucketCol = Some("pred_src"))(edgeWeightsFromPairPred(ppMerged))
+        e
       }
     val result = IncrementalResult(
       newDocs = docsNew.select(col("doc_id")).distinct().count(),

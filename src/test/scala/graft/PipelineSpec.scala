@@ -305,6 +305,9 @@ class PipelineSpec extends SparkSpecBase {
       assert(table(root, "edges").collect().map(_.toSeq).toSet ==
              table(oneShot, "edges").collect().map(_.toSeq).toSet,
              s"sequence $i: edges diverged")
+      assert(table(root, "edge_weights").collect().map(_.toSeq).toSet ==
+             table(oneShot, "edge_weights").collect().map(_.toSeq).toSet,
+             s"sequence $i: edge weights diverged")
       assert(table(root, "docs").count() == 20L, s"sequence $i: docs store")
     }
   }
@@ -330,6 +333,56 @@ class PipelineSpec extends SparkSpecBase {
           Pipeline.pairPredAggregate(canon(30, 50))),
         Pipeline.pairPredAggregate(canon(50, 80))))
     assert(incr3.collect().map(_.toSeq).toSet == batch)
+  }
+
+  test("edge weights: directional conditional + PMI fixed point, exact values") {
+    // hand-built aggregate: pred P on 3 arg pairs, Q on 2, R on 1
+    //   (a,o1): P:2 Q:1   (a,o2): P:3 Q:1 R:1   (a,o3): P:1
+    val pp = Seq(
+      ("a", "o1", "P", 2L), ("a", "o1", "Q", 1L),
+      ("a", "o2", "P", 3L), ("a", "o2", "Q", 1L), ("a", "o2", "R", 1L),
+      ("a", "o3", "P", 1L)
+    ).toDF("arg_s", "arg_o", "pred", "support")
+    val got = Pipeline.edgeWeightsFromPairPred(pp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // total_pairs = 3; marginals P→3, Q→2, R→1; shared P∩Q=2, P∩R=1, Q∩R=1
+    assert(got(("P", "Q")) == ((2L, 3L, 2L, 666666L, 1000000L)))  // ⌊2e6/3⌋
+    assert(got(("Q", "P")) == ((2L, 2L, 3L, 1000000L, 1000000L))) // asymmetric cond
+    assert(got(("P", "R")) == ((1L, 3L, 1L, 333333L, 1000000L)))
+    assert(got(("R", "P")) == ((1L, 1L, 3L, 1000000L, 1000000L)))
+    assert(got(("Q", "R")) == ((1L, 2L, 1L, 500000L, 1500000L)))  // PMI > 1: R⊂Q
+    assert(got(("R", "Q")) == ((1L, 1L, 2L, 1000000L, 1500000L)))
+    assert(got.size == 6) // both directions of each co-occurring pair, no self
+    // salted plan is value-identical to the unsalted one
+    val salted = Pipeline.edgeWeightsFromPairPred(pp, saltBuckets = 4)
+      .collect().map(_.toSeq).toSet
+    val plain = Pipeline.edgeWeightsFromPairPred(pp, saltBuckets = 1)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.size == 6)
+  }
+
+  test("incremental edge-weight maintenance equals the batch derivation exactly") {
+    def canon(from: Long, until: Long) = Pipeline.canonicalize(
+      Pipeline.extractTriples(Pipeline.segmentDocs(
+        Pipeline.synthDocsRange(spark, from, until))),
+      Pipeline.synthAliases(spark))
+    val batch = Pipeline.edgeWeightsFromPairPred(
+      Pipeline.pairPredAggregate(canon(0, 80))).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    val incr = Pipeline.edgeWeightsFromPairPred(
+      Pipeline.mergePairPred(
+        Pipeline.pairPredAggregate(canon(0, 50)),
+        Pipeline.pairPredAggregate(canon(50, 80))))
+    assert(incr.collect().map(_.toSeq).toSet == batch)
+    // the weight space is consistent with the edge space: every unordered
+    // edge appears as exactly two directed weight rows sharing its
+    // n_arg_pairs as shared_pairs
+    val edges = Pipeline.entailmentEdges(canon(0, 80))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_arg_pairs")).toMap
+    val w = batch.map(s => (s(0).toString, s(1).toString) -> s(2).asInstanceOf[Long]).toMap
+    assert(w.size == 2 * edges.size)
+    assert(edges.forall { case ((a, b), n) => w((a, b)) == n && w((b, a)) == n })
   }
 
   test("slice merge accepts a bucketed checkpoint read as the existing store") {
