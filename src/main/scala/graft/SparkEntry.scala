@@ -312,10 +312,17 @@ object SparkEntry {
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),
     "mm_media_features_real" -> ((s, _) =>
-      // image payloads are REAL PNGs decoded through javax.imageio; the
-      // oracle independently re-parses the IHDR bytes, so the codec path
-      // itself is value-verified (audio/video stay on the GRFT stub)
+      // image payloads are REAL PNGs decoded through javax.imageio and
+      // audio payloads REAL WAVs decoded through javax.sound.sampled;
+      // the oracle independently re-parses the IHDR / RIFF header bytes,
+      // so both codec paths are value-verified (video stays on the GRFT
+      // stub — the JDK ships no video codec)
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(s, VerifyDocs)))
+        .toDF()),
+    "mm_audio_features" -> ((s, _) =>
+      // the audio-native schema (channels/bits/frames/rate) through the
+      // real javax.sound.sampled header parse
+      MultimodalOps.audioFeatures(MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(s, VerifyDocs)))
         .toDF()),
     "mm_media_dedup" -> ((s, _) =>
       MultimodalOps.dedupAssets(
@@ -692,6 +699,14 @@ object SparkEntry {
       s"""CAST(list_sum(list_transform(generate_series(0, 7), bi ->
          |    CAST(strpos('0123456789abcdef', substr($hexExpr, $startChar + bi, 1)) - 1 AS BIGINT)
          |      * (CAST(1 AS BIGINT) << CAST((7 - bi) * 4 AS BIGINT)))) AS INTEGER)""".stripMargin
+    // LITTLE-endian unsigned int of `nBytes` bytes at 1-based hex-char
+    // offset `startChar` (byte b of the blob starts at hex char 2b+1) —
+    // the RIFF/WAV header fields are little-endian
+    def duckLeInt(hexExpr: String, startChar: Int, nBytes: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, ${nBytes - 1}), bi ->
+         |    (CAST(strpos('0123456789abcdef', substr($hexExpr, $startChar + bi*2, 1)) - 1 AS BIGINT) * 16
+         |     + CAST(strpos('0123456789abcdef', substr($hexExpr, $startChar + bi*2 + 1, 1)) - 1 AS BIGINT))
+         |      << CAST(bi * 8 AS BIGINT))) AS INTEGER)""".stripMargin
     // fixed-point cosine similarity (mirrors SimilarityOps.cosX10000 —
     // identical left-to-right fold order keeps the doubles bit-equal)
     def duckCos(a: String, b: String): String =
@@ -1105,26 +1120,51 @@ object SparkEntry {
            |  CAST(octet_length(payload) AS BIGINT) AS byte_len
            |FROM a""".stripMargin,
       "mm_media_features_real" ->
-        // the REAL image codec checked independently: for kind=image the
+        // the REAL codecs checked independently: for kind=image the
         // payload is an actual PNG, and DuckDB re-parses the IHDR fields
         // straight from the bytes (PNG layout: 8-byte signature + 4-byte
         // chunk length + "IHDR", so width is the big-endian int32 at byte
         // offset 16 and height at 20 — hex-char offsets 33/41); a PNG has
-        // exactly 1 frame and no sample rate. Audio/video still carry the
-        // GRFT stub header at the usual offsets. If javax.imageio ever
-        // decoded dimensions wrong, this oracle would catch it.
+        // exactly 1 frame and no sample rate. For kind=audio the payload
+        // is an actual PCM WAV, and DuckDB re-parses the canonical
+        // 44-byte RIFF header (little-endian: channels@22, rate@24,
+        // blockAlign@32, bits@34, dataSize@40; frames = dataSize /
+        // blockAlign) — in the shared schema audio rides width=channels,
+        // height=bits_per_sample. Video still carries the GRFT stub
+        // header at the usual big-endian offsets. If javax.imageio or
+        // javax.sound.sampled ever decoded wrong, this oracle catches it.
         s"""WITH a AS (SELECT doc_id, media_ref, kind, payload,
            |    lower(hex(payload)) AS hx
            |  FROM read_parquet('__AUX__/media_assets_real/*.parquet'))
            |SELECT doc_id, media_ref, kind,
            |  CASE WHEN kind = 'image' THEN ${duckBeInt("hx", 33)}
+           |       WHEN kind = 'audio' THEN ${duckLeInt("hx", 45, 2)}
            |       ELSE ${duckBeInt("hx", 9)} END AS width,
            |  CASE WHEN kind = 'image' THEN ${duckBeInt("hx", 41)}
+           |       WHEN kind = 'audio' THEN ${duckLeInt("hx", 69, 2)}
            |       ELSE ${duckBeInt("hx", 17)} END AS height,
            |  CASE WHEN kind = 'image' THEN CAST(1 AS INTEGER)
+           |       WHEN kind = 'audio' THEN CAST(${duckLeInt("hx", 81, 4)}
+           |         // ${duckLeInt("hx", 65, 2)} AS INTEGER)
            |       ELSE ${duckBeInt("hx", 25)} END AS n_frames,
            |  CASE WHEN kind = 'image' THEN CAST(0 AS INTEGER)
+           |       WHEN kind = 'audio' THEN ${duckLeInt("hx", 49, 4)}
            |       ELSE ${duckBeInt("hx", 33)} END AS sample_rate,
+           |  CAST(octet_length(payload) AS BIGINT) AS byte_len
+           |FROM a""".stripMargin,
+      "mm_audio_features" ->
+        // the audio-native surface over the same real WAV payloads —
+        // every field re-derived from the RIFF header bytes in SQL
+        s"""WITH a AS (SELECT doc_id, media_ref, payload,
+           |    lower(hex(payload)) AS hx
+           |  FROM read_parquet('__AUX__/media_assets_real/*.parquet')
+           |  WHERE kind = 'audio')
+           |SELECT doc_id, media_ref,
+           |  ${duckLeInt("hx", 45, 2)} AS channels,
+           |  ${duckLeInt("hx", 69, 2)} AS bits_per_sample,
+           |  CAST(${duckLeInt("hx", 81, 4)} // ${duckLeInt("hx", 65, 2)}
+           |    AS INTEGER) AS n_frames,
+           |  ${duckLeInt("hx", 49, 4)} AS sample_rate,
            |  CAST(octet_length(payload) AS BIGINT) AS byte_len
            |FROM a""".stripMargin,
       "mm_media_dedup" ->

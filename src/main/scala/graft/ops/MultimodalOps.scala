@@ -11,17 +11,25 @@ import graft.model.Doc
   * real and tested. IMAGE decode is REAL: `decodePayload` routes
   * non-GRFT image payloads through the JDK's own `javax.imageio`
   * (JPEG/PNG/BMP/GIF readers ship in every JRE — zero new dependencies).
-  * Audio/video decode stays a clearly-marked STUB seam (`decodeHeader`)
-  * because no such codecs exist in this container; in production that
-  * stub body is replaced by the real decoder invoked over the same
+  * AUDIO decode is REAL too: non-GRFT audio payloads parse through
+  * `javax.sound.sampled` (WAV/AIFF/AU readers ship in every JRE).
+  * Only VIDEO decode stays a clearly-marked STUB seam (`decodeHeader`) —
+  * the JDK ships no video codec; in production that stub body is
+  * replaced by the real decoder invoked over the same
   * Iterator-of-batches shape.
   */
 object MultimodalOps {
 
   final case class MediaAsset(doc_id: String, media_ref: String, kind: String, payload: Array[Byte])
+  /** shared across kinds; for REAL audio payloads width = channels and
+    * height = bits_per_sample (the audio-native schema is
+    * [[AudioFeatures]]). */
   final case class MediaFeatures(doc_id: String, media_ref: String, kind: String,
                                  width: Int, height: Int, n_frames: Int,
                                  sample_rate: Int, byte_len: Long)
+  final case class AudioFeatures(doc_id: String, media_ref: String,
+                                 channels: Int, bits_per_sample: Int,
+                                 n_frames: Int, sample_rate: Int, byte_len: Long)
 
   private val Magic = 0x47524654 // "GRFT"
 
@@ -81,24 +89,63 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** the media-asset table with REAL image payloads (PNG, decodable by
-    * any codec) — audio/video keep the GRFT stub, since the JDK ships
-    * image readers (`javax.imageio`: PNG/JPEG/BMP/GIF) but no
-    * audio/video codecs. */
+  /** deterministic REAL audio spec for a media ref:
+    * (sample_rate, channels, frames) — same hash recipe as
+    * [[synthPayload]] at decode-cheap sizes (60–571 frames, 16-bit PCM). */
+  def synthAudioSpec(mediaRef: String): (Int, Int, Int) = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(mediaRef, 42)
+    val rate = Array(8000, 11025, 16000, 22050, 44100)(math.floorMod(h, 5))
+    (rate, 1 + math.floorMod(h >> 3, 2), 60 + math.floorMod(h >> 5, 512))
+  }
+
+  /** deterministic REAL WAV payload for a media ref: spec from
+    * [[synthAudioSpec]], a deterministic wideband 16-bit PCM signal,
+    * encoded by the JDK's own `javax.sound.sampled` WAV writer — zero
+    * new dependencies. Lets the real audio-decode path be exercised
+    * end-to-end in-sandbox (and independently re-parsed from the RIFF
+    * header bytes by the SQL oracle). */
+  def synthAudioPayload(mediaRef: String): Array[Byte] = {
+    val (rate, channels, frames) = synthAudioSpec(mediaRef)
+    val h = scala.util.hashing.MurmurHash3.stringHash(mediaRef, 42)
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      val s = ((i * 2654435761L + h) & 0xffffL).toInt - 32768
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** the media-asset table with REAL payloads where a JDK codec exists:
+    * images are PNGs (`javax.imageio`), audio is 16-bit PCM WAV
+    * (`javax.sound.sampled`) — only video keeps the GRFT stub, since the
+    * JDK ships no video codec. */
   def mediaAssetsReal(docs: Dataset[Doc]): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
     docs.flatMap { doc =>
       doc.spans.iterator.filter(s => s.kind != "text" && s.media_ref != null).map { s =>
-        val payload = if (s.kind == "image") synthImagePayload(s.media_ref)
-                      else synthPayload(s.media_ref, s.kind)
+        val payload = s.kind match {
+          case "image" => synthImagePayload(s.media_ref)
+          case "audio" => synthAudioPayload(s.media_ref)
+          case _       => synthPayload(s.media_ref, s.kind)
+        }
         MediaAsset(doc.doc_id, s.media_ref, s.kind, payload)
       }
     }
   }
 
-  /** ==== STUB SEAM (audio/video only, as of the image decoder below) ====
-    * Real deployments replace this with an actual decoder (audio
-    * resample / video frame-sample) over the same batch iterator.
+  /** ==== STUB SEAM (video only, as of the image and audio decoders
+    * below) ==== Real deployments replace this with an actual decoder
+    * (video frame-sample) over the same batch iterator.
     * Here: parse our deterministic 20-byte header. Throws on foreign
     * payloads — decode failures must be visible, not silent. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int, Int) = {
@@ -107,13 +154,37 @@ object MultimodalOps {
     (buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt())
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU readers ship in every JRE). Returns
+    * (channels, bits_per_sample, n_frames, sample_rate) — in the shared
+    * [[MediaFeatures]] schema, audio rides width=channels and
+    * height=bits_per_sample (documented there). Header-only parse: the
+    * file format comes from the stream header, no PCM materialization.
+    * Fails loudly on anything no JDK codec recognizes, and on a header
+    * that omits the frame count — a silent zero would hide corruption
+    * at scale. */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    val aff =
+      try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        sys.error(s"undecodable audio payload (no JDK codec recognizes " +
+          s"${payload.length} bytes)") }
+    val f = aff.getFormat
+    require(aff.getFrameLength >= 0 && f.getChannels > 0 && f.getSampleRate > 0,
+      s"audio header parsed but incomplete (${aff.getType}: frames=" +
+        s"${aff.getFrameLength}, ch=${f.getChannels}, rate=${f.getSampleRate})")
+    (f.getChannels, f.getSampleSizeInBits, aff.getFrameLength, f.getSampleRate.toInt)
+  }
+
   /** decode a payload → (width, height, n_frames, sample_rate). GRFT stub
     * payloads parse their header (both asset modes ride the same batched
-    * seam); anything else with kind=image decodes through the REAL codec
-    * path — `javax.imageio` (JPEG/PNG/BMP/GIF readers ship in the JDK) —
-    * and a foreign audio/video payload fails loudly: no such codec
-    * exists in this runtime, and a silent zero would hide data
-    * corruption at scale. */
+    * seam); anything else with kind=image decodes through the REAL
+    * `javax.imageio` codec path (JPEG/PNG/BMP/GIF), kind=audio through
+    * the REAL `javax.sound.sampled` path (WAV/AIFF/AU) — for audio the
+    * tuple is (channels, bits_per_sample, n_frames, sample_rate). A
+    * foreign VIDEO payload fails loudly: no such codec exists in this
+    * runtime, and a silent zero would hide data corruption at scale. */
   def decodePayload(payload: Array[Byte], kind: String): (Int, Int, Int, Int) = {
     // a foreign payload whose first 4 bytes happen to collide with the
     // magic (expected among billions of assets) must not be silently
@@ -141,7 +212,8 @@ object MultimodalOps {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, s"undecodable image payload (${payload.length} bytes)")
       (img.getWidth, img.getHeight, 1, 0)
-    } else sys.error(
+    } else if (kind == "audio") decodeAudio(payload)
+    else sys.error(
       s"no $kind codec in this runtime — GRFT stub payloads only (got " +
         s"${payload.length} foreign bytes)")
   }
@@ -157,6 +229,22 @@ object MultimodalOps {
       batch.map { a =>
         val (w, h, f, r) = decodePayload(a.payload, a.kind)
         MediaFeatures(a.doc_id, a.media_ref, a.kind, w, h, f, r, a.payload.length.toLong)
+      }
+    }
+  }
+
+  /** audio-native feature extraction over REAL audio payloads: the
+    * `javax.sound.sampled` header parse in the same batched
+    * mapPartitions shape as [[extractFeatures]]. GRFT stubs are refused
+    * loudly ([[decodeAudio]] recognizes only genuine WAV/AIFF/AU) — this
+    * surface exists to verify the real codec, not the stub. */
+  def audioFeatures(assets: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.filter(_.kind == "audio").map { a =>
+        val (ch, bits, frames, rate) = decodeAudio(a.payload)
+        AudioFeatures(a.doc_id, a.media_ref, ch, bits, frames, rate,
+          a.payload.length.toLong)
       }
     }
   }

@@ -303,10 +303,35 @@ class OpsSpec extends SparkSpecBase {
     // GRFT stub payloads still ride the same entry point
     val stub = MultimodalOps.synthPayload("refS", "audio")
     assert(MultimodalOps.decodePayload(stub, "audio") == MultimodalOps.decodeHeader(stub))
-    // a foreign audio payload fails loudly — no silent zeros
+    // an audio payload no JDK codec recognizes fails loudly — no silent zeros
     val e = intercept[RuntimeException](
       MultimodalOps.decodePayload(Array[Byte](1, 2, 3, 4, 5), "audio"))
-    assert(e.getMessage.contains("no audio codec"), e.getMessage)
+    assert(e.getMessage.contains("undecodable audio payload"), e.getMessage)
+  }
+
+  test("real audio decode recovers the encoder's spec via javax.sound.sampled") {
+    // WAV roundtrip: synth encoder spec == decoded spec, 16-bit PCM,
+    // canonical 44-byte RIFF header (the SQL oracle parses fixed offsets)
+    for (ref <- Seq("audA", "audB", "audC")) {
+      val (rate, channels, frames) = MultimodalOps.synthAudioSpec(ref)
+      val wav = MultimodalOps.synthAudioPayload(ref)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF", ref)
+      assert(wav.length == 44 + frames * channels * 2, ref)
+      assert(MultimodalOps.decodePayload(wav, "audio") ==
+        ((channels, 16, frames, rate)), ref)
+    }
+    // cross-codec: the same seam decodes AIFF and AU (both JDK readers;
+    // both big-endian containers, unlike RIFF)
+    for (t <- Seq(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+                  javax.sound.sampled.AudioFileFormat.Type.AU)) {
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, true)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](300 * 2 * 2)), fmt, 300L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, t, bos)
+      assert(MultimodalOps.decodePayload(bos.toByteArray, "audio") ==
+        ((2, 16, 300, 16000)), t.toString)
+    }
   }
 
   test("a foreign payload colliding with the GRFT magic is not parsed as a stub") {
@@ -321,7 +346,7 @@ class OpsSpec extends SparkSpecBase {
     assert(ei.getMessage.contains("undecodable image payload"), ei.getMessage)
     val ea = intercept[RuntimeException](
       graft.ops.MultimodalOps.decodePayload(forged, "audio"))
-    assert(ea.getMessage.contains("no audio codec"), ea.getMessage)
+    assert(ea.getMessage.contains("undecodable audio payload"), ea.getMessage)
     // the generator's own stubs still parse for every kind
     for (kind <- Seq("image", "audio", "video")) {
       val stub = graft.ops.MultimodalOps.synthPayload(s"ref-$kind", kind)
@@ -330,7 +355,7 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
-  test("real-mode media features decode distributed PNGs to the encoder dims") {
+  test("real-mode media features decode distributed PNGs and WAVs to the encoder spec") {
     val docs = Pipeline.synthDocs(spark, 50)
     val feats = MultimodalOps.extractFeatures(MultimodalOps.mediaAssetsReal(docs)).collect()
     val images = feats.filter(_.kind == "image")
@@ -339,10 +364,22 @@ class OpsSpec extends SparkSpecBase {
       val (w, h) = MultimodalOps.synthImageDims(f.media_ref)
       assert((f.width, f.height, f.n_frames, f.sample_rate) == ((w, h, 1, 0)), f.media_ref)
     }
-    // audio/video rows are unchanged vs stub mode (same GRFT header)
+    // audio rows are real WAVs: width=channels, height=bits/sample
+    val audio = feats.filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    for (f <- audio) {
+      val (rate, channels, frames) = MultimodalOps.synthAudioSpec(f.media_ref)
+      assert((f.width, f.height, f.n_frames, f.sample_rate) ==
+        ((channels, 16, frames, rate)), f.media_ref)
+    }
+    // the audio-native surface agrees field-for-field
+    val af = MultimodalOps.audioFeatures(MultimodalOps.mediaAssetsReal(docs)).collect()
+    assert(af.map(a => (a.media_ref, a.channels, a.bits_per_sample, a.n_frames, a.sample_rate)).toSet ==
+      audio.map(f => (f.media_ref, f.width, f.height, f.n_frames, f.sample_rate)).toSet)
+    // video rows are unchanged vs stub mode (same GRFT header)
     val stubFeats = MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(docs)).collect()
-      .filter(f => f.kind != "image").map(f => (f.media_ref, f.width, f.height, f.n_frames, f.sample_rate)).toSet
-    val realFeats = feats.filter(_.kind != "image")
+      .filter(f => f.kind == "video").map(f => (f.media_ref, f.width, f.height, f.n_frames, f.sample_rate)).toSet
+    val realFeats = feats.filter(_.kind == "video")
       .map(f => (f.media_ref, f.width, f.height, f.n_frames, f.sample_rate)).toSet
     assert(realFeats == stubFeats)
   }
