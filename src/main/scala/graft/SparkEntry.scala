@@ -432,6 +432,13 @@ object SparkEntry {
       DedupOps.nearNewScreen(planted.filter(col("doc_id") % 3 =!= 0),
                              planted.filter(col("doc_id") % 3 === 0))
     }),
+    "dedup_cross_apply" -> ((s, dir) => {
+      // the DECISION op of the same ingestion step: route every incoming
+      // doc clean/exact_dup/near_dup — route='clean' IS the cleaned batch
+      val planted = crossPlanted(read(s, dir, "documents"))
+      DedupOps.crossApply(planted.filter(col("doc_id") % 3 =!= 0),
+                          planted.filter(col("doc_id") % 3 === 0))
+    }),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
     "text_vocab" -> ((s, dir) =>
@@ -1459,6 +1466,30 @@ object SparkEntry {
            |  CAST(CASE WHEN h.n_hit_bands IS NULL THEN 0 ELSE 1 END AS INTEGER) AS suspect
            |FROM plx p LEFT JOIN hitx h USING (doc_id)
            |WHERE p.doc_id % 3 <> 0""".stripMargin,
+      "dedup_cross_apply" ->
+        // keeper/routing logic recomputed whole in SQL: exact routes
+        // first, then the band-hit threshold, else clean — same NOT
+        // EXISTS (not NOT IN) rationale as dedup_cross_new
+        s"""WITH $crossPlantCte,
+           |${bandsCteOver("plx")},
+           |snx AS (SELECT DISTINCT md5(text) AS md5_fp FROM plx WHERE doc_id % 3 = 0),
+           |snb AS (SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 3 = 0),
+           |hitx AS (SELECT b.doc_id, count(*) AS n_hit_bands
+           |  FROM bands b JOIN snb USING (band, bucket)
+           |  WHERE b.doc_id % 3 <> 0 GROUP BY b.doc_id),
+           |inc AS (SELECT p.doc_id, p.text, md5(p.text) AS md5_fp,
+           |    COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+           |    CASE WHEN EXISTS (SELECT 1 FROM snx WHERE snx.md5_fp = md5(p.text))
+           |      THEN 1 ELSE 0 END AS exact_dup
+           |  FROM plx p LEFT JOIN hitx h USING (doc_id)
+           |  WHERE p.doc_id % 3 <> 0)
+           |SELECT doc_id, text, n_hit_bands, CAST(exact_dup AS INTEGER) AS exact_dup,
+           |  CASE WHEN exact_dup = 1 THEN 'exact_dup'
+           |       WHEN n_hit_bands > 0 THEN 'near_dup'
+           |       ELSE 'clean' END AS route,
+           |  CAST(CASE WHEN exact_dup = 0 AND n_hit_bands = 0 THEN 1 ELSE 0 END
+           |    AS INTEGER) AS kept
+           |FROM inc""".stripMargin,
       "text_vocab" ->
         """SELECT token, count(*) AS n_occ
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

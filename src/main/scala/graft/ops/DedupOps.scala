@@ -243,6 +243,43 @@ object DedupOps {
                 .cast("int").as("suspect"))
   }
 
+  /** The APPLICATION step of cross-corpus ingestion dedup: route every
+    * incoming doc to `clean` / `exact_dup` / `near_dup` against the seen
+    * corpus and carry the batch rows through, so `route = 'clean'` IS
+    * the cleaned incoming batch and the other routes are the quarantine
+    * table — the decision op downstream of [[newAgainstSeen]] (report)
+    * and [[nearNewScreen]] (screen). Exact duplicates route first (a
+    * byte-identical doc is never merely "near"); a non-exact doc with
+    * more than `maxHitBands` colliding MinHash bands quarantines as
+    * near-dup. Partition-invariant by construction: every verdict is a
+    * pure function of the doc's content and the seen corpus — no
+    * min-doc-id keeper races, no rand(). The seen corpus is scanned once
+    * per index it feeds (distinct md5 set + distinct band buckets —
+    * both cardinality-bounded, neither broadcast-assumed), exactly the
+    * two indexes a 100 TB ingestion tier maintains incrementally. */
+  def crossApply(incoming: DataFrame, seen: DataFrame, shingleN: Int = 3,
+                 bands: Int = 16, rowsPerBand: Int = 4,
+                 maxHitBands: Long = 0L): DataFrame = {
+    val inc = parallelized(incoming)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("md5_fp"))
+    val exact = inc
+      .join(parallelized(seen).select(md5(col("text")).as("md5_fp")).distinct(),
+            Seq("md5_fp"), "left_semi")
+      .select(col("doc_id"), lit(1).as("exact_dup"))
+    val screen = nearNewScreen(incoming, seen, shingleN, bands, rowsPerBand)
+      .select(col("doc_id"), col("n_hit_bands"))
+    val route = when(col("exact_dup") === 1, lit("exact_dup"))
+      .when(col("n_hit_bands") > maxHitBands, lit("near_dup"))
+      .otherwise(lit("clean"))
+    inc
+      .join(exact, Seq("doc_id"), "left")
+      .join(screen, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("n_hit_bands"),
+              coalesce(col("exact_dup"), lit(0)).cast("int").as("exact_dup"),
+              route.as("route"),
+              (route === "clean").cast("int").as("kept"))
+  }
+
   /** 48-bit SimHash over word tokens: sign-sum of per-token md5Long48 bits.
     * Computed per-partition with a typed transformation (bit loops are not
     * expressible efficiently in Catalyst); 48 bits so every value is exact

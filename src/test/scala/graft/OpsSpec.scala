@@ -606,6 +606,37 @@ class OpsSpec extends SparkSpecBase {
     assert(got(2)._2 > 0L && got(2)._3 == 1, got(2).toString) // near-dup flagged
   }
 
+  test("crossApply routes exact/near/clean and is partition-invariant") {
+    import graft.ops.DedupOps
+    val seen = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h i j"),       // byte-identical → exact_dup
+      (11L, "q r s t u v w x y z"),       // disjoint → clean (the cleaned batch)
+      (12L, "a b c d e f g h i CHANGED")) // shares most shingles → near_dup
+      .toDF("doc_id", "text")
+    val got = DedupOps.crossApply(incoming, seen)
+      .select("doc_id", "n_hit_bands", "exact_dup", "route", "kept")
+      .as[(Long, Long, Int, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(10L, 11L, 12L), got.toString) // all batch rows routed
+    // exact wins over near even though its bands also collide
+    assert(got(0) == ((10L, 16L, 1, "exact_dup", 0)), got(0).toString)
+    assert(got(1) == ((11L, 0L, 0, "clean", 1)), got(1).toString)
+    assert(got(2)._3 == 0 && got(2)._4 == "near_dup" && got(2)._5 == 0, got(2).toString)
+    // the routed text survives: filtering route='clean' IS the cleaned batch
+    val clean = DedupOps.crossApply(incoming, seen).filter($"route" === "clean")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(clean == Set((11L, "q r s t u v w x y z")))
+    // a higher band-hit threshold admits the near-dup but never the exact
+    val relaxed = DedupOps.crossApply(incoming, seen, maxHitBands = 16L)
+      .select("doc_id", "route").as[(Long, String)].collect().toMap
+    assert(relaxed == Map(10L -> "exact_dup", 11L -> "clean", 12L -> "clean"))
+    // partition-invariance: verdicts are content functions, not layout ones
+    val re = DedupOps.crossApply(incoming.repartition(7), seen.repartition(5))
+      .select("doc_id", "n_hit_bands", "exact_dup", "route", "kept")
+      .as[(Long, Long, Int, String, Int)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
   test("temperatureRates: exact sqrt-temperature keep-rates, all alphas") {
     import graft.ops.TextOps
     val docs = (Seq.fill(9)("A") ++ Seq("B") ++ Seq.fill(2)("C")).zipWithIndex
