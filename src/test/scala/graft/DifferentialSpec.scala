@@ -64,6 +64,13 @@ class DifferentialSpec extends AnyFunSuite {
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
+  test("engine output exactly matches the reference on the round-7 fresh-seed battery") {
+    // sixth k-range for the MAIN five-list differential (80000-89999,
+    // generated in round 7): fully unseen by every earlier battery
+    runDifferential("/golden_random6.json", 10000,
+      id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
+  }
+
   test("per-sentence decomposition equals the reference's per-document processing") {
     // the reference processes documents (lists of sentences) through one
     // post_processing call; the engine processes sentences independently.
