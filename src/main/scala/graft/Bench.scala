@@ -239,9 +239,43 @@ object Bench {
         }
       }
 
+    // same-commit BUILDER-box per-query reference (bench_ref.json, a
+    // checked-in resource regenerated each round from a quiet builder
+    // run): each query is normalized by its OWN box's kg scan time, so
+    // `query_norm_ratio[q] = (t_q/kg_sec) / (ref_q/ref_kg_sec)` ≈ 1 when
+    // the two boxes agree on the query's relative cost. A single query
+    // whose ratio is >> 1 while the rest sit near 1 self-identifies as a
+    // host constant on THAT query (the round-6 dedup_ngram signature) —
+    // a code regression would move the builder reference too.
+    val refJson = try {
+      val in = getClass.getResourceAsStream("/bench_ref.json")
+      if (in == null) "" else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        in.close()
+        val refSf = node.path("sf").asText("")
+        if (!sfDir.endsWith(refSf) || refSf.isEmpty) "" else {
+          val refKg = node.path("kg_sec").asDouble(0.0)
+          val rq = node.path("queries")
+          val refTimes = results.flatMap { case (k, _, _, _, _) =>
+            if (rq.has(k)) Some(k -> rq.path(k).asDouble(-1.0)) else None
+          }.filter(_._2 > 0).toMap
+          if (refKg <= 0 || kgSec <= 0 || refTimes.isEmpty) "" else {
+            val ratios = results.collect {
+              case (k, v, _, _, _) if v > 0 && refTimes.contains(k) =>
+                "\"" + k + f"\":${(v / kgSec) / (refTimes(k) / refKg)}%.2f"
+            }.mkString("{", ",", "}")
+            val refQs = refTimes.toSeq.sortBy(_._1)
+              .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+            "," + f""""ref_box":${node.path("box")},"ref_commit":${node.path("commit")},"ref_kg_sec":$refKg%.3f,"ref_queries":$refQs,"query_norm_ratio":$ratios"""
+          }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] reference column skipped: $e"); "" }
+
     def runsJson(ss: Seq[Double]) = ss.map(s => f"$s%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_samples":$samples,"query_reruns":$reruns,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_sec_runs":${runsJson(scanSecs)},"kg_scan_sec":$kgSec%.3f,"kg_scan_docs_per_sec":$docsPerSec%.1f,"kg_synth_sec":$synthSec%.3f,"kg_synth_docs_per_sec":${nd / synthSec}%.1f,"kg_synth_sec_runs":${runsJson(synthSecs)},"cpus":"$cpus","query_runs":$qRuns,"n_errors":${errors.distinct.length},"errors":$errs$scalingJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_samples":$samples,"query_reruns":$reruns,"sf":"$sfDir","kg_docs":$nd,"kg_triples":$nt,"kg_sec":$kgSec%.3f,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_sec_runs":${runsJson(scanSecs)},"kg_scan_sec":$kgSec%.3f,"kg_scan_docs_per_sec":$docsPerSec%.1f,"kg_synth_sec":$synthSec%.3f,"kg_synth_docs_per_sec":${nd / synthSec}%.1f,"kg_synth_sec_runs":${runsJson(synthSecs)},"cpus":"$cpus","query_runs":$qRuns,"n_errors":${errors.distinct.length},"errors":$errs$refJson$scalingJson}"""
     // stdout (bare line — run/outputStrategy bypasses sbt's [info] logger)
     println(json)
     // and a file copy so the driver never depends on stdout framing

@@ -48,7 +48,7 @@ object DedupOps {
     * time on every call — a fixed ~0.5 s tax per op that this estimate
     * avoids entirely. Non-file inputs (in-memory test frames) are already
     * parallelism-partitioned and pass through untouched. */
-  private def parallelized(documents: DataFrame): DataFrame = {
+  private[graft] def parallelized(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val leaves = documents.queryExecution.analyzed.collectLeaves()
