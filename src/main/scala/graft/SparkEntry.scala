@@ -210,6 +210,25 @@ object SparkEntry {
           Pipeline.pairPredAggregate(canon(0, 250)),
           Pipeline.pairPredAggregate(canon(250, VerifyDocs))))
     }),
+    "kg_edge_weights_sup" -> ((s, _) => {
+      // the support-weighted score battery (Weeds precision / Lin /
+      // balanced inclusion) over the same capped evidence space
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      Pipeline.edgeWeightsSupport(Pipeline.pairPredAggregate(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s))))
+    }),
+    "kg_edge_weights_sup_incr" -> ((s, _) => {
+      // incremental twin — folded additive aggregates, scores recomputed;
+      // must equal the batch surface exactly (shares its oracle SQL)
+      def canon(from: Long, until: Long) = Pipeline.canonicalize(
+        Pipeline.extractTriples(Pipeline.segmentDocs(
+          Pipeline.synthDocsRange(s, from, until))),
+        Pipeline.synthAliases(s))
+      Pipeline.edgeWeightsSupport(
+        Pipeline.mergePairPred(
+          Pipeline.pairPredAggregate(canon(0, 250)),
+          Pipeline.pairPredAggregate(canon(250, VerifyDocs))))
+    }),
     "kg_entity_rank" -> ((s, _) => {
       // entity importance: fixed-point integer PageRank over the same
       // bounded co-occurrence graph as kg_cooc_components — pure BIGINT
@@ -670,6 +689,40 @@ object SparkEntry {
         |JOIN marg ms ON ms.pred = s.pred_src
         |JOIN marg md ON md.pred = s.pred_dst
         |CROSS JOIN tot t""".stripMargin
+    // shared by kg_edge_weights_sup and its _incr twin: the weighted
+    // Weeds/Lin/BInc battery, same exact-integer contract. The BInc sqrt
+    // is the SAME floor(sqrt) ± 1 integer correction as text_mix_rates —
+    // correctly-rounded IEEE sqrt on both engines, correction absorbs
+    // the one possible ulp, so the geometric mean is bit-portable.
+    val kgEdgeWeightsSupSql =
+      s"""WITH $ppCappedCte,
+        |pairs AS (SELECT x.pred AS pred_src, y.pred AS pred_dst,
+        |    x.support AS ws, x.support + y.support AS wsum
+        |  FROM capped x JOIN capped y
+        |    ON x.arg_s = y.arg_s AND x.arg_o = y.arg_o AND x.pred <> y.pred),
+        |shw AS (SELECT pred_src, pred_dst, count(*) AS shared_pairs,
+        |    CAST(sum(ws) AS BIGINT) AS w_shared_src,
+        |    CAST(sum(wsum) AS BIGINT) AS w_shared_sum
+        |  FROM pairs GROUP BY 1, 2),
+        |margw AS (SELECT pred, CAST(sum(support) AS BIGINT) AS w_total
+        |  FROM capped GROUP BY pred),
+        |scored AS (SELECT s.pred_src, s.pred_dst, s.shared_pairs, s.w_shared_src,
+        |    ms.w_total AS w_src_total, md.w_total AS w_dst_total,
+        |    CAST((CAST(s.w_shared_src AS HUGEINT) * 1000000)
+        |      // ms.w_total AS BIGINT) AS weeds_ppm,
+        |    CAST((CAST(s.w_shared_sum AS HUGEINT) * 1000000)
+        |      // (ms.w_total + md.w_total) AS BIGINT) AS lin_ppm
+        |  FROM shw s JOIN margw ms ON ms.pred = s.pred_src
+        |  JOIN margw md ON md.pred = s.pred_dst),
+        |sqx AS (SELECT *,
+        |    CAST(floor(sqrt(CAST(weeds_ppm * lin_ppm AS DOUBLE))) AS BIGINT) AS x0
+        |  FROM scored)
+        |SELECT pred_src, pred_dst, shared_pairs, w_shared_src,
+        |  w_src_total, w_dst_total, weeds_ppm, lin_ppm,
+        |  x0 - CASE WHEN x0 * x0 > weeds_ppm * lin_ppm THEN 1 ELSE 0 END
+        |     + CASE WHEN (x0 + 1) * (x0 + 1) <= weeds_ppm * lin_ppm
+        |            THEN 1 ELSE 0 END AS binc_ppm
+        |FROM sqx""".stripMargin
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
     def gramsCteOver(src: String) =
@@ -1037,6 +1090,8 @@ object SparkEntry {
       "kg_edges" -> kgEdgesSql,
       "kg_edge_weights" -> kgEdgeWeightsSql,
       "kg_edge_weights_incr" -> kgEdgeWeightsSql,
+      "kg_edge_weights_sup" -> kgEdgeWeightsSupSql,
+      "kg_edge_weights_sup_incr" -> kgEdgeWeightsSupSql,
       // the incremental maintenance path must land on the IDENTICAL edge
       // table — proven by sharing the batch oracle verbatim
       "kg_edges_incr" -> kgEdgesSql,

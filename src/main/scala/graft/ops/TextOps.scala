@@ -430,7 +430,7 @@ object TextOps {
     * the rounding landed on (the DuckDB oracle applies the identical
     * correction), keeping the x^(1/2) temperature weight bit-portable
     * without any float in the output. */
-  private def isqrt(c: Column): Column = {
+  private[graft] def isqrt(c: Column): Column = {
     val x0 = floor(sqrt(c.cast("double"))).cast("long")
     x0 - when(x0 * x0 > c, lit(1L)).otherwise(lit(0L)) +
       when((x0 + 1) * (x0 + 1) <= c, lit(1L)).otherwise(lit(0L))

@@ -344,6 +344,66 @@ object Pipeline {
           .stripMargin).as("pmi_ppm"))
   }
 
+  /** The SUPPORT-WEIGHTED sibling of [[edgeWeightsFromPairPred]]: the
+    * distributional-inclusion score battery downstream EntGraph builds
+    * actually rank with, where each shared argument pair contributes its
+    * occurrence weight (`support`), not 1. For every ordered predicate
+    * pair over the same capped space:
+    *
+    *   - `w_shared_src`/`w_src_total`/`w_dst_total`  Σ support of src
+    *     over shared pairs / over all src pairs / over all dst pairs
+    *   - `weeds_ppm` = ⌊10⁶ · w_shared_src / w_src_total⌋ — weighted
+    *     Weeds precision (directional inclusion: how much of src's
+    *     evidence mass lives where dst also occurs)
+    *   - `lin_ppm`   = ⌊10⁶ · Σ_{shared}(w_src+w_dst) /
+    *     (w_src_total + w_dst_total)⌋ — Lin-style shared-mass similarity
+    *   - `binc_ppm`  = ⌊√(weeds_ppm · lin_ppm)⌋ — the Szpektor–Dagan
+    *     balanced-inclusion combination, via the exact integer sqrt
+    *     (floor ± 1 correction, [[graft.ops.TextOps.isqrt]]) so the
+    *     value is bit-portable; the product is ≤ 10¹² < 2⁵²
+    *
+    * All rational scores ride DECIMAL(38,0) products — exact at
+    * petascale support counts. Same additive-fold contract as the
+    * unweighted surface: supports fold by summation in `pairpred`
+    * ([[mergePairPred]]); cap, marginals and scores are recomputed from
+    * the merged aggregate. Plan shape: one grouped shuffle + local
+    * ordered-pair flatMap (bounded k² per group, never a self-join),
+    * one pair aggregation, two pred-cardinality marginal joins. */
+  def edgeWeightsSupport(pairPred: DataFrame, maxPredsPerPair: Int = 32,
+                         saltBuckets: Int = 8): DataFrame = {
+    val spark = pairPred.sparkSession
+    import spark.implicits._
+    val capped = cappedPairPred(pairPred, maxPredsPerPair, saltBuckets)
+    val ordered = capped
+      .groupBy($"arg_s", $"arg_o")
+      .agg(collect_list(struct($"pred", $"support")).as("preds"))
+      .select($"preds").as[Seq[(String, Long)]]
+      .flatMap { preds =>
+        for { i <- preds.indices.iterator; j <- preds.indices
+              if i != j && preds(i)._1 != preds(j)._1 }
+          yield (preds(i)._1, preds(j)._1, preds(i)._2, preds(i)._2 + preds(j)._2)
+      }.toDF("pred_src", "pred_dst", "w_src", "w_sum")
+    val sh = ordered.groupBy($"pred_src", $"pred_dst")
+      .agg(count(lit(1)).as("shared_pairs"),
+           sum($"w_src").as("w_shared_src"),
+           sum($"w_sum").as("w_shared_sum"))
+    val marg = capped.groupBy($"pred").agg(sum($"support").as("w_total"))
+    sh
+      .join(marg.select($"pred".as("pred_src"), $"w_total".as("w_src_total")),
+        Seq("pred_src"))
+      .join(marg.select($"pred".as("pred_dst"), $"w_total".as("w_dst_total")),
+        Seq("pred_dst"))
+      .withColumn("weeds_ppm",
+        expr("""cast((cast(w_shared_src as decimal(38,0)) * 1000000)
+               |  div w_src_total as long)""".stripMargin))
+      .withColumn("lin_ppm",
+        expr("""cast((cast(w_shared_sum as decimal(38,0)) * 1000000)
+               |  div (w_src_total + w_dst_total) as long)""".stripMargin))
+      .select($"pred_src", $"pred_dst", $"shared_pairs", $"w_shared_src",
+        $"w_src_total", $"w_dst_total", $"weeds_ppm", $"lin_ppm",
+        graft.ops.TextOps.isqrt($"weeds_ppm" * $"lin_ppm").as("binc_ppm"))
+  }
+
   // ------------------------------------------------------------- metrics
   /** the reference's global stat dicts re-expressed as aggregations
     * (SURVEY.md §2.4): per-rule amendment counts + V_CMP complement bucket

@@ -362,6 +362,47 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted == plain && salted.size == 6)
   }
 
+  test("support-weighted edge scores: Weeds/Lin/BInc exact values") {
+    // same hand-built aggregate as the count-based test:
+    //   (a,o1): P:2 Q:1   (a,o2): P:3 Q:1 R:1   (a,o3): P:1
+    // weighted marginals: P→6, Q→2, R→1
+    val pp = Seq(
+      ("a", "o1", "P", 2L), ("a", "o1", "Q", 1L),
+      ("a", "o2", "P", 3L), ("a", "o2", "Q", 1L), ("a", "o2", "R", 1L),
+      ("a", "o3", "P", 1L)
+    ).toDF("arg_s", "arg_o", "pred", "support")
+    val got = Pipeline.edgeWeightsSupport(pp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    // (shared_pairs, w_shared_src, w_src_total, w_dst_total,
+    //  weeds_ppm, lin_ppm, binc_ppm) — all hand-computed
+    assert(got(("P", "Q")) == ((2L, 5L, 6L, 2L, 833333L, 875000L, 853912L)))
+    assert(got(("Q", "P")) == ((2L, 2L, 2L, 6L, 1000000L, 875000L, 935414L)))
+    assert(got(("P", "R")) == ((1L, 3L, 6L, 1L, 500000L, 571428L, 534522L)))
+    assert(got(("R", "P")) == ((1L, 1L, 1L, 6L, 1000000L, 571428L, 755928L)))
+    assert(got(("Q", "R")) == ((1L, 1L, 2L, 1L, 500000L, 666666L, 577349L)))
+    assert(got(("R", "Q")) == ((1L, 1L, 1L, 2L, 1000000L, 666666L, 816496L)))
+    assert(got.size == 6)
+    // salted == unsalted, and the incremental fold equals the batch
+    val salted = Pipeline.edgeWeightsSupport(pp, saltBuckets = 4)
+      .collect().map(_.toSeq).toSet
+    assert(salted == Pipeline.edgeWeightsSupport(pp, saltBuckets = 1)
+      .collect().map(_.toSeq).toSet)
+    def canon(from: Long, until: Long) = Pipeline.canonicalize(
+      Pipeline.extractTriples(Pipeline.segmentDocs(
+        Pipeline.synthDocsRange(spark, from, until))),
+      Pipeline.synthAliases(spark))
+    val batch = Pipeline.edgeWeightsSupport(
+      Pipeline.pairPredAggregate(canon(0, 80))).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    val incr = Pipeline.edgeWeightsSupport(
+      Pipeline.mergePairPred(
+        Pipeline.pairPredAggregate(canon(0, 50)),
+        Pipeline.pairPredAggregate(canon(50, 80))))
+    assert(incr.collect().map(_.toSeq).toSet == batch)
+  }
+
   test("incremental edge-weight maintenance equals the batch derivation exactly") {
     def canon(from: Long, until: Long) = Pipeline.canonicalize(
       Pipeline.extractTriples(Pipeline.segmentDocs(
