@@ -45,7 +45,8 @@ import graft.sources.CorpusReaders
   *                               checkpointed source offsets
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
-  * canonical/ edges/ excluded/ [mentions/] stats.json — each stage a
+  * canonical/ edges/ edge_weights/ excluded/ [mentions/] stats.json —
+  * each stage a
   * fingerprinted checkpoint (a killed job resumes; changed inputs
   * invalidate). Under bare `sbt runMain` (no master configured) it
   * falls back to local[*]. */

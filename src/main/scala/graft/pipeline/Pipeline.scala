@@ -281,6 +281,25 @@ object Pipeline {
       .agg(sum($"pair_weight").as("weight"), count(lit(1)).as("n_arg_pairs"))
   }
 
+  /** the weight derivations fan the capped table out to several
+    * consumers (pair expansion, per-pred marginals, the total) and no
+    * two of those subtrees share an identical exchange, so Spark's
+    * static exchange reuse cannot dedupe them — without materialization
+    * the whole agg+cap subtree re-executes per consumer (audited in
+    * PLANS.md). The capped table is BOUNDED (≤ k rows per argument
+    * pair, pairpred-sized ÷ cap), so a `localCheckpoint` — the
+    * GraphOps iteration pattern — trades that re-execution for one
+    * bounded in-memory/disk materialization. Lineage is truncated: a
+    * lost executor mid-derivation fails the job instead of recomputing
+    * (same documented tradeoff as GraphOps' default mode; the
+    * production fold gets durability from the checkpoint STORE'd
+    * `pairpred` input, one cheap parquet re-scan per consumer). */
+  private def cappedCheckpointed(pairPred: DataFrame, maxPredsPerPair: Int,
+                                 saltBuckets: Int, materialize: Boolean): DataFrame = {
+    val capped = cappedPairPred(pairPred, maxPredsPerPair, saltBuckets)
+    if (materialize) capped.localCheckpoint() else capped
+  }
+
   /** The entailment-graph LOCAL WEIGHT surface — the directional scores a
     * downstream EntGraph build consumes (the reference defers graph
     * construction to its EntGraph_Zh successor, README.md:52-56; this is
@@ -308,17 +327,19 @@ object Pipeline {
     * is triples-sized ÷ dedup factor, a tiny fraction of the corpus.
     *
     * Plan shape: the capped subtree feeds three consumers (directional
-    * shared counts, per-pred marginals, the one-row total) — pass a
-    * MATERIALIZED aggregate (the fold's `pairpred` store, as
-    * [[incrementalFold]] does) so the re-scans are parquet-cheap. The
+    * shared counts, per-pred marginals, the one-row total) and is
+    * materialized ONCE by default ([[cappedCheckpointed]],
+    * `materializeCapped = false` restores the pure-lazy plan). The
     * total-pairs scalar rides a one-row broadcast crossJoin (the
     * SimilarityOps codebook pattern); marginal joins shuffle on pred —
     * pred-cardinality-sized, AQE broadcasts them when small. */
   def edgeWeightsFromPairPred(pairPred: DataFrame, maxPredsPerPair: Int = 32,
-                              saltBuckets: Int = 8): DataFrame = {
+                              saltBuckets: Int = 8,
+                              materializeCapped: Boolean = true): DataFrame = {
     val spark = pairPred.sparkSession
     import spark.implicits._
-    val capped = cappedPairPred(pairPred, maxPredsPerPair, saltBuckets)
+    val capped = cappedCheckpointed(pairPred, maxPredsPerPair, saltBuckets,
+      materializeCapped)
     val edges = edgesFromCapped(capped)
     // both directions of every unordered co-occurrence edge: shared
     // counts are symmetric, the scores are not
@@ -370,10 +391,12 @@ object Pipeline {
     * ordered-pair flatMap (bounded k² per group, never a self-join),
     * one pair aggregation, two pred-cardinality marginal joins. */
   def edgeWeightsSupport(pairPred: DataFrame, maxPredsPerPair: Int = 32,
-                         saltBuckets: Int = 8): DataFrame = {
+                         saltBuckets: Int = 8,
+                         materializeCapped: Boolean = true): DataFrame = {
     val spark = pairPred.sparkSession
     import spark.implicits._
-    val capped = cappedPairPred(pairPred, maxPredsPerPair, saltBuckets)
+    val capped = cappedCheckpointed(pairPred, maxPredsPerPair, saltBuckets,
+      materializeCapped)
     val ordered = capped
       .groupBy($"arg_s", $"arg_o")
       .agg(collect_list(struct($"pred", $"support")).as("preds"))

@@ -150,7 +150,23 @@ object ScaleRehearsal {
       time("dedup_lines") { () => DedupOps.duplicateLines(docs).count() },
       time("dedup_lines_rw") { () => DedupOps.lineDeduped(docs).count() },
       time("dedup_clusters") { () =>
-        DedupOps.dedupClusters(DedupOps.ngramJaccardPairs(docs)).count() })
+        DedupOps.dedupClusters(DedupOps.ngramJaccardPairs(docs)).count() },
+      // (r7) the ingestion decision op: same corpus split into
+      // incoming (2/3) vs seen (1/3), full routing
+      time("dedup_cross_apply") { () =>
+        DedupOps.crossApply(docs.filter(col("doc_id") % 3 =!= 0),
+                            docs.filter(col("doc_id") % 3 === 0)).count() },
+      // (r7) the full entailment-weight derivation from raw docs:
+      // extract → canonicalize → pair-pred aggregate → weighted scores
+      time("kg_edge_weights_sup") { () =>
+        import spark.implicits._
+        val d = spark.read.parquet(kgDocsPath).as[graft.model.Doc]
+        graft.pipeline.Pipeline.edgeWeightsSupport(
+          graft.pipeline.Pipeline.pairPredAggregate(
+            graft.pipeline.Pipeline.canonicalize(
+              graft.pipeline.Pipeline.extractTriples(
+                graft.pipeline.Pipeline.segmentDocs(d)),
+              graft.pipeline.Pipeline.synthAliases(spark)))).count() })
   }
 
   def main(args: Array[String]): Unit = {

@@ -260,6 +260,43 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(windows >= 2, s"expected salted + final Window phases, got $windows:\n$plan")
   }
 
+  test("edge-weight surfaces: salted cap kept, scalar broadcast, no cartesian") {
+    // the capped subtree is localCheckpoint'd by default (it feeds 3+
+    // consumers with no reusable exchange), so the salt phase is only
+    // visible in the UNmaterialized plan
+    def pp = {
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(spark, 30)))
+      Pipeline.pairPredAggregate(Pipeline.canonicalize(t, Pipeline.synthAliases(spark)))
+    }
+    for (df <- Seq(Pipeline.edgeWeightsFromPairPred(pp, materializeCapped = false),
+                   Pipeline.edgeWeightsSupport(pp, materializeCapped = false))) {
+      val plan = executed(df)
+      assert(plan.contains("salt#"), s"lost the salted cap phase:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"went cartesian:\n$plan")
+    }
+    // materialized == lazy, value-identical
+    assert(Pipeline.edgeWeightsSupport(pp).collect().map(_.toSeq).toSet ==
+      Pipeline.edgeWeightsSupport(pp, materializeCapped = false).collect().map(_.toSeq).toSet)
+    // the shipped queries: the count-based surface's total-pairs scalar
+    // rides a one-row BROADCAST nested-loop above the checkpointed
+    // capped table, never a shuffled cross join; no cartesian anywhere
+    val wplan = executed(SparkEntry.queries("kg_edge_weights")(spark, sf))
+    assert(wplan.contains("BroadcastNestedLoopJoin"), wplan)
+    assert(!wplan.contains("CartesianProduct"), wplan)
+    // the weighted surface needs no scalar at all: equi-joins only
+    val splan = executed(SparkEntry.queries("kg_edge_weights_sup")(spark, sf))
+    assert(!splan.contains("NestedLoop") && !splan.contains("CartesianProduct"), splan)
+  }
+
+  test("dedup_cross_apply: equi-joins only against the seen-side indexes") {
+    val df = SparkEntry.queries("dedup_cross_apply")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"cross-apply must never materialize seen x incoming:\n$plan")
+    // the exact route probes a LEFT SEMI on the fingerprint index
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("ANN scale paths keep corpus work narrow (bounded exchanges, no cartesian)") {
     for (q <- Seq("ann_lsh", "ann_ivf")) {
       val df = SparkEntry.queries(q)(spark, sf)
