@@ -253,7 +253,11 @@ object Bench {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
         in.close()
         val refSf = node.path("sf").asText("")
-        if (!sfDir.endsWith(refSf) || refSf.isEmpty) "" else {
+        // a malformed/partial ref must SKIP the column, not emit broken
+        // JSON: node.path on a missing field toString's to "" which
+        // would render `"ref_box":,` and lose the whole bench line
+        if (!sfDir.endsWith(refSf) || refSf.isEmpty ||
+            !node.hasNonNull("box") || !node.hasNonNull("commit")) "" else {
           val refKg = node.path("kg_sec").asDouble(0.0)
           val rq = node.path("queries")
           val refTimes = results.flatMap { case (k, _, _, _, _) =>

@@ -43,6 +43,20 @@ object Verify {
     // outDir as a query row, so an in-namespace _aux dir would surface as
     // a spurious no_oracle row in the correctness report.
     val auxDir = s"${outAbs}_aux"
+    // a pre-r7 verify run left its aux tables INSIDE outDir — delete the
+    // legacy directory or a reused out dir keeps surfacing the spurious
+    // _aux no_oracle row this relocation exists to kill
+    try {
+      val legacy = new java.io.File(s"$outDir/_aux")
+      if (legacy.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(legacy)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] legacy _aux cleanup failed: ${e.getMessage}")
+    }
     try {
       import graft.pipeline.Pipeline
       Pipeline.synthAliases(spark).coalesce(1)

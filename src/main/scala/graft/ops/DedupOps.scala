@@ -124,9 +124,15 @@ object DedupOps {
     * the gram bucket-size cap rides the same aggregation that emits the
     * pairs instead of a window (count-over-partition would sort the fully
     * exploded gram table). */
-  def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
+  /** the shipped dedup_ngram shingle width / bucket cap — referenced by
+    * the stage-split profiler (tools/ProfNgram) so its decomposed stages
+    * can never desync from the query they explain. */
+  val NgramN = 3
+  val NgramMaxBucket = 200
+
+  def ngramJaccardPairs(documents: DataFrame, n: Int = NgramN,
                         thresholdX1000: Int = 500,
-                        maxBucketSize: Int = 200,
+                        maxBucketSize: Int = NgramMaxBucket,
                         hashShuffleKey: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     graft.functions.ZhFunctions.register(spark) // native md5_long48 (idempotent)

@@ -240,8 +240,14 @@ final class CheckpointStore(root: String, spark: SparkSession,
     // explicitly (version-independent) instead of keying only off the
     // AnalysisException condition string — a Spark build that reports a
     // different condition must not break the empty-stage resume path
-    if (fallback.isDefined && fs.exists(new Path(dataPath(stage))) &&
-        listDataFiles(stage).isEmpty)
+    // ORDER MATTERS: probe the filesystem BEFORE touching `fallback` —
+    // the by-name fallback plans runStageDF's compute thunk, and some
+    // computes (the edge-weight derivations' capped materialization
+    // under AQE) launch jobs at plan CONSTRUCTION; on the happy path
+    // (stage has data files) the fallback must never be evaluated, or
+    // every resume of a complete root re-runs that construction work
+    if (fs.exists(new Path(dataPath(stage))) &&
+        listDataFiles(stage).isEmpty && fallback.isDefined)
       spark.read.schema(fallback.get).parquet(dataPath(stage))
     else
       try spark.read.parquet(dataPath(stage))

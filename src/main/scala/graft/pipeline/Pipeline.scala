@@ -297,7 +297,18 @@ object Pipeline {
   private def cappedCheckpointed(pairPred: DataFrame, maxPredsPerPair: Int,
                                  saltBuckets: Int, materialize: Boolean): DataFrame = {
     val capped = cappedPairPred(pairPred, maxPredsPerPair, saltBuckets)
-    if (materialize) capped.localCheckpoint() else capped
+    // CONSTRUCTION-EAGER under AQE: localCheckpoint goes through
+    // queryExecution.toRdd, which materializes the adaptive query stages
+    // when the DataFrame is BUILT (even with eager = false, which only
+    // skips the final count job — measured in-repo; AQE exchange reuse
+    // does NOT substitute, because each consumer prunes different
+    // columns and the exchanges never canonicalize equal). That is fine
+    // at every call site: the builders are invoked where execution is
+    // imminent, and runStageDF's RESUME path never constructs this
+    // thunk at all (Checkpoints.readStage probes the filesystem before
+    // touching its schema fallback — the thunk is only planned to
+    // recover an EMPTY stage's schema).
+    if (materialize) capped.localCheckpoint(eager = false) else capped
   }
 
   /** The entailment-graph LOCAL WEIGHT surface — the directional scores a
@@ -849,15 +860,17 @@ object Pipeline {
     // carries no `aliases=` segment (programmatic/test callers that manage
     // their own dict consistency) can't be verified and are allowed.
     aliasSpec.foreach { spec =>
+      // the STORED pin may predate the marker: accept any legitimate
+      // interpretation (the content hash inside the pin makes this safe)
       val rootSpec = new CheckpointStore(root, spark).stageFingerprint("canonical")
         .flatMap("aliases=([^,]*)".r.findFirstMatchIn(_))
-        .map(m => decodePin(m.group(1)))
-      rootSpec.foreach { rs =>
-        require(aliasPinMatches(rs, spec),
-          s"--incremental: $root/canonical was built under aliases=$rs but " +
-            s"this fold specifies aliases=$spec — a changed dictionary cannot " +
-            "fold into the same entity space; restore the original dict or " +
-            "rebuild with a one-shot run")
+        .map(m => pinInterpretations(m.group(1)))
+      rootSpec.foreach { rss =>
+        require(rss.exists(rs => aliasPinMatches(rs, spec)),
+          s"--incremental: $root/canonical was built under aliases=${rss.head} " +
+            s"but this fold specifies aliases=$spec — a changed dictionary " +
+            "cannot fold into the same entity space; restore the original " +
+            "dict or rebuild with a one-shot run")
       }
     }
   }
@@ -877,20 +890,41 @@ object Pipeline {
     * segments (withCoref=, incremental) follow the pin: encode the two
     * structural characters so a dictionary path containing ',' (or '%')
     * can neither truncate the captured pin nor desync the decode. The
-    * encoding is VERSIONED with an `e:` marker so a pin written before
-    * encoding existed is never run through the decoder — a legacy path
-    * that literally contains '%2C'/'%25' must decode as itself, not as
-    * ','/'%'. Legacy pins (no marker) decode as identity and compare by
-    * the usual [[aliasPinMatches]] rule; a mismatch refuses loudly (the
-    * safe direction) and the caller re-stamps with the marked form on
-    * first match, as with the hash-pin migration. */
+    * encoding is VERSIONED with an `e:` marker, and applied ONLY when
+    * the pin actually needs it — a clean pin (no ','/'%', the
+    * overwhelmingly common case) passes through RAW, so its stored
+    * fingerprint is byte-identical across every code version and
+    * `isComplete`'s literal comparison keeps resuming pre-encoding
+    * roots (an unconditional marker would silently invalidate every
+    * existing checkpoint root on upgrade). A pin that itself starts
+    * with the marker is force-encoded so the round trip stays exact.
+    * Legacy unmarked pins decode as identity — a literal '%2C' in a
+    * raw path must read as itself — and readers that must also accept
+    * the round-6 unmarked-but-encoded form go through
+    * [[pinInterpretations]]. */
   private val EncodedPinMarker = "e:"
   private[graft] def encodePin(pin: String): String =
-    EncodedPinMarker + pin.replace("%", "%25").replace(",", "%2C")
+    if (pin.contains(',') || pin.contains('%') || pin.startsWith(EncodedPinMarker))
+      EncodedPinMarker + pin.replace("%", "%25").replace(",", "%2C")
+    else pin
   private[graft] def decodePin(enc: String): String =
     if (enc.startsWith(EncodedPinMarker))
       enc.stripPrefix(EncodedPinMarker).replace("%2C", ",").replace("%25", "%")
     else enc // legacy unversioned pin: identity, NEVER percent-decoded
+
+  /** every reading a STORED pin may legitimately have: the current
+    * decode, plus — for an unmarked pin carrying percent escapes — the
+    * round-6 interpretation (that version encoded without the marker,
+    * so its stored 'a%2Cb' meant 'a,b'). A validator accepting ANY
+    * interpretation is safe: pins carry the dictionary's content hash,
+    * so a wrong interpretation cannot collide with the current spec. */
+  private[graft] def pinInterpretations(enc: String): Seq[String] = {
+    val cur = decodePin(enc)
+    if (!enc.startsWith(EncodedPinMarker) &&
+        (enc.contains("%2C") || enc.contains("%25")))
+      Seq(cur, enc.replace("%2C", ",").replace("%25", "%"))
+    else Seq(cur)
+  }
 
   def aliasPinMatches(prev: String, cur: String): Boolean = {
     def hashed(pin: String) = HashedPin.pattern.matcher(pin).matches()

@@ -136,6 +136,14 @@ object StreamingOps {
     * so -1 WITH committed generations present means damage outside the
     * protocol — the fold refuses that loudly rather than silently
     * reinitializing over real history. */
+  /** the lineage tag embedded in generation dir names: a stable hex
+    * digest of the run identity (checkpoint path for checkpointed
+    * queries — SAME tag across restarts; a fresh UUID per no-checkpoint
+    * start). MurmurHash3.stringHash is deterministic across JVMs. */
+  private[graft] def lineageTagOf(runId: String): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(runId, 0x67726166))
+
   private def readLastBatch(fs: org.apache.hadoop.fs.FileSystem,
                             marker: org.apache.hadoop.fs.Path): Long =
     if (!fs.exists(marker)) -1L
@@ -207,6 +215,14 @@ object StreamingOps {
     // the self-overwrite branch.
     val runId = checkpointLocation.map("cp:" + _)
       .getOrElse("ephemeral:" + java.util.UUID.randomUUID().toString)
+    // the lineage tag rides IN the generation dir name (agg_<id>-<tag>),
+    // so attribution commits atomically with the dir's _SUCCESS — there
+    // is no window where a generation exists without its lineage (the
+    // r7 review found exactly that window in the previous design, which
+    // stamped a separate _run_id file AFTER the parquet job: a crash
+    // between the two wedged an otherwise self-healing first-batch
+    // replay). Legacy dirs (bare agg_<id> + _run_id file) stay readable.
+    val lineageTag = StreamingOps.lineageTagOf(runId)
     val writer = canonical.writeStream
       .outputMode("append")
     trigger.foreach(writer.trigger)
@@ -220,10 +236,20 @@ object StreamingOps {
         val fs = marker.getFileSystem(conf)
         val last = readLastBatch(fs, marker)
         if (batchId > last) {
-          def gen(id: Long) = new org.apache.hadoop.fs.Path(aggPath, s"agg_$id")
+          // the generation THIS lineage writes for batch `id` — tag in
+          // the name, attribution atomic with _SUCCESS
+          def genW(id: Long) =
+            new org.apache.hadoop.fs.Path(aggPath, s"agg_$id-$lineageTag")
           def hasSuccess(p: org.apache.hadoop.fs.Path) =
             fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
           val legacy = new org.apache.hadoop.fs.Path(aggPath, "agg")
+          // batch id of a generation dir name: tagged (agg_<id>-<tag>)
+          // or legacy bare (agg_<id>)
+          val GenName = "^agg_([0-9]+)(?:-[0-9a-f]+)?$".r
+          def genIdOf(name: String): Option[Long] = name match {
+            case GenName(id) => id.toLongOption
+            case _ => None
+          }
           def genRunId(p: org.apache.hadoop.fs.Path): Option[String] = {
             val f = new org.apache.hadoop.fs.Path(p, "_run_id")
             if (!fs.exists(f)) None
@@ -233,6 +259,22 @@ object StreamingOps {
                 java.nio.charset.StandardCharsets.UTF_8))
               finally in.close()
             }
+          }
+          // is this committed generation POSITIVELY attributable to this
+          // lineage's `id`? Tagged name == ours (atomic), or a legacy
+          // bare-named dir whose _run_id stamp matches.
+          def ownGen(p: org.apache.hadoop.fs.Path, id: Long): Boolean =
+            p.getName == s"agg_$id-$lineageTag" ||
+              (p.getName == s"agg_$id" && genRunId(p).contains(runId))
+          // the committed generation for batch `id`, any layout: this
+          // lineage's tagged dir, a foreign/legacy tagged dir, or bare
+          def genRead(id: Long): Option[org.apache.hadoop.fs.Path] = {
+            val cands = Seq(genW(id), new org.apache.hadoop.fs.Path(aggPath, s"agg_$id")) ++
+              (if (fs.exists(base))
+                 fs.listStatus(base).map(_.getPath).toSeq
+                   .filter(p => genIdOf(p.getName).contains(id))
+               else Seq.empty)
+            cands.distinct.find(hasSuccess)
           }
           // the committed aggregate: the marker's generation dir, or the
           // pre-generation flat `agg` layout (one-time migration read).
@@ -247,8 +289,8 @@ object StreamingOps {
           def committedGens = // only consulted when the marker is absent
             if (!fs.exists(base)) Seq.empty
             else fs.listStatus(base).map(_.getPath).toSeq.filter(p =>
-              (p.getName == "agg" || (p.getName.startsWith("agg_") &&
-                p.getName.drop(4).toLongOption.isDefined)) && hasSuccess(p))
+              (p.getName == "agg" || genIdOf(p.getName).isDefined) &&
+                hasSuccess(p))
           val current: Option[org.apache.hadoop.fs.Path] =
             if (last < 0L) {
               // no marker. Two states reach here INSIDE the protocol: a
@@ -260,18 +302,18 @@ object StreamingOps {
               // being replayed right now — that data is a previous
               // attempt's output for THIS batch: recomputing with no
               // prior aggregate and overwriting it IS the replay
-              // contract. "Own" requires BOTH the name agg_<batchId> AND
-              // a _run_id stamp matching this query's lineage — batch
-              // ids renumber from 0 across no-checkpoint restarts, so a
-              // name match alone would let a new run mistake a previous
-              // run's orphan agg_0 for its own crashed commit and
-              // recompute that history away. Any other committed
-              // generation (wrong name, wrong lineage, or a crash sliver
-              // that lost the stamp) is real-or-unattributable prior
-              // history — refuse loudly rather than reinitialize from
-              // one batch's delta and then prune it.
-              val others = committedGens.filterNot(p =>
-                p.getName == s"agg_$batchId" && genRunId(p).contains(runId))
+              // contract. "Own" requires POSITIVE attribution: the
+              // lineage tag in the dir name (atomic with _SUCCESS), or a
+              // legacy bare-named dir whose _run_id stamp matches —
+              // batch ids renumber from 0 across no-checkpoint restarts,
+              // so a bare-name match alone would let a new run mistake a
+              // previous run's orphan agg_0 for its own crashed commit
+              // and recompute that history away. Any other committed
+              // generation (wrong id, foreign tag, or a legacy dir whose
+              // stamp was lost) is real-or-unattributable prior history —
+              // refuse loudly rather than reinitialize from one batch's
+              // delta and then prune it.
+              val others = committedGens.filterNot(ownGen(_, batchId))
               if (others.nonEmpty) sys.error(
                 s"maintainEdges: $aggPath holds committed aggregate data " +
                   s"(${others.map(_.getName).mkString(", ")}) but " +
@@ -286,29 +328,25 @@ object StreamingOps {
                   "the newest intact generation's id ('N' for agg_N)")
               None
             }
-            else if (hasSuccess(gen(last))) Some(gen(last))
-            else if (hasSuccess(legacy)) Some(legacy)
-            else sys.error(
-              s"maintainEdges: $marker commits batch $last but neither " +
-                s"${gen(last)} nor $legacy has a _SUCCESS — the store is " +
-                "corrupted outside the generation protocol; refusing to " +
-                "reinitialize the aggregate from a single batch's delta")
+            else genRead(last)
+              .orElse(if (hasSuccess(legacy)) Some(legacy) else None)
+              .getOrElse(sys.error(
+                s"maintainEdges: $marker commits batch $last but neither " +
+                  s"an agg_$last generation nor $legacy has a _SUCCESS — " +
+                  "the store is corrupted outside the generation " +
+                  "protocol; refusing to reinitialize the aggregate " +
+                  "from a single batch's delta")) match {
+              case p => Some(p)
+            }
           val delta = Pipeline.pairPredAggregate(batch.toDF())
           val merged = current
             .map(d => Pipeline.mergePairPred(spark.read.parquet(d.toString), delta))
             .getOrElse(delta)
             .localCheckpoint() // one materialization, two consumers below
-          merged.write.mode("overwrite").parquet(gen(batchId).toString)
-          // lineage stamp, written BEFORE the marker commit: a crash
-          // between the parquet job and this write leaves a _SUCCESS'd
-          // generation with no stamp, which the no-marker branch above
-          // correctly refuses (unattributable ≠ own)
-          locally {
-            val rid = fs.create(
-              new org.apache.hadoop.fs.Path(gen(batchId), "_run_id"), true)
-            rid.write(runId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            rid.close()
-          }
+          // the dir name carries the lineage tag, so attribution is
+          // atomic with the parquet job's own _SUCCESS — no separate
+          // stamp file, no stampless crash window
+          merged.write.mode("overwrite").parquet(genW(batchId).toString)
           Pipeline.edgesFromPairPred(merged)
             .write.mode("overwrite").parquet(edgesPath)
           // atomic marker commit: write-temp-then-rename — a crash can
@@ -329,8 +367,11 @@ object StreamingOps {
             fs.listStatus(base).map(_.getPath).foreach { p =>
               val n = p.getName
               val stale = n == "agg" ||
-                (n.startsWith("agg_") &&
-                  n.drop(4).toLongOption.exists(_ != batchId))
+                genIdOf(n).exists(_ != batchId) ||
+                // a superseded same-id dir under a DIFFERENT layout than
+                // the one just written (e.g. the legacy bare dir this
+                // batch's replay overrode)
+                (genIdOf(n).contains(batchId) && n != genW(batchId).getName)
               if (stale) fs.delete(p, true)
             }
         }

@@ -33,7 +33,7 @@ object ProfNgram {
 
     def s1() = {
       val exploded = DedupOps.parallelized(docs)
-        .select(col("doc_id"), DedupOps.wordNgrams(col("text"), 3).as("grams"))
+        .select(col("doc_id"), DedupOps.wordNgrams(col("text"), DedupOps.NgramN).as("grams"))
         .withColumn("n_grams", size(col("grams")).cast("long"))
         .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
       exploded.select(col("doc_id"), col("n_grams"),
@@ -42,7 +42,7 @@ object ProfNgram {
     def s2() = s1()
       .groupBy(col("gram_h"))
       .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("members"))
-      .filter(size(col("members")).between(2, 200))
+      .filter(size(col("members")).between(2, DedupOps.NgramMaxBucket))
     def s3() = s2()
       .select(col("members")).as[Seq[(Long, Long)]]
       .flatMap { members =>

@@ -403,6 +403,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(incr.collect().map(_.toSeq).toSet == batch)
   }
 
+  test("resume of a complete non-empty stage never constructs its compute thunk") {
+    // some computes (the weight derivations' capped materialization
+    // under AQE) launch jobs at plan CONSTRUCTION — resume must read the
+    // stored parquet without ever building the thunk (readStage probes
+    // the filesystem BEFORE its schema fallback); the thunk may only be
+    // planned for an EMPTY stage's schema
+    val root = java.nio.file.Files.createTempDirectory("graft-resume-thunk").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "t=1")
+    val pp = Seq(("a", "o1", "P", 2L), ("a", "o1", "Q", 1L))
+      .toDF("arg_s", "arg_o", "pred", "support")
+    store.runStageDF("w", bucketCol = Some("pred_src"))(
+      Pipeline.edgeWeightsFromPairPred(pp))
+    // second invocation = resume; a forced thunk would blow up here
+    val resumed = store.runStageDF("w", bucketCol = Some("pred_src"))(
+      sys.error("resume constructed the compute thunk"))
+    assert(resumed.count() == 2L) // P→Q and Q→P over the one shared pair
+    // the EMPTY-stage corner still recovers its schema from the thunk
+    val empty = pp.filter($"support" < 0L)
+    store.runStageDF("we", bucketCol = Some("pred_src"))(
+      Pipeline.edgeWeightsFromPairPred(empty))
+    val emptyResumed = store.runStageDF("we", bucketCol = Some("pred_src"))(
+      Pipeline.edgeWeightsFromPairPred(empty))
+    assert(emptyResumed.count() == 0L)
+    assert(emptyResumed.schema.fieldNames.contains("pmi_ppm"))
+  }
+
   test("incremental edge-weight maintenance equals the batch derivation exactly") {
     def canon(from: Long, until: Long) = Pipeline.canonicalize(
       Pipeline.extractTriples(Pipeline.segmentDocs(
@@ -700,7 +726,23 @@ class PipelineSpec extends SparkSpecBase {
     // encoding existed is never percent-decoded — a path literally
     // containing '%2C'/'%25' must decode to itself, not to ','/'%'
     assert(Pipeline.decodePin("/data/d%2Cict%25.tsv") == "/data/d%2Cict%25.tsv")
-    assert(Pipeline.encodePin("/plain/dict.tsv").startsWith("e:"))
+    // CLEAN pins pass through RAW (no marker): the stored fingerprint of
+    // the overwhelmingly common path is byte-identical across code
+    // versions, so isComplete's literal comparison keeps resuming roots
+    // built before the encoding existed
+    assert(Pipeline.encodePin("/plain/dict.tsv") == "/plain/dict.tsv")
+    assert(Pipeline.encodePin("synth") == "synth")
     assert(Pipeline.decodePin(Pipeline.encodePin("/plain/dict.tsv")) == "/plain/dict.tsv")
+    // dirty pins get the marker; a pin that itself starts with the
+    // marker is force-encoded so the round trip stays exact
+    assert(Pipeline.encodePin("a,b").startsWith("e:"))
+    assert(Pipeline.decodePin(Pipeline.encodePin("e:weird")) == "e:weird")
+    // stored-pin interpretations: a marked pin and a clean pin have ONE
+    // reading; an unmarked pin carrying escapes has two (literal, and
+    // the round-6 unmarked-encoded reading) — the content hash makes
+    // accepting either safe
+    assert(Pipeline.pinInterpretations(Pipeline.encodePin("a,b")) == Seq("a,b"))
+    assert(Pipeline.pinInterpretations("/plain/dict.tsv") == Seq("/plain/dict.tsv"))
+    assert(Pipeline.pinInterpretations("a%2Cb@x12") == Seq("a%2Cb@x12", "a,b@x12"))
   }
 }

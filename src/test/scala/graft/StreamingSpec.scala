@@ -218,7 +218,10 @@ class StreamingSpec extends SparkSpecBase {
     val gens = java.nio.file.Files.list(java.nio.file.Paths.get(aggPath))
       .iterator().asScala.map(_.getFileName.toString)
       .filter(n => n == "agg" || n.startsWith("agg_")).toList
-    assert(gens == List("agg_1"), s"expected only the committed generation, got $gens")
+    // the committed generation carries its lineage tag in the name
+    // (agg_<id>-<tag>), atomic with _SUCCESS
+    assert(gens.length == 1 && gens.head.matches("agg_1-[0-9a-f]+"),
+      s"expected only the committed tagged generation, got $gens")
 
     // resume guard: the store now holds a committed aggregate — restarting
     // WITHOUT a checkpointLocation would renumber batches from 0 and the
@@ -319,6 +322,59 @@ class StreamingSpec extends SparkSpecBase {
     // and the marker now commits batch 0
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(aggPath, "_last_batch")).trim == "0")
+  }
+
+  test("maintainEdges recovers a first-batch crash in the TAGGED layout (no stamp file at all)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Pipeline
+    // the r7 layout: the lineage tag rides IN the dir name, atomic with
+    // _SUCCESS — the state that used to wedge (generation committed,
+    // separate stamp file never written) no longer EXISTS; a crashed
+    // first commit is attributable from its name alone and the replay
+    // must overwrite it
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-tagcrash").toString
+    val aggPath = s"$dir/pairpred"
+    val ckpt = s"$dir/ckpt"
+    val tag = StreamingOps.lineageTagOf(s"cp:$ckpt")
+    val gen0 = java.nio.file.Paths.get(aggPath, s"agg_0-$tag")
+    java.nio.file.Files.createDirectories(gen0)
+    java.nio.file.Files.writeString(gen0.resolve("part-stale.parquet"), "junk from the crashed attempt")
+    java.nio.file.Files.writeString(gen0.resolve("_SUCCESS"), "")
+    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges",
+      checkpointLocation = Some(ckpt))
+    val b1 = Seq(("e1", "e2", "p1"), ("e3", "e2", "p2"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/edges").collect().map(_.toSeq).toSet
+    val batch = Pipeline.edgesFromPairPred(Pipeline.pairPredAggregate(
+      b1.toDF("subj_canonical", "obj_canonical", "pred"))).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"tagged self-crash replay diverged: $streamed vs $batch")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(aggPath, "_last_batch")).trim == "0")
+  }
+
+  test("maintainEdges refuses a FOREIGN-tagged orphan generation despite the batch-id match") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String)]
+    val canonical = input.toDF().toDF("subj_canonical", "obj_canonical", "pred")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-foreigntag").toString
+    val aggPath = s"$dir/pairpred"
+    val gen0 = java.nio.file.Paths.get(aggPath, "agg_0-deadbeef")
+    java.nio.file.Files.createDirectories(gen0)
+    java.nio.file.Files.writeString(gen0.resolve("_SUCCESS"), "")
+    val q = StreamingOps.maintainEdges(canonical, aggPath, s"$dir/edges")
+    input.addData(("e1", "e2", "p1"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("_last_batch is missing"), chain)
+    assert(java.nio.file.Files.exists(gen0.resolve("_SUCCESS")))
   }
 
   test("maintainEdges refuses another lineage's orphan agg_0 despite the batch-id match") {
