@@ -40,9 +40,10 @@ import graft.sources.CorpusReaders
   *     [--stream-once]           with --reader docs-json: drain --input
   *                               as a Structured Streaming file source
   *                               (Trigger.AvailableNow) and maintain
-  *                               pairpred_stream/edges_stream per
-  *                               micro-batch; reruns resume from the
-  *                               checkpointed source offsets
+  *                               pairpred_stream/edges_stream/
+  *                               edge_weights_stream per micro-batch;
+  *                               reruns resume from the checkpointed
+  *                               source offsets
   *
   * Outputs under --out: docs/ sentences/ triples/ [coref_triples/]
   * canonical/ edges/ edge_weights/ excluded/ [mentions/] stats.json —
@@ -260,7 +261,8 @@ object Main {
           "toy-sample", "export-jsonl", "compact", "skew-report")
           .filter(opts.contains)
         require(banned.isEmpty,
-          s"--stream-once maintains pairpred_stream/edges_stream only; " +
+          s"--stream-once maintains pairpred_stream/edges_stream/" +
+            s"edge_weights_stream only; " +
             s"${banned.map("--" + _).mkString(", ")} must run as separate jobs")
       }
       // the maintained stream aggregate is built under ONE dict: pin the
@@ -305,9 +307,11 @@ object Main {
       val q = graft.streaming.StreamingOps.maintainEdges(canonical,
         s"$outDir/pairpred_stream", s"$outDir/edges_stream",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
-        checkpointLocation = Some(s"$outDir/_stream_checkpoint"))
+        checkpointLocation = Some(s"$outDir/_stream_checkpoint"),
+        weightsPath = Some(s"$outDir/edge_weights_stream"))
       q.awaitTermination()
-      println(s"[graft] stream drained -> $outDir (edges_stream maintained)")
+      println(s"[graft] stream drained -> $outDir " +
+        "(edges_stream + edge_weights_stream maintained)")
       if (preexisting.isEmpty) spark.stop()
       return
     }

@@ -130,12 +130,6 @@ object StreamingOps {
     }
   }
 
-  /** tolerant `_last_batch` read: an unreadable/empty marker parses as
-    * -1 ("nothing committed") instead of a NumberFormatException that
-    * wedges every restart. The marker is written temp+rename (atomic),
-    * so -1 WITH committed generations present means damage outside the
-    * protocol — the fold refuses that loudly rather than silently
-    * reinitializing over real history. */
   /** the lineage tag embedded in generation dir names: a stable hex
     * digest of the run identity (checkpoint path for checkpointed
     * queries — SAME tag across restarts; a fresh UUID per no-checkpoint
@@ -144,6 +138,12 @@ object StreamingOps {
     java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(runId, 0x67726166))
 
+  /** tolerant `_last_batch` read: an unreadable/empty marker parses as
+    * -1 ("nothing committed") instead of a NumberFormatException that
+    * wedges every restart. The marker is written temp+rename (atomic),
+    * so -1 WITH committed generations present means damage outside the
+    * protocol — the fold refuses that loudly rather than silently
+    * reinitializing over real history. */
   private def readLastBatch(fs: org.apache.hadoop.fs.FileSystem,
                             marker: org.apache.hadoop.fs.Path): Long =
     if (!fs.exists(marker)) -1L
@@ -191,7 +191,8 @@ object StreamingOps {
     * every batch of genuinely new data. */
   def maintainEdges(canonical: DataFrame, aggPath: String, edgesPath: String,
                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-                    checkpointLocation: Option[String] = None)
+                    checkpointLocation: Option[String] = None,
+                    weightsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.pipeline.Pipeline
     locally { // resume guard — BEFORE the query starts
@@ -342,13 +343,20 @@ object StreamingOps {
           val merged = current
             .map(d => Pipeline.mergePairPred(spark.read.parquet(d.toString), delta))
             .getOrElse(delta)
-            .localCheckpoint() // one materialization, two consumers below
+            .localCheckpoint() // one materialization, 2-3 consumers below
           // the dir name carries the lineage tag, so attribution is
           // atomic with the parquet job's own _SUCCESS — no separate
           // stamp file, no stampless crash window
           merged.write.mode("overwrite").parquet(genW(batchId).toString)
           Pipeline.edgesFromPairPred(merged)
             .write.mode("overwrite").parquet(edgesPath)
+          // the entailment-weight surface rides the SAME merged
+          // aggregate — a stream-fed store maintains weights exactly
+          // like the batch fold does (derivation re-run per batch, never
+          // corpus-scaled; `merged` is already materialized above)
+          weightsPath.foreach(p =>
+            Pipeline.edgeWeightsFromPairPred(merged)
+              .write.mode("overwrite").parquet(p))
           // atomic marker commit: write-temp-then-rename — a crash can
           // leave the OLD marker (replay recomputes the merge off the
           // old generation, harmless) or, in the delete→rename sliver,

@@ -391,6 +391,18 @@ class MainSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch,
            s"stream-maintained edges diverged from batch (${streamed.size} vs ${batch.size})")
+    // the weight surface is maintained alongside, equal to the batch one
+    val streamedW = spark.read.parquet(s"$out/edge_weights_stream")
+      .collect().map(_.toSeq).toSet
+    val batchW = graft.pipeline.Pipeline.edgeWeightsFromPairPred(
+      graft.pipeline.Pipeline.pairPredAggregate(
+        graft.pipeline.Pipeline.canonicalize(
+          graft.pipeline.Pipeline.extractTriples(graft.pipeline.Pipeline.segmentDocs(
+            graft.pipeline.Pipeline.synthDocs(spark, 40))),
+          graft.pipeline.Pipeline.synthAliases(spark))))
+      .collect().map(_.toSeq).toSet
+    assert(streamedW == batchW,
+           s"stream-maintained weights diverged (${streamedW.size} vs ${batchW.size})")
     // one-shot flags are loudly rejected (they would be silently dead)
     intercept[IllegalArgumentException](
       Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,

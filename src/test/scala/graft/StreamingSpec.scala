@@ -190,7 +190,9 @@ class StreamingSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-edges").toString
     val aggPath = s"$dir/pairpred"
     val edgesPath = s"$dir/edges"
-    val q = StreamingOps.maintainEdges(canonical, aggPath, edgesPath)
+    val weightsPath = s"$dir/edge_weights"
+    val q = StreamingOps.maintainEdges(canonical, aggPath, edgesPath,
+      weightsPath = Some(weightsPath))
     // two micro-batches; batch 2 ADDS SUPPORT to a pair batch 1 opened —
     // the additive fold must re-rank, not append
     val b1 = Seq(("e1", "e2", "p1"), ("e1", "e2", "p2"), ("e1", "e2", "p1"))
@@ -210,6 +212,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch,
            s"stream-maintained edges diverged from batch: $streamed vs $batch")
     assert(streamed.nonEmpty)
+    // the weight surface rides the same merged aggregate: stream == batch
+    val streamedW = spark.read.parquet(weightsPath).collect().map(_.toSeq).toSet
+    val batchW = Pipeline.edgeWeightsFromPairPred(Pipeline.pairPredAggregate(
+      (b1 ++ b2).toDF("subj_canonical", "obj_canonical", "pred")))
+      .collect().map(_.toSeq).toSet
+    assert(streamedW == batchW,
+           s"stream-maintained weights diverged from batch: $streamedW vs $batchW")
+    assert(streamedW.nonEmpty)
     // the idempotence marker committed the last folded batch id
     val marker = java.nio.file.Paths.get(aggPath, "_last_batch")
     assert(java.nio.file.Files.readString(marker).trim.toLong >= 1L)
@@ -243,7 +253,9 @@ class StreamingSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-crash").toString
     val aggPath = s"$dir/pairpred"
     val edgesPath = s"$dir/edges"
-    val q = StreamingOps.maintainEdges(canonical, aggPath, edgesPath)
+    val weightsPath = s"$dir/edge_weights"
+    val q = StreamingOps.maintainEdges(canonical, aggPath, edgesPath,
+      weightsPath = Some(weightsPath))
     val b1 = Seq(("e1", "e2", "p1"), ("e1", "e2", "p2"), ("e1", "e2", "p1"))
     input.addData(b1: _*)
     q.processAllAvailable() // batch 0 committed -> agg_0
