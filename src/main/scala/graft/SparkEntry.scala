@@ -451,6 +451,15 @@ object SparkEntry {
       DedupOps.nearNewScreen(planted.filter(col("doc_id") % 3 =!= 0),
                              planted.filter(col("doc_id") % 3 === 0))
     }),
+    "dedup_cross_bloom" -> ((s, dir) => {
+      // the approximate-membership screen for corpus-scale seen sides:
+      // probe the incoming batch against the seen corpus's Bloom index
+      // (k deterministic positions; no false negatives by construction)
+      val planted = crossPlanted(read(s, dir, "documents"))
+      DedupOps.crossBloomScreen(
+        planted.filter(col("doc_id") % 3 =!= 0),
+        DedupOps.bloomPositions(planted.filter(col("doc_id") % 3 === 0)))
+    }),
     "dedup_cross_apply" -> ((s, dir) => {
       // the DECISION op of the same ingestion step: route every incoming
       // doc clean/exact_dup/near_dup — route='clean' IS the cleaned batch
@@ -1521,6 +1530,30 @@ object SparkEntry {
            |  CAST(CASE WHEN h.n_hit_bands IS NULL THEN 0 ELSE 1 END AS INTEGER) AS suspect
            |FROM plx p LEFT JOIN hitx h USING (doc_id)
            |WHERE p.doc_id % 3 <> 0""".stripMargin,
+      "dedup_cross_bloom" ->
+        // the Bloom filter recomputed bit-for-bit in SQL: same
+        // PortableHash affine family over md5Long48(text), same mod-m
+        // positions, same all-k-present verdict. The probe side keeps
+        // its k-row multiplicity (JOIN against the DISTINCT'd index),
+        // mirroring the Spark semi-join's left-multiplicity semantics.
+        s"""WITH $crossPlantCte,
+           |snt AS (SELECT ${graft.functions.PortableHash.duckMd5Long48("text")} AS base
+           |  FROM plx WHERE doc_id % 3 = 0),
+           |blf AS (SELECT DISTINCT
+           |    (${graft.functions.PortableHash.duckFamilyHashLongOver("base", "hi.hi")})
+           |      % ${1L << 22} AS pos
+           |  FROM snt, generate_series(0, 6) AS hi(hi)),
+           |inh AS (SELECT doc_id, ${graft.functions.PortableHash.duckMd5Long48("text")} AS base
+           |  FROM plx WHERE doc_id % 3 <> 0),
+           |prb AS (SELECT doc_id,
+           |    (${graft.functions.PortableHash.duckFamilyHashLongOver("base", "hi.hi")})
+           |      % ${1L << 22} AS pos
+           |  FROM inh, generate_series(0, 6) AS hi(hi)),
+           |hb AS (SELECT prb.doc_id, count(*) AS n_hits
+           |  FROM prb JOIN blf USING (pos) GROUP BY 1)
+           |SELECT i.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  CAST(CASE WHEN h.n_hits = 7 THEN 1 ELSE 0 END AS INTEGER) AS maybe_seen
+           |FROM (SELECT DISTINCT doc_id FROM inh) i LEFT JOIN hb h USING (doc_id)""".stripMargin,
       "dedup_cross_apply" ->
         // keeper/routing logic recomputed whole in SQL: exact routes
         // first, then the band-hit threshold, else clean — same NOT

@@ -286,6 +286,53 @@ object DedupOps {
               (route === "clean").cast("int").as("kept"))
   }
 
+  /** The Bloom-filter EXACT-membership index of the seen corpus — the
+    * ingestion screen for when even the distinct-md5 fingerprint set is
+    * too large to join against comfortably: k deterministic hash
+    * positions per seen doc ([[PortableHash.familyHashLong]] over the
+    * text, mod `mBits`), DISTINCT'd — the index is AT MOST `mBits` rows
+    * (default 2²² ≈ 4M) and usually ≤ k·|seen|, INDEPENDENT of document
+    * sizes, so at 100 TB it is a broadcastable table where the md5 set
+    * is not. Fully deterministic (PortableHash family), so the DuckDB
+    * oracle recomputes the filter bit-for-bit. */
+  def bloomPositions(seen: DataFrame, mBits: Long = 1L << 22,
+                     kHashes: Int = 7): DataFrame = {
+    graft.functions.ZhFunctions.register(seen.sparkSession)
+    parallelized(seen)
+      .select(explode(array((0 until kHashes).map(i =>
+        pmod(PortableHash.familyHashLong(i, col("text")), lit(mBits))): _*))
+        .as("pos"))
+      .distinct()
+  }
+
+  /** Probe the incoming batch against a [[bloomPositions]] index: a doc
+    * whose k positions are ALL present is `maybe_seen` (classic Bloom
+    * semantics — NO false negatives, false-positive rate ≈ (1-e^{-kn/m})^k;
+    * suspects go on to the exact md5 anti-join or the pairwise verifier,
+    * clean docs stream straight through). One narrow probe explode +
+    * LEFT SEMI on the fixed-width position + one doc-granular count —
+    * the probe side never carries text past the hash. */
+  def crossBloomScreen(incoming: DataFrame, bloom: DataFrame,
+                       mBits: Long = 1L << 22, kHashes: Int = 7): DataFrame = {
+    graft.functions.ZhFunctions.register(incoming.sparkSession)
+    val probes = parallelized(incoming)
+      .select(col("doc_id"), explode(array((0 until kHashes).map(i =>
+        pmod(PortableHash.familyHashLong(i, col("text")), lit(mBits))): _*))
+        .as("pos"))
+    // semi-join keeps left multiplicity: k probe rows per doc, so
+    // n_hits == kHashes ⇔ every position present, even when a doc's own
+    // k positions collide with each other
+    val hits = probes.join(bloom.select(col("pos")).distinct(),
+        Seq("pos"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    incoming.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              when(col("n_hits") === kHashes.toLong, lit(1)).otherwise(lit(0))
+                .cast("int").as("maybe_seen"))
+  }
+
   /** 48-bit SimHash over word tokens: sign-sum of per-token md5Long48 bits.
     * Computed per-partition with a typed transformation (bit loops are not
     * expressible efficiently in Catalyst); 48 bits so every value is exact

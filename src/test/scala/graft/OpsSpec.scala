@@ -606,6 +606,39 @@ class OpsSpec extends SparkSpecBase {
     assert(got(2)._2 > 0L && got(2)._3 == 1, got(2).toString) // near-dup flagged
   }
 
+  test("bloom screen: no false negatives, deterministic index, multiplicity-safe") {
+    import graft.ops.DedupOps
+    val seen = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h i j"),   // exact copy → MUST flag (no false negatives)
+      (11L, "k l m n o p"),           // exact copy of seen 2 → MUST flag
+      (12L, "totally fresh words xyzzy plugh")) // unseen
+      .toDF("doc_id", "text")
+    val bloom = DedupOps.bloomPositions(seen)
+    // index size bounded by k × |seen| (dedup can only shrink it)
+    assert(bloom.count() <= 14L && bloom.count() > 0L)
+    val got = DedupOps.crossBloomScreen(incoming, bloom)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(10L, 11L, 12L), got.toString) // all batch rows screened
+    assert(got(0) == ((10L, 7L, 1)), got(0).toString)
+    assert(got(1) == ((11L, 7L, 1)), got(1).toString)
+    // the unseen doc misses at least one position at m = 2^22 (the hash
+    // family is deterministic, so this is a stable fact, not a flake)
+    assert(got(2)._2 < 7L && got(2)._3 == 0, got(2).toString)
+    // partition-invariance + index determinism
+    val re = DedupOps.crossBloomScreen(incoming.repartition(5),
+        DedupOps.bloomPositions(seen.repartition(3)))
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+    // a doc whose own k positions collide internally still needs ALL of
+    // them present: a tiny filter (m=8) makes everything collide — the
+    // copy still flags (Bloom's no-false-negative guarantee holds at any m)
+    val tiny = DedupOps.crossBloomScreen(incoming, DedupOps.bloomPositions(seen, mBits = 8L), mBits = 8L)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(tiny(0)._3 == 1 && tiny(1)._3 == 1)
+  }
+
   test("crossApply routes exact/near/clean and is partition-invariant") {
     import graft.ops.DedupOps
     val seen = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
