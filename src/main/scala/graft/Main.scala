@@ -310,6 +310,25 @@ object Main {
         checkpointLocation = Some(s"$outDir/_stream_checkpoint"),
         weightsPath = Some(s"$outDir/edge_weights_stream"))
       q.awaitTermination()
+      // a drain with NO new batches never enters foreachBatch — a store
+      // maintained before the weight surface existed would end the run
+      // with edges_stream but no edge_weights_stream. Backfill once from
+      // the committed aggregate generation so the advertised layout holds
+      // after every drain, new data or not.
+      locally {
+        val wPath = new org.apache.hadoop.fs.Path(
+          s"$outDir/edge_weights_stream/_SUCCESS")
+        val fsW = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fsW.exists(wPath))
+          graft.streaming.StreamingOps
+            .committedAggregate(spark, s"$outDir/pairpred_stream")
+            .foreach { gen =>
+              Pipeline.edgeWeightsFromPairPred(spark.read.parquet(gen))
+                .write.mode("overwrite")
+                .parquet(s"$outDir/edge_weights_stream")
+              println(s"[graft] edge_weights_stream backfilled from $gen")
+            }
+      }
       println(s"[graft] stream drained -> $outDir " +
         "(edges_stream + edge_weights_stream maintained)")
       if (preexisting.isEmpty) spark.stop()

@@ -47,7 +47,12 @@ object SparkEntry {
     * from the MATERIALIZED dedup_ngram parquet (parameter drift between
     * two call sites would silently desynchronize them). */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    DedupOps.ngramJaccardPairs(read(s, dir, "documents"), n = 3, thresholdX1000 = 500)
+    // shingle width / bucket cap via DedupOps' shipped constants — the
+    // SQL oracle pins 3-grams explicitly, so a constant change fails the
+    // oracle loudly instead of desyncing the profiler's decomposition
+    DedupOps.ngramJaccardPairs(read(s, dir, "documents"),
+      n = DedupOps.NgramN, thresholdX1000 = 500,
+      maxBucketSize = DedupOps.NgramMaxBucket)
 
   /** docs synthesized for the KG queries at verify scale (Verify.scala
     * materializes the same docs as the `_aux/docs` oracle table). */

@@ -92,6 +92,12 @@ object DedupOps {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** the shipped dedup_ngram shingle width / bucket cap — referenced by
+    * the stage-split profiler (tools/ProfNgram) so its decomposed stages
+    * can never desync from the query they explain. */
+  val NgramN = 3
+  val NgramMaxBucket = 200
+
   /** n-gram Jaccard near-dup candidate pairs via inverted index:
     * explode distinct n-grams → group by the gram's 48-bit PortableHash
     * (bucket) → LOCAL pairwise emission per bucket → count shared per
@@ -124,12 +130,6 @@ object DedupOps {
     * the gram bucket-size cap rides the same aggregation that emits the
     * pairs instead of a window (count-over-partition would sort the fully
     * exploded gram table). */
-  /** the shipped dedup_ngram shingle width / bucket cap — referenced by
-    * the stage-split profiler (tools/ProfNgram) so its decomposed stages
-    * can never desync from the query they explain. */
-  val NgramN = 3
-  val NgramMaxBucket = 200
-
   def ngramJaccardPairs(documents: DataFrame, n: Int = NgramN,
                         thresholdX1000: Int = 500,
                         maxBucketSize: Int = NgramMaxBucket,
@@ -294,15 +294,22 @@ object DedupOps {
     * (default 2²² ≈ 4M) and usually ≤ k·|seen|, INDEPENDENT of document
     * sizes, so at 100 TB it is a broadcastable table where the md5 set
     * is not. Fully deterministic (PortableHash family), so the DuckDB
-    * oracle recomputes the filter bit-for-bit. */
+    * oracle recomputes the filter bit-for-bit. The parameters travel
+    * WITH the positions ([[BloomIndex]]): probing with a different m or
+    * k than the index was built with would silently produce false
+    * negatives — the one failure mode a Bloom screen must never have. */
+  final case class BloomIndex(positions: DataFrame, mBits: Long, kHashes: Int)
+
   def bloomPositions(seen: DataFrame, mBits: Long = 1L << 22,
-                     kHashes: Int = 7): DataFrame = {
+                     kHashes: Int = 7): BloomIndex = {
     graft.functions.ZhFunctions.register(seen.sparkSession)
-    parallelized(seen)
-      .select(explode(array((0 until kHashes).map(i =>
-        pmod(PortableHash.familyHashLong(i, col("text")), lit(mBits))): _*))
-        .as("pos"))
-      .distinct()
+    BloomIndex(
+      parallelized(seen)
+        .select(explode(array((0 until kHashes).map(i =>
+          pmod(PortableHash.familyHashLong(i, col("text")), lit(mBits))): _*))
+          .as("pos"))
+        .distinct(),
+      mBits, kHashes)
   }
 
   /** Probe the incoming batch against a [[bloomPositions]] index: a doc
@@ -312,17 +319,17 @@ object DedupOps {
     * clean docs stream straight through). One narrow probe explode +
     * LEFT SEMI on the fixed-width position + one doc-granular count —
     * the probe side never carries text past the hash. */
-  def crossBloomScreen(incoming: DataFrame, bloom: DataFrame,
-                       mBits: Long = 1L << 22, kHashes: Int = 7): DataFrame = {
+  def crossBloomScreen(incoming: DataFrame, bloom: BloomIndex): DataFrame = {
     graft.functions.ZhFunctions.register(incoming.sparkSession)
+    val kHashes = bloom.kHashes
     val probes = parallelized(incoming)
       .select(col("doc_id"), explode(array((0 until kHashes).map(i =>
-        pmod(PortableHash.familyHashLong(i, col("text")), lit(mBits))): _*))
+        pmod(PortableHash.familyHashLong(i, col("text")), lit(bloom.mBits))): _*))
         .as("pos"))
     // semi-join keeps left multiplicity: k probe rows per doc, so
     // n_hits == kHashes ⇔ every position present, even when a doc's own
     // k positions collide with each other
-    val hits = probes.join(bloom.select(col("pos")).distinct(),
+    val hits = probes.join(bloom.positions.select(col("pos")).distinct(),
         Seq("pos"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     incoming.select(col("doc_id"))

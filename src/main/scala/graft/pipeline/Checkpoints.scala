@@ -92,7 +92,15 @@ final class CheckpointStore(root: String, spark: SparkSession,
   def isComplete(stage: String): Boolean =
     !foldInFlight &&
       fs.exists(new Path(dataPath(stage), "_SUCCESS")) &&
-      readMeta(stage).exists(_.contains(s""""fingerprint":${jstr(fingerprint)}"""))
+      stageFingerprint(stage).exists(stored =>
+        stored == fingerprint ||
+          // pin-encoding migration: the aliases= segment is the one
+          // fingerprint component whose LITERAL form changed across
+          // versions (raw → always-marked → marked-only-when-needed);
+          // compare it decoded so an equivalent root keeps resuming —
+          // see Pipeline.normalizeFingerprint for why this is safe
+          Pipeline.normalizeFingerprint(stored) ==
+            Pipeline.normalizeFingerprint(fingerprint))
 
   /** every stage under this root that is COMPLETE under THIS store's
     * fingerprint — the maintenance-pass work list (derived, never

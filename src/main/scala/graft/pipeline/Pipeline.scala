@@ -262,7 +262,7 @@ object Pipeline {
   /** the pairwise expansion + final edge aggregation over an
     * already-capped pair-pred table: a local flatMap over the grouped
     * list — never a self-join — so per-group work is bounded at k². */
-  private def edgesFromCapped(capped: DataFrame): DataFrame = {
+  private[graft] def edgesFromCapped(capped: DataFrame): DataFrame = {
     val spark = capped.sparkSession
     import spark.implicits._
     val grouped = capped
@@ -346,11 +346,18 @@ object Pipeline {
     * pred-cardinality-sized, AQE broadcasts them when small. */
   def edgeWeightsFromPairPred(pairPred: DataFrame, maxPredsPerPair: Int = 32,
                               saltBuckets: Int = 8,
-                              materializeCapped: Boolean = true): DataFrame = {
-    val spark = pairPred.sparkSession
+                              materializeCapped: Boolean = true): DataFrame =
+    edgeWeightsFromCapped(cappedCheckpointed(pairPred, maxPredsPerPair,
+      saltBuckets, materializeCapped))
+
+  /** the weight derivation over an already-capped (ideally materialized)
+    * pair-pred table — lets a caller that also needs the edge table
+    * ([[graft.streaming.StreamingOps.maintainEdges]]) derive BOTH
+    * surfaces from one capped materialization instead of re-running the
+    * cap per surface. */
+  private[graft] def edgeWeightsFromCapped(capped: DataFrame): DataFrame = {
+    val spark = capped.sparkSession
     import spark.implicits._
-    val capped = cappedCheckpointed(pairPred, maxPredsPerPair, saltBuckets,
-      materializeCapped)
     val edges = edgesFromCapped(capped)
     // both directions of every unordered co-occurrence edge: shared
     // counts are symmetric, the scores are not
@@ -912,15 +919,33 @@ object Pipeline {
       enc.stripPrefix(EncodedPinMarker).replace("%2C", ",").replace("%25", "%")
     else enc // legacy unversioned pin: identity, NEVER percent-decoded
 
+  /** fingerprints compare LITERALLY ([[CheckpointStore.isComplete]]);
+    * this normalizer maps the one version-dependent segment
+    * (`aliases=<pin>`) to its decoded pin, so a root stamped by the
+    * short-lived unconditional-marker code (`aliases=e:/clean/path@xh`)
+    * still resumes under today's raw form instead of silently
+    * recomputing. Safe even across the unmarked-encoded ambiguity: two
+    * fingerprints can only normalize equal when their pins decode equal,
+    * and a pin's content hash pins the dictionary ROWS — equal hash ⇒
+    * equal canonicalization input regardless of how the path reads. */
+  private[pipeline] def normalizeFingerprint(fp: String): String =
+    "aliases=([^,]*)".r.replaceAllIn(fp, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "aliases=" + decodePin(m.group(1))))
+
   /** every reading a STORED pin may legitimately have: the current
     * decode, plus — for an unmarked pin carrying percent escapes — the
     * round-6 interpretation (that version encoded without the marker,
-    * so its stored 'a%2Cb' meant 'a,b'). A validator accepting ANY
-    * interpretation is safe: pins carry the dictionary's content hash,
-    * so a wrong interpretation cannot collide with the current spec. */
+    * so its stored 'a%2Cb' meant 'a,b'). Accepting the extra reading is
+    * safe ONLY because pins carry the dictionary's content hash, which
+    * [[aliasPinMatches]] compares whole — so the alternative is offered
+    * strictly for HASHED pins; a hashless legacy pin compares path-only,
+    * where a wrong interpretation could match a genuinely different
+    * dictionary file. */
   private[graft] def pinInterpretations(enc: String): Seq[String] = {
     val cur = decodePin(enc)
     if (!enc.startsWith(EncodedPinMarker) &&
+        HashedPin.pattern.matcher(enc).matches() &&
         (enc.contains("%2C") || enc.contains("%25")))
       Seq(cur, enc.replace("%2C", ",").replace("%25", "%"))
     else Seq(cur)

@@ -133,10 +133,42 @@ object StreamingOps {
   /** the lineage tag embedded in generation dir names: a stable hex
     * digest of the run identity (checkpoint path for checkpointed
     * queries — SAME tag across restarts; a fresh UUID per no-checkpoint
-    * start). MurmurHash3.stringHash is deterministic across JVMs. */
+    * start). 16 hex chars of md5 (64 bits): a 32-bit hash would leave a
+    * ~2^-32 chance that a foreign lineage's orphan generation collides
+    * into the self-overwrite branch — the old separate-stamp design
+    * compared the full runId exactly, so the name-encoded design should
+    * not be meaningfully weaker. */
   private[graft] def lineageTagOf(runId: String): String =
-    java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(runId, 0x67726166))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(runId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+
+  /** the committed aggregate generation of a maintained store, if any —
+    * the post-drain read point for backfills (a store maintained before
+    * the weight surface existed has edges but no weights; a drain with
+    * no new batches never enters foreachBatch, so the backfill must read
+    * the committed generation directly). Resolves tagged
+    * (`agg_<id>-<tag>`), legacy bare (`agg_<id>`) and legacy flat
+    * (`agg`) layouts. */
+  def committedAggregate(spark: org.apache.spark.sql.SparkSession,
+                         aggPath: String): Option[String] = {
+    val base = new org.apache.hadoop.fs.Path(aggPath)
+    val marker = new org.apache.hadoop.fs.Path(aggPath, "_last_batch")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = readLastBatch(fs, marker)
+    if (last < 0L) None
+    else {
+      def ok(p: org.apache.hadoop.fs.Path) =
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      val pat = s"^agg_$last(-[0-9a-f]+)?$$".r
+      val gens =
+        (if (fs.exists(base)) fs.listStatus(base).map(_.getPath).toSeq
+         else Seq.empty)
+          .filter(p => pat.pattern.matcher(p.getName).matches()) :+
+          new org.apache.hadoop.fs.Path(aggPath, "agg")
+      gens.find(ok).map(_.toString)
+    }
+  }
 
   /** tolerant `_last_batch` read: an unreadable/empty marker parses as
     * -1 ("nothing committed") instead of a NumberFormatException that
@@ -329,16 +361,14 @@ object StreamingOps {
                   "the newest intact generation's id ('N' for agg_N)")
               None
             }
-            else genRead(last)
+            else Some(genRead(last)
               .orElse(if (hasSuccess(legacy)) Some(legacy) else None)
               .getOrElse(sys.error(
                 s"maintainEdges: $marker commits batch $last but neither " +
                   s"an agg_$last generation nor $legacy has a _SUCCESS — " +
                   "the store is corrupted outside the generation " +
                   "protocol; refusing to reinitialize the aggregate " +
-                  "from a single batch's delta")) match {
-              case p => Some(p)
-            }
+                  "from a single batch's delta")))
           val delta = Pipeline.pairPredAggregate(batch.toDF())
           val merged = current
             .map(d => Pipeline.mergePairPred(spark.read.parquet(d.toString), delta))
@@ -348,14 +378,20 @@ object StreamingOps {
           // atomic with the parquet job's own _SUCCESS — no separate
           // stamp file, no stampless crash window
           merged.write.mode("overwrite").parquet(genW(batchId).toString)
-          Pipeline.edgesFromPairPred(merged)
+          // BOTH derived surfaces share ONE capped materialization —
+          // deriving weights through edgeWeightsFromPairPred would
+          // re-run the cap (window top-k) and the pairwise expansion a
+          // second time per batch
+          val capped = Pipeline.cappedPairPred(merged, 32, 8)
+            .localCheckpoint(eager = false)
+          Pipeline.edgesFromCapped(capped)
             .write.mode("overwrite").parquet(edgesPath)
           // the entailment-weight surface rides the SAME merged
           // aggregate — a stream-fed store maintains weights exactly
           // like the batch fold does (derivation re-run per batch, never
-          // corpus-scaled; `merged` is already materialized above)
+          // corpus-scaled)
           weightsPath.foreach(p =>
-            Pipeline.edgeWeightsFromPairPred(merged)
+            Pipeline.edgeWeightsFromCapped(capped)
               .write.mode("overwrite").parquet(p))
           // atomic marker commit: write-temp-then-rename — a crash can
           // leave the OLD marker (replay recomputes the merge off the

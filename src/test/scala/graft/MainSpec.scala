@@ -403,6 +403,21 @@ class MainSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(streamedW == batchW,
            s"stream-maintained weights diverged (${streamedW.size} vs ${batchW.size})")
+    // a store maintained BEFORE the weight surface existed (simulated by
+    // deleting it) is backfilled on the next drain even when no new
+    // batch arrives (foreachBatch never fires — the backfill reads the
+    // committed aggregate generation directly)
+    locally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$out/edge_weights_stream"))
+      Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,
+                      "--stream-once"))
+      val refilled = spark.read.parquet(s"$out/edge_weights_stream")
+        .collect().map(_.toSeq).toSet
+      assert(refilled == batchW, "post-drain weight backfill diverged")
+    }
     // one-shot flags are loudly rejected (they would be silently dead)
     intercept[IllegalArgumentException](
       Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,

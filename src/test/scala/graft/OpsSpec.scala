@@ -617,7 +617,7 @@ class OpsSpec extends SparkSpecBase {
       .toDF("doc_id", "text")
     val bloom = DedupOps.bloomPositions(seen)
     // index size bounded by k × |seen| (dedup can only shrink it)
-    assert(bloom.count() <= 14L && bloom.count() > 0L)
+    assert(bloom.positions.count() <= 14L && bloom.positions.count() > 0L)
     val got = DedupOps.crossBloomScreen(incoming, bloom)
       .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
     assert(got.map(_._1) == Seq(10L, 11L, 12L), got.toString) // all batch rows screened
@@ -633,8 +633,9 @@ class OpsSpec extends SparkSpecBase {
     assert(re == got)
     // a doc whose own k positions collide internally still needs ALL of
     // them present: a tiny filter (m=8) makes everything collide — the
-    // copy still flags (Bloom's no-false-negative guarantee holds at any m)
-    val tiny = DedupOps.crossBloomScreen(incoming, DedupOps.bloomPositions(seen, mBits = 8L), mBits = 8L)
+    // copy still flags, and the m/k travel WITH the index so a probe can
+    // never silently use mismatched parameters
+    val tiny = DedupOps.crossBloomScreen(incoming, DedupOps.bloomPositions(seen, mBits = 8L))
       .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
     assert(tiny(0)._3 == 1 && tiny(1)._3 == 1)
   }

@@ -452,6 +452,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(edges.forall { case ((a, b), n) => w((a, b)) == n && w((b, a)) == n })
   }
 
+  test("a root stamped under the marker-era pin encoding still resumes") {
+    // the short-lived unconditional-marker version stamped clean pins as
+    // 'aliases=e:<path>'; today's code stamps them raw — the literal
+    // fingerprints differ but the roots are equivalent and must resume,
+    // not silently recompute
+    val root = Files.createTempDirectory("graft-fp-migrate").toString
+    val legacyFp = "reader=synth,aliases=e:/dict/a.tsv@x12ab,withCoref=false"
+    val currentFp = "reader=synth,aliases=/dict/a.tsv@x12ab,withCoref=false"
+    val legacy = new graft.pipeline.CheckpointStore(root, spark, fingerprint = legacyFp)
+    legacy.runStageDF("docs")(Seq((1L, "x")).toDF("doc_id", "text"))
+    val current = new graft.pipeline.CheckpointStore(root, spark, fingerprint = currentFp)
+    assert(current.isComplete("docs"), "marker-era root must resume under the raw form")
+    // a thunk forced here would prove recomputation
+    assert(current.runStageDF("docs")(sys.error("recomputed")).count() == 1L)
+    // a genuinely DIFFERENT dictionary still invalidates
+    val other = new graft.pipeline.CheckpointStore(root, spark,
+      fingerprint = "reader=synth,aliases=/dict/OTHER.tsv@xffff,withCoref=false")
+    assert(!other.isComplete("docs"))
+  }
+
   test("slice merge accepts a bucketed checkpoint read as the existing store") {
     val root = Files.createTempDirectory("graft-merge-ckpt").toString
     val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "m=1")
