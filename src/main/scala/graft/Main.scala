@@ -261,8 +261,9 @@ object Main {
           "toy-sample", "export-jsonl", "compact", "skew-report")
           .filter(opts.contains)
         require(banned.isEmpty,
-          s"--stream-once maintains pairpred_stream/edges_stream/" +
-            s"edge_weights_stream only; " +
+          s"--stream-once maintains pairpred_stream/type_evidence_stream/" +
+            s"edges_stream/edge_weights_stream/edge_weights_typed_stream " +
+            s"only; " +
             s"${banned.map("--" + _).mkString(", ")} must run as separate jobs")
       }
       // the maintained stream aggregate is built under ONE dict: pin the
@@ -302,35 +303,68 @@ object Main {
       import spark.implicits._
       val docsStream = spark.readStream.schema(Pipeline.docsJsonSchema)
         .json(input).as[Doc]
-      val canonical = Pipeline.canonicalize(
-        graft.streaming.StreamingOps.streamingTriples(docsStream), aliases)
-      val q = graft.streaming.StreamingOps.maintainEdges(canonical,
-        s"$outDir/pairpred_stream", s"$outDir/edges_stream",
+      // the docs-stream fold bridge: pair-pred AND type-evidence
+      // aggregates maintained per micro-batch (same generation protocol,
+      // same lineage), edges + weights + TYPED weights re-derived per
+      // batch — a stream-fed store carries the full weight battery
+      val q = graft.streaming.StreamingOps.maintainTypedEdges(
+        docsStream, aliases,
+        aggPath = s"$outDir/pairpred_stream",
+        evidencePath = s"$outDir/type_evidence_stream",
+        edgesPath = s"$outDir/edges_stream",
+        weightsPath = s"$outDir/edge_weights_stream",
+        typedWeightsPath = s"$outDir/edge_weights_typed_stream",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
-        checkpointLocation = Some(s"$outDir/_stream_checkpoint"),
-        weightsPath = Some(s"$outDir/edge_weights_stream"))
+        checkpointLocation = Some(s"$outDir/_stream_checkpoint"))
       q.awaitTermination()
       // a drain with NO new batches never enters foreachBatch — a store
-      // maintained before the weight surface existed would end the run
-      // with edges_stream but no edge_weights_stream. Backfill once from
-      // the committed aggregate generation so the advertised layout holds
-      // after every drain, new data or not.
-      locally {
-        val wPath = new org.apache.hadoop.fs.Path(
-          s"$outDir/edge_weights_stream/_SUCCESS")
-        val fsW = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fsW.exists(wPath))
-          graft.streaming.StreamingOps
-            .committedAggregate(spark, s"$outDir/pairpred_stream")
-            .foreach { gen =>
-              Pipeline.edgeWeightsFromPairPred(spark.read.parquet(gen))
-                .write.mode("overwrite")
-                .parquet(s"$outDir/edge_weights_stream")
-              println(s"[graft] edge_weights_stream backfilled from $gen")
-            }
+      // maintained before the weight surfaces existed would end the run
+      // with edges_stream but no edge_weights_stream (or no typed twin).
+      // Backfill once from the committed aggregate generations so the
+      // advertised layout holds after every drain, new data or not; when
+      // a backfill input is MISSING, say so explicitly — the closing
+      // message must never claim a surface that is not there.
+      val fsS = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def present(p: String) =
+        fsS.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      val ppGen = graft.streaming.StreamingOps
+        .committedAggregate(spark, s"$outDir/pairpred_stream")
+      if (!present(s"$outDir/edge_weights_stream")) ppGen match {
+        case Some(gen) =>
+          Pipeline.edgeWeightsFromPairPred(spark.read.parquet(gen))
+            .write.mode("overwrite").parquet(s"$outDir/edge_weights_stream")
+          println(s"[graft] edge_weights_stream backfilled from $gen")
+        case None => println(
+          "[graft] WARNING: edge_weights_stream absent and no committed " +
+            "pair-pred aggregate to backfill from (empty store) — " +
+            "edge_weights_stream stays absent this drain")
       }
+      if (!present(s"$outDir/edge_weights_typed_stream")) {
+        val evGen = graft.streaming.StreamingOps
+          .committedAggregate(spark, s"$outDir/type_evidence_stream")
+        (ppGen, evGen) match {
+          case (Some(pg), Some(eg)) =>
+            Pipeline.typedEdgeWeights(spark.read.parquet(pg),
+                Pipeline.entityTypesFromEvidence(spark.read.parquet(eg)))
+              .write.mode("overwrite")
+              .parquet(s"$outDir/edge_weights_typed_stream")
+            println(s"[graft] edge_weights_typed_stream backfilled from $pg + $eg")
+          case _ => println(
+            "[graft] WARNING: edge_weights_typed_stream absent and no " +
+              "committed " +
+              (if (ppGen.isEmpty) "pair-pred aggregate" else "type-evidence aggregate") +
+              " to backfill from (a store maintained before the typed " +
+              "surface existed has no captured mention evidence; it " +
+              "gains the surface on its first mutating batch) — " +
+              "edge_weights_typed_stream stays absent this drain")
+        }
+      }
+      val maintained = Seq("edges_stream", "edge_weights_stream",
+        "edge_weights_typed_stream").filter(s => present(s"$outDir/$s"))
       println(s"[graft] stream drained -> $outDir " +
-        "(edges_stream + edge_weights_stream maintained)")
+        s"(${if (maintained.isEmpty) "no derived surfaces yet (empty store)"
+            else maintained.mkString(" + ") + " maintained"})")
       if (preexisting.isEmpty) spark.stop()
       return
     }

@@ -234,6 +234,48 @@ object SparkEntry {
           Pipeline.pairPredAggregate(canon(0, 250)),
           Pipeline.pairPredAggregate(canon(250, VerifyDocs))))
     }),
+    "kg_typed_edge_weights" -> ((s, _) => {
+      // the per-argument-type-pair subgraph surface (the Hosseini/Berant
+      // formulation the downstream EntGraph build constructs): the
+      // cond/PMI battery computed WITHIN each (type_s, type_o) slice,
+      // types = modal NER label per canonical entity from the
+      // entity-link mentions ⋈ annotator labels evidence join
+      val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      val types = Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
+        Mentions.detect(sents, Pipeline.synthAliases(s)),
+        Pipeline.mentionLabelTable(sents)))
+      Pipeline.typedEdgeWeights(Pipeline.pairPredAggregate(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s))), types)
+    }),
+    "kg_typed_edge_weights_incr" -> ((s, _) => {
+      // incremental twin: BOTH additive aggregates (pair-pred AND type
+      // evidence) folded from two slices, the non-additive assignment +
+      // weight derivation recomputed — must equal the batch surface
+      // exactly, so it SHARES its oracle SQL
+      def slice(from: Long, until: Long) = {
+        val docs = Pipeline.synthDocsRange(s, from, until)
+        val sents = Pipeline.segmentDocs(docs)
+        val pp = Pipeline.pairPredAggregate(Pipeline.canonicalize(
+          Pipeline.extractTriples(sents), Pipeline.synthAliases(s)))
+        val ev = Pipeline.entityTypeEvidence(
+          Mentions.detect(sents, Pipeline.synthAliases(s)),
+          Pipeline.mentionLabelTable(sents))
+        (pp, ev)
+      }
+      val (ppA, evA) = slice(0, 250)
+      val (ppB, evB) = slice(250, VerifyDocs)
+      Pipeline.typedEdgeWeights(
+        Pipeline.mergePairPred(ppA, ppB),
+        Pipeline.entityTypesFromEvidence(Pipeline.mergeTypeEvidence(evA, evB)))
+    }),
+    "kg_edges_topk" -> ((s, _) => {
+      // the sparsified consumption surface: top-K per source predicate
+      // by balanced inclusion (window rank per group — no global sort)
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      Pipeline.edgesTopK(Pipeline.edgeWeightsSupport(Pipeline.pairPredAggregate(
+        Pipeline.canonicalize(t, Pipeline.synthAliases(s)))), k = 8)
+    }),
     "kg_entity_rank" -> ((s, _) => {
       // entity importance: fixed-point integer PageRank over the same
       // bounded co-occurrence graph as kg_cooc_components — pure BIGINT
@@ -336,17 +378,23 @@ object SparkEntry {
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssets(Pipeline.synthDocs(s, VerifyDocs)))
         .drop("payload").toDF()),
     "mm_media_features_real" -> ((s, _) =>
-      // image payloads are REAL PNGs decoded through javax.imageio and
-      // audio payloads REAL WAVs decoded through javax.sound.sampled;
-      // the oracle independently re-parses the IHDR / RIFF header bytes,
-      // so both codec paths are value-verified (video stays on the GRFT
-      // stub — the JDK ships no video codec)
+      // image payloads are REAL PNGs decoded through javax.imageio,
+      // audio payloads REAL WAVs decoded through javax.sound.sampled,
+      // video payloads REAL ISO BMFF containers parsed by the box walk;
+      // the oracle independently re-parses the IHDR / RIFF / BMFF header
+      // bytes, so all three parse paths are value-verified
       MultimodalOps.extractFeatures(MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(s, VerifyDocs)))
         .toDF()),
     "mm_audio_features" -> ((s, _) =>
       // the audio-native schema (channels/bits/frames/rate) through the
       // real javax.sound.sampled header parse
       MultimodalOps.audioFeatures(MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(s, VerifyDocs)))
+        .toDF()),
+    "mm_video_features" -> ((s, _) =>
+      // the video-native pre-decode filter surface: duration/timescale/
+      // track count/dimensions/sample count parsed from REAL ISO BMFF
+      // boxes; the oracle re-parses the big-endian box headers in SQL
+      MultimodalOps.videoFeatures(MultimodalOps.mediaAssetsReal(Pipeline.synthDocs(s, VerifyDocs)))
         .toDF()),
     "mm_media_dedup" -> ((s, _) =>
       MultimodalOps.dedupAssets(
@@ -471,6 +519,15 @@ object SparkEntry {
       val planted = crossPlanted(read(s, dir, "documents"))
       DedupOps.crossApply(planted.filter(col("doc_id") % 3 =!= 0),
                           planted.filter(col("doc_id") % 3 === 0))
+    }),
+    "dedup_cross_verify" -> ((s, dir) => {
+      // the pairwise VERIFIER downstream of the screen: exact
+      // shingle-Jaccard on suspect pairs only (suspect-bounded work),
+      // best seen match per suspect, screen verdict refined by true
+      // similarity
+      val planted = crossPlanted(read(s, dir, "documents"))
+      DedupOps.crossVerify(planted.filter(col("doc_id") % 3 =!= 0),
+                           planted.filter(col("doc_id") % 3 === 0))
     }),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(read(s, dir, "documents"))),
@@ -737,6 +794,69 @@ object SparkEntry {
         |     + CASE WHEN (x0 + 1) * (x0 + 1) <= weeds_ppm * lin_ppm
         |            THEN 1 ELSE 0 END AS binc_ppm
         |FROM sqx""".stripMargin
+    // shared by kg_typed_edge_weights and its _incr twin: the typed
+    // (per-argument-type-pair) battery. Types re-derived end-to-end in
+    // SQL: evidence = materialized kg_mentions ⋈ the mention_labels aux
+    // table on the exact (doc, sentence, surface) key, assignment = the
+    // same deterministic argmax window, then the capped space re-sliced
+    // with marginals/totals per (type_s, type_o).
+    val kgTypedEdgeWeightsSql =
+      s"""WITH ppx AS (SELECT subj_canonical AS arg_s, obj_canonical AS arg_o, pred,
+        |    count(*) AS support
+        |  FROM read_parquet('__OUT__/kg_canonical/*.parquet')
+        |  WHERE subj_canonical IS NOT NULL AND obj_canonical IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |ev AS (SELECT m.canonical, l.label AS ent_type, count(*) AS n_mentions
+        |  FROM read_parquet('__OUT__/kg_mentions/*.parquet') m
+        |  JOIN read_parquet('__AUX__/mention_labels/*.parquet') l
+        |    ON l.doc_id = m.doc_id AND l.sent_id = m.sent_id AND l.word = m.mention
+        |  GROUP BY 1, 2),
+        |ty AS (SELECT canonical, ent_type FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY canonical
+        |      ORDER BY n_mentions DESC, ent_type) AS rk FROM ev)
+        |  WHERE rk = 1),
+        |tpp AS (SELECT COALESCE(ts.ent_type, 'OTHER') AS type_s,
+        |    COALESCE(tob.ent_type, 'OTHER') AS type_o,
+        |    p.arg_s, p.arg_o, p.pred, p.support
+        |  FROM ppx p LEFT JOIN ty ts ON ts.canonical = p.arg_s
+        |             LEFT JOIN ty tob ON tob.canonical = p.arg_o),
+        |capped AS (SELECT type_s, type_o, arg_s, arg_o, pred, support FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY arg_s, arg_o
+        |                                 ORDER BY support DESC, pred) AS rk FROM tpp)
+        |  WHERE rk <= 32),
+        |pairs AS (SELECT x.type_s, x.type_o, x.pred AS pred_src, y.pred AS pred_dst
+        |  FROM capped x JOIN capped y
+        |    ON x.arg_s = y.arg_s AND x.arg_o = y.arg_o AND x.pred <> y.pred),
+        |sh AS (SELECT type_s, type_o, pred_src, pred_dst, count(*) AS shared_pairs
+        |  FROM pairs GROUP BY 1, 2, 3, 4),
+        |marg AS (SELECT type_s, type_o, pred, count(*) AS n_pairs
+        |  FROM capped GROUP BY 1, 2, 3),
+        |tot AS (SELECT type_s, type_o, count(*) AS total_pairs FROM
+        |  (SELECT DISTINCT type_s, type_o, arg_s, arg_o FROM capped)
+        |  GROUP BY 1, 2)
+        |SELECT s.type_s, s.type_o, s.pred_src, s.pred_dst, s.shared_pairs,
+        |  ms.n_pairs AS n_src_pairs, md.n_pairs AS n_dst_pairs,
+        |  CAST((CAST(s.shared_pairs AS HUGEINT) * 1000000) // ms.n_pairs
+        |    AS BIGINT) AS cond_ppm,
+        |  CAST((CAST(s.shared_pairs AS HUGEINT) * t.total_pairs * 1000000)
+        |    // (CAST(ms.n_pairs AS HUGEINT) * md.n_pairs) AS BIGINT) AS pmi_ppm
+        |FROM sh s
+        |JOIN marg ms ON ms.type_s = s.type_s AND ms.type_o = s.type_o
+        |  AND ms.pred = s.pred_src
+        |JOIN marg md ON md.type_s = s.type_s AND md.type_o = s.type_o
+        |  AND md.pred = s.pred_dst
+        |JOIN tot t ON t.type_s = s.type_s AND t.type_o = s.type_o""".stripMargin
+    // the sparsified top-K-per-source surface over the sup battery —
+    // the whole sup derivation rides as a CTE, then a per-group
+    // row_number (same deterministic tie-break as the Spark window)
+    val kgEdgesTopKSql =
+      s"""WITH base AS ($kgEdgeWeightsSupSql)
+        |SELECT pred_src, pred_dst, binc_ppm, rank FROM (
+        |  SELECT pred_src, pred_dst, binc_ppm,
+        |    CAST(row_number() OVER (PARTITION BY pred_src
+        |      ORDER BY binc_ppm DESC, pred_dst) AS INTEGER) AS rank
+        |  FROM base)
+        |WHERE rank <= 8""".stripMargin
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
     def gramsCteOver(src: String) =
@@ -766,13 +886,29 @@ object SparkEntry {
          |  FROM documents)""".stripMargin
     val winnowFps = (0 until 8)
       .map(i => s"min(${duckFamilyHashLong(i, "s")}) AS fp$i").mkString(",\n  ")
-    // big-endian int32 at 1-based hex-char offset `startChar` of a
-    // lowercase hex string (mirrors MultimodalOps.decodeHeader's
-    // ByteBuffer.getInt reads)
-    def duckBeInt(hexExpr: String, startChar: Int): String =
-      s"""CAST(list_sum(list_transform(generate_series(0, 7), bi ->
+    // big-endian unsigned int of `nBytes` bytes at 1-based hex-char
+    // offset `startChar` of a lowercase hex string (mirrors
+    // MultimodalOps.decodeHeader / decodeVideoMeta ByteBuffer reads)
+    def duckBeInt(hexExpr: String, startChar: Int, nBytes: Int = 4): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, ${2 * nBytes - 1}), bi ->
          |    CAST(strpos('0123456789abcdef', substr($hexExpr, $startChar + bi, 1)) - 1 AS BIGINT)
-         |      * (CAST(1 AS BIGINT) << CAST((7 - bi) * 4 AS BIGINT)))) AS INTEGER)""".stripMargin
+         |      * (CAST(1 AS BIGINT) << CAST((${2 * nBytes - 1} - bi) * 4 AS BIGINT)))) AS INTEGER)""".stripMargin
+    // ISO BMFF synth-layout offsets for the video oracles — derived from
+    // MultimodalOps' box-size constants (the ONE source of truth both
+    // the writer and this SQL share); hex char of byte b is 2b+1
+    def bmffC(byteOff: Int) = 2 * byteOff + 1
+    val bmffMoov = MultimodalOps.BmffFtypSize                       // moov box start
+    val bmffMvhd = bmffMoov + 8                                     // mvhd box start
+    val bmffTkhd = MultimodalOps.BmffFirstTrak + 8                  // first tkhd start
+    val bmffStsz = MultimodalOps.BmffFirstTrak + 8 + 92 + 8 + 32 + 8 + 8 // first stsz start
+    // fourcc tag assertions at the chained box offsets — a payload that
+    // is not the expected box sequence drops out of the oracle, which
+    // the driver's row compare flags loudly
+    def bmffTag(byteOff: Int, fourcc: String) =
+      s"substr(hx, ${bmffC(byteOff + 4)}, 8) = '${fourcc.getBytes("US-ASCII").map(b => f"$b%02x").mkString}'"
+    val bmffGuards = Seq(0 -> "ftyp", bmffMoov -> "moov", bmffMvhd -> "mvhd",
+      bmffTkhd -> "tkhd", bmffStsz -> "stsz")
+      .map { case (o, t) => bmffTag(o, t) }.mkString("\n  AND ")
     // LITTLE-endian unsigned int of `nBytes` bytes at 1-based hex-char
     // offset `startChar` (byte b of the blob starts at hex char 2b+1) —
     // the RIFF/WAV header fields are little-endian
@@ -1106,6 +1242,9 @@ object SparkEntry {
       "kg_edge_weights_incr" -> kgEdgeWeightsSql,
       "kg_edge_weights_sup" -> kgEdgeWeightsSupSql,
       "kg_edge_weights_sup_incr" -> kgEdgeWeightsSupSql,
+      "kg_typed_edge_weights" -> kgTypedEdgeWeightsSql,
+      "kg_typed_edge_weights_incr" -> kgTypedEdgeWeightsSql,
+      "kg_edges_topk" -> kgEdgesTopKSql,
       // the incremental maintenance path must land on the IDENTICAL edge
       // table — proven by sharing the batch oracle verbatim
       "kg_edges_incr" -> kgEdgesSql,
@@ -1206,28 +1345,59 @@ object SparkEntry {
         // 44-byte RIFF header (little-endian: channels@22, rate@24,
         // blockAlign@32, bits@34, dataSize@40; frames = dataSize /
         // blockAlign) — in the shared schema audio rides width=channels,
-        // height=bits_per_sample. Video still carries the GRFT stub
-        // header at the usual big-endian offsets. If javax.imageio or
-        // javax.sound.sampled ever decoded wrong, this oracle catches it.
+        // height=bits_per_sample. For kind=video the payload is a REAL
+        // ISO BMFF container: dimensions are the 16.16-fixed integer
+        // halves in the first tkhd, frames the first stsz sample count
+        // (big-endian, offsets from the shared Bmff* layout constants).
+        // If javax.imageio, javax.sound.sampled or the box walk ever
+        // parsed wrong, this oracle catches it.
         s"""WITH a AS (SELECT doc_id, media_ref, kind, payload,
            |    lower(hex(payload)) AS hx
            |  FROM read_parquet('__AUX__/media_assets_real/*.parquet'))
            |SELECT doc_id, media_ref, kind,
            |  CASE WHEN kind = 'image' THEN ${duckBeInt("hx", 33)}
            |       WHEN kind = 'audio' THEN ${duckLeInt("hx", 45, 2)}
-           |       ELSE ${duckBeInt("hx", 9)} END AS width,
+           |       ELSE ${duckBeInt("hx", bmffC(bmffTkhd + 84), 2)} END AS width,
            |  CASE WHEN kind = 'image' THEN ${duckBeInt("hx", 41)}
            |       WHEN kind = 'audio' THEN ${duckLeInt("hx", 69, 2)}
-           |       ELSE ${duckBeInt("hx", 17)} END AS height,
+           |       ELSE ${duckBeInt("hx", bmffC(bmffTkhd + 88), 2)} END AS height,
            |  CASE WHEN kind = 'image' THEN CAST(1 AS INTEGER)
            |       WHEN kind = 'audio' THEN CAST(${duckLeInt("hx", 81, 4)}
            |         // ${duckLeInt("hx", 65, 2)} AS INTEGER)
-           |       ELSE ${duckBeInt("hx", 25)} END AS n_frames,
+           |       ELSE ${duckBeInt("hx", bmffC(bmffStsz + 16))} END AS n_frames,
            |  CASE WHEN kind = 'image' THEN CAST(0 AS INTEGER)
            |       WHEN kind = 'audio' THEN ${duckLeInt("hx", 49, 4)}
-           |       ELSE ${duckBeInt("hx", 33)} END AS sample_rate,
+           |       ELSE CAST(0 AS INTEGER) END AS sample_rate,
            |  CAST(octet_length(payload) AS BIGINT) AS byte_len
            |FROM a""".stripMargin,
+      "mm_video_features" ->
+        // the video-native surface: every field re-derived from the raw
+        // BMFF box bytes in SQL — the five fourcc tags are ASSERTED at
+        // their chained offsets (a non-BMFF payload drops out and the
+        // driver's row compare flags it), mvhd gives timescale/duration,
+        // the moov size field gives the track count, tkhd the 16.16
+        // dimensions, stsz the sample count
+        s"""WITH a AS (SELECT doc_id, media_ref, payload,
+           |    lower(hex(payload)) AS hx
+           |  FROM read_parquet('__AUX__/media_assets_real/*.parquet')
+           |  WHERE kind = 'video'),
+           |p AS (SELECT doc_id, media_ref, payload,
+           |    ${duckBeInt("hx", bmffC(bmffMvhd + 20))} AS timescale,
+           |    ${duckBeInt("hx", bmffC(bmffMvhd + 24))} AS duration_ticks,
+           |    ${duckBeInt("hx", bmffC(bmffMoov))} AS moov_size,
+           |    ${duckBeInt("hx", bmffC(bmffTkhd + 84), 2)} AS width,
+           |    ${duckBeInt("hx", bmffC(bmffTkhd + 88), 2)} AS height,
+           |    ${duckBeInt("hx", bmffC(bmffStsz + 16))} AS n_frames
+           |  FROM a
+           |  WHERE $bmffGuards)
+           |SELECT doc_id, media_ref, timescale, duration_ticks,
+           |  CAST(CAST(duration_ticks AS BIGINT) * 1000 // timescale AS BIGINT)
+           |    AS duration_ms,
+           |  CAST((moov_size - ${8 + MultimodalOps.BmffMvhdSize})
+           |    // ${MultimodalOps.BmffTrakSize} AS INTEGER) AS n_tracks,
+           |  width, height, n_frames,
+           |  CAST(octet_length(payload) AS BIGINT) AS byte_len
+           |FROM p""".stripMargin,
       "mm_audio_features" ->
         // the audio-native surface over the same real WAV payloads —
         // every field re-derived from the RIFF header bytes in SQL
@@ -1583,6 +1753,51 @@ object SparkEntry {
            |  CAST(CASE WHEN exact_dup = 0 AND n_hit_bands = 0 THEN 1 ELSE 0 END
            |    AS INTEGER) AS kept
            |FROM inc""".stripMargin,
+      "dedup_cross_verify" ->
+        // the pairwise verifier recomputed whole in SQL: the screen's
+        // suspects, candidate (incoming, seen) pairs through shared
+        // ≤200-member band buckets, exact shingle-Jaccard per pair from
+        // the same distinct 3-gram sets, best match per suspect under
+        // the same (jaccard desc, seen_id asc) tie-break
+        s"""WITH $crossPlantCte,
+           |${bandsCteOver("plx")},
+           |snb AS (SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 3 = 0),
+           |susp AS (SELECT b.doc_id, count(*) AS n_hit_bands
+           |  FROM bands b JOIN snb USING (band, bucket)
+           |  WHERE b.doc_id % 3 <> 0 GROUP BY b.doc_id),
+           |okb AS (SELECT band, bucket FROM bands WHERE doc_id % 3 = 0
+           |  GROUP BY 1, 2 HAVING count(*) <= 200),
+           |cand AS (SELECT DISTINCT i.doc_id, s.doc_id AS seen_id
+           |  FROM bands i
+           |  JOIN bands s ON i.band = s.band AND i.bucket = s.bucket
+           |  JOIN okb o ON o.band = i.band AND o.bucket = i.bucket
+           |  JOIN susp ON susp.doc_id = i.doc_id
+           |  WHERE i.doc_id % 3 <> 0 AND s.doc_id % 3 = 0),
+           |na AS (SELECT doc_id, count(*) AS n_a FROM grams
+           |  WHERE doc_id % 3 <> 0 GROUP BY 1),
+           |nb AS (SELECT doc_id AS seen_id, count(*) AS n_b FROM grams
+           |  WHERE doc_id % 3 = 0 GROUP BY 1),
+           |shx AS (SELECT c.doc_id, c.seen_id, count(*) AS shared
+           |  FROM cand c
+           |  JOIN grams gi ON gi.doc_id = c.doc_id
+           |  JOIN grams gs ON gs.doc_id = c.seen_id AND gs.gram = gi.gram
+           |  GROUP BY 1, 2),
+           |scored AS (SELECT shx.doc_id, shx.seen_id,
+           |    (1000 * shx.shared) // (na.n_a + nb.n_b - shx.shared) AS jaccard_x1000
+           |  FROM shx JOIN na ON na.doc_id = shx.doc_id
+           |  JOIN nb ON nb.seen_id = shx.seen_id),
+           |best AS (SELECT doc_id, seen_id AS best_seen_id, jaccard_x1000 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY jaccard_x1000 DESC, seen_id) AS rk FROM scored)
+           |  WHERE rk = 1)
+           |SELECT s.doc_id, s.n_hit_bands,
+           |  COALESCE(b.best_seen_id, -1) AS best_seen_id,
+           |  CAST(COALESCE(b.jaccard_x1000, 0) AS BIGINT) AS jaccard_x1000,
+           |  CAST(CASE WHEN COALESCE(b.jaccard_x1000, 0) >= 500 THEN 1 ELSE 0 END
+           |    AS INTEGER) AS verified,
+           |  CASE WHEN COALESCE(b.jaccard_x1000, 0) >= 500 THEN 'near_dup'
+           |       ELSE 'screen_false_alarm' END AS route_refined
+           |FROM susp s LEFT JOIN best b USING (doc_id)""".stripMargin,
       "text_vocab" ->
         """SELECT token, count(*) AS n_occ
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

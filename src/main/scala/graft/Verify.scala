@@ -45,15 +45,23 @@ object Verify {
     val auxDir = s"${outAbs}_aux"
     // a pre-r7 verify run left its aux tables INSIDE outDir — delete the
     // legacy directory or a reused out dir keeps surfacing the spurious
-    // _aux no_oracle row this relocation exists to kill
+    // _aux no_oracle row this relocation exists to kill. GATED on the
+    // old layout's own signature (the aliases + docs parquet subdirs the
+    // pre-r7 verify always wrote): an unrelated _aux directory that
+    // merely shares the name is left untouched.
     try {
       val legacy = new java.io.File(s"$outDir/_aux")
-      if (legacy.isDirectory) {
+      val oursLegacy = legacy.isDirectory &&
+        new java.io.File(legacy, "aliases").isDirectory &&
+        new java.io.File(legacy, "docs").isDirectory
+      if (oursLegacy) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(legacy)
-      }
+      } else if (legacy.isDirectory)
+        System.err.println(s"[verify] $outDir/_aux exists but lacks the " +
+          "legacy aux signature (aliases/ + docs/) — not ours, left in place")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] legacy _aux cleanup failed: ${e.getMessage}")
     }
@@ -78,6 +86,11 @@ object Verify {
       // lets the kg_coref oracle recompute the serialize-key set diff
       Pipeline.corefRelTable(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs))
         .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/coref_rels")
+      // the annotator's per-mention NER labels — the label side of the
+      // typed-subgraph evidence join (kg_typed_edge_weights oracle)
+      Pipeline.mentionLabelTable(
+          Pipeline.segmentDocs(Pipeline.synthDocs(spark, SparkEntry.VerifyDocs)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/mention_labels")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] aux tables failed: ${e.getMessage}")
     }

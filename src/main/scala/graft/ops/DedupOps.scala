@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 
@@ -134,22 +135,50 @@ object DedupOps {
                         thresholdX1000: Int = 500,
                         maxBucketSize: Int = NgramMaxBucket,
                         hashShuffleKey: Boolean = true): DataFrame = {
-    val spark = documents.sparkSession
-    graft.functions.ZhFunctions.register(spark) // native md5_long48 (idempotent)
-    import spark.implicits._
+    val pairs = ngramPairEmission(
+      ngramBuckets(ngramGramTable(documents, n, hashShuffleKey), maxBucketSize))
+    pairs
+      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard_x1000",
+        ((lit(1000L) * col("shared")) / (col("n_a") + col("n_b") - col("shared"))).cast("long"))
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+      .select(col("a"), col("b"), col("shared"), col("jaccard_x1000"))
+  }
+
+  /** sub-plan builders of [[ngramJaccardPairs]], shared with the
+    * stage-split profiler (`tools/ProfNgram`) so a shape change to the
+    * shipped query can never silently desync the profiler's
+    * decomposition from what the full query runs. */
+  /** stage 1: scan → tokenize → distinct-gram explode (→ 48-bit hash
+    * when `hashShuffleKey`). */
+  private[graft] def ngramGramTable(documents: DataFrame, n: Int = NgramN,
+                                    hashShuffleKey: Boolean = true): DataFrame = {
+    graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48 (idempotent)
     val exploded = parallelized(documents)
       .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-    val grams =
-      if (hashShuffleKey)
-        exploded.select(col("doc_id"), col("n_grams"),
-                        PortableHash.md5Long48(col("gram")).as("gram_h"))
-      else exploded.withColumnRenamed("gram", "gram_h")
+    if (hashShuffleKey)
+      exploded.select(col("doc_id"), col("n_grams"),
+                      PortableHash.md5Long48(col("gram")).as("gram_h"))
+    else exploded.withColumnRenamed("gram", "gram_h")
+  }
+
+  /** stage 2: group by the gram key + bucket-size guard (the cap rides
+    * the same aggregation that feeds the pair emission — no window). */
+  private[graft] def ngramBuckets(grams: DataFrame,
+                                  maxBucketSize: Int = NgramMaxBucket): DataFrame =
     grams
       .groupBy(col("gram_h"))
       .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
+
+  /** stage 3: local pairwise emission per bucket. */
+  private[graft] def ngramPairEmission(buckets: DataFrame): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets
       .select(col("members")).as[Seq[(Long, Long)]]
       .flatMap { members =>
         val sorted = members.sortBy(_._1)
@@ -157,12 +186,6 @@ object DedupOps {
               if sorted(i)._1 != sorted(j)._1 }
           yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
       }.toDF("a", "b", "n_a", "n_b")
-      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard_x1000",
-        ((lit(1000L) * col("shared")) / (col("n_a") + col("n_b") - col("shared"))).cast("long"))
-      .filter(col("jaccard_x1000") >= thresholdX1000)
-      .select(col("a"), col("b"), col("shared"), col("jaccard_x1000"))
   }
 
   /** MinHash signatures: k minimums of PortableHash affine family hashes
@@ -262,7 +285,14 @@ object DedupOps {
     * min-doc-id keeper races, no rand(). The seen corpus is scanned once
     * per index it feeds (distinct md5 set + distinct band buckets —
     * both cardinality-bounded, neither broadcast-assumed), exactly the
-    * two indexes a 100 TB ingestion tier maintains incrementally. */
+    * two indexes a 100 TB ingestion tier maintains incrementally.
+    *
+    * PRECONDITION: `doc_id` is unique within `incoming` — it is the
+    * routing identity (the screen aggregates band hits per doc_id, so
+    * duplicate ids would pool their counts). The exact flag is reduced
+    * to a DISTINCT doc_id set before the closing joins, so a violating
+    * input degrades to per-row routing under pooled screen counts
+    * instead of fanning out rows multiplicatively. */
   def crossApply(incoming: DataFrame, seen: DataFrame, shingleN: Int = 3,
                  bands: Int = 16, rowsPerBand: Int = 4,
                  maxHitBands: Long = 0L): DataFrame = {
@@ -271,7 +301,7 @@ object DedupOps {
     val exact = inc
       .join(parallelized(seen).select(md5(col("text")).as("md5_fp")).distinct(),
             Seq("md5_fp"), "left_semi")
-      .select(col("doc_id"), lit(1).as("exact_dup"))
+      .select(col("doc_id"), lit(1).as("exact_dup")).distinct()
     val screen = nearNewScreen(incoming, seen, shingleN, bands, rowsPerBand)
       .select(col("doc_id"), col("n_hit_bands"))
     val route = when(col("exact_dup") === 1, lit("exact_dup"))
@@ -284,6 +314,90 @@ object DedupOps {
               coalesce(col("exact_dup"), lit(0)).cast("int").as("exact_dup"),
               route.as("route"),
               (route === "clean").cast("int").as("kept"))
+  }
+
+  /** The PAIRWISE VERIFIER downstream of [[nearNewScreen]] /
+    * [[crossApply]]: the screen's near-dup verdict rides band-hit counts
+    * alone, so its suspects go on to an exact shingle-Jaccard check
+    * against the specific seen docs they collided with — the classic
+    * LSH-then-verify shape. Work is SUSPECT-BOUNDED, never corpus²:
+    *
+    *   1. candidate pairs = suspect incoming docs ⋈ seen docs sharing a
+    *      MinHash band bucket (seen buckets over `maxBucketSize`
+    *      members are dropped first — the deterministic stopword-shingle
+    *      skew guard [[ngramJaccardPairs]] uses);
+    *   2. shared-gram counts per pair = the suspects' distinct shingles
+    *      fanned over their candidate pairs (suspect grams × candidates
+    *      rows), equi-joined against the candidate seen docs' shingle
+    *      sets — an (id, gram) hash join, no NestedLoop anywhere;
+    *   3. exact Jaccard per pair, then the BEST seen match per suspect
+    *      (jaccard desc, seen_id asc — deterministic), verdict =
+    *      jaccard ≥ threshold.
+    *
+    * One row per SUSPECT: (doc_id, n_hit_bands, best_seen_id,
+    * jaccard_x1000, verified, route_refined) — `near_dup` when the true
+    * similarity confirms the screen, `screen_false_alarm` when it does
+    * not (those docs return to the clean pool). A suspect whose only
+    * collisions were in dropped oversize buckets keeps best_seen_id = -1
+    * and jaccard 0. Partition-invariant: every verdict is a pure
+    * function of content + the seen corpus. */
+  def crossVerify(incoming: DataFrame, seen: DataFrame, shingleN: Int = 3,
+                  bands: Int = 16, rowsPerBand: Int = 4,
+                  thresholdX1000: Int = 500, maxHitBands: Long = 0L,
+                  maxBucketSize: Int = 200): DataFrame = {
+    val suspects = nearNewScreen(incoming, seen, shingleN, bands, rowsPerBand)
+      .filter(col("n_hit_bands") > maxHitBands)
+      .select(col("doc_id"), col("n_hit_bands"))
+    // seen-side band table with member-bounded buckets (size guard via
+    // a window-free self-aggregation: bucket sizes ride one count agg,
+    // then a semi-join keeps the surviving (band, bucket) keys)
+    val seenBands = minhashBands(seen, shingleN, bands, rowsPerBand)
+      .select(col("doc_id").as("seen_id"), col("band"), col("bucket"))
+    val okBuckets = seenBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val cand = minhashBands(incoming, shingleN, bands, rowsPerBand)
+      .join(suspects.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(seenBands.join(okBuckets, Seq("band", "bucket"), "left_semi"),
+            Seq("band", "bucket"))
+      .select(col("doc_id"), col("seen_id")).distinct()
+    // exact distinct-shingle sets, restricted to the docs that survived
+    // into candidate pairs (semi-joins keep both gram tables bounded)
+    val incGrams = parallelized(incoming)
+      .select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
+      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val seenGrams = parallelized(seen)
+      .select(col("doc_id").as("seen_id"),
+              explode(wordNgrams(col("text"), shingleN)).as("gram"))
+      .join(cand.select(col("seen_id")).distinct(), Seq("seen_id"), "left_semi")
+    val nInc = incGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val nSeen = seenGrams.groupBy(col("seen_id")).agg(count(lit(1)).as("n_b"))
+    val shared = cand
+      .join(incGrams, Seq("doc_id"))
+      .join(seenGrams, Seq("seen_id", "gram"), "left_semi")
+      .groupBy(col("doc_id"), col("seen_id"))
+      .agg(count(lit(1)).as("shared"))
+    val scored = shared
+      .join(nInc, Seq("doc_id")).join(nSeen, Seq("seen_id"))
+      .withColumn("jaccard_x1000",
+        ((lit(1000L) * col("shared")) / (col("n_a") + col("n_b") - col("shared")))
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard_x1000").desc, col("seen_id"))
+    val best = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("seen_id").as("best_seen_id"),
+              col("jaccard_x1000"))
+    suspects.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_hit_bands"),
+        coalesce(col("best_seen_id"), lit(-1L)).as("best_seen_id"),
+        coalesce(col("jaccard_x1000"), lit(0L)).as("jaccard_x1000"),
+        when(coalesce(col("jaccard_x1000"), lit(0L)) >= thresholdX1000, lit(1))
+          .otherwise(lit(0)).cast("int").as("verified"),
+        when(coalesce(col("jaccard_x1000"), lit(0L)) >= thresholdX1000,
+             lit("near_dup")).otherwise(lit("screen_false_alarm"))
+          .as("route_refined"))
   }
 
   /** The Bloom-filter EXACT-membership index of the seen corpus — the

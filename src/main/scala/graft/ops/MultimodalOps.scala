@@ -13,10 +13,14 @@ import graft.model.Doc
   * (JPEG/PNG/BMP/GIF readers ship in every JRE — zero new dependencies).
   * AUDIO decode is REAL too: non-GRFT audio payloads parse through
   * `javax.sound.sampled` (WAV/AIFF/AU readers ship in every JRE).
-  * Only VIDEO decode stays a clearly-marked STUB seam (`decodeHeader`) —
-  * the JDK ships no video codec; in production that stub body is
-  * replaced by the real decoder invoked over the same
-  * Iterator-of-batches shape.
+  * VIDEO container metadata is REAL as well: `decodeVideoMeta` walks
+  * genuine ISO BMFF (MP4) boxes — `ftyp`/`moov`/`mvhd`/`tkhd`/`stsz` —
+  * by pure big-endian byte arithmetic (duration, timescale, track count,
+  * dimensions, sample count), which is exactly what a training-data
+  * pipeline filters on BEFORE any decode. The only thing this runtime
+  * cannot produce is decoded video FRAME PIXELS (no JDK video codec);
+  * no surface here claims them — a production deployment plugs its
+  * frame decoder into the same Iterator-of-batches seams.
   */
 object MultimodalOps {
 
@@ -125,10 +129,91 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** the media-asset table with REAL payloads where a JDK codec exists:
-    * images are PNGs (`javax.imageio`), audio is 16-bit PCM WAV
-    * (`javax.sound.sampled`) — only video keeps the GRFT stub, since the
-    * JDK ships no video codec. */
+  /** deterministic REAL video CONTAINER spec for a media ref:
+    * (timescale, duration_ticks, width, height, n_frames, n_tracks) —
+    * width/height/frames reuse the [[synthPayload]] hash recipe so the
+    * stub and real tables describe the same assets. */
+  def synthVideoSpec(mediaRef: String): (Int, Int, Int, Int, Int, Int) = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(mediaRef, 42)
+    val width = 160 + math.floorMod(h, 8) * 80
+    val height = 120 + math.floorMod(h >> 3, 8) * 60
+    val frames = 24 + math.floorMod(h >> 6, 240)
+    val timescale = Array(600, 1000, 12288, 24000, 90000)(math.floorMod(h >> 9, 5))
+    // nominal 24 fps: duration in movie-timescale ticks
+    val duration = (frames.toLong * timescale / 24).toInt
+    (timescale, duration, width, height, frames, 1 + math.floorMod(h >> 11, 2))
+  }
+
+  // fixed synth BMFF layout (version-0 boxes, constant box sizes; only
+  // field VALUES vary per asset). The SQL oracle chain-parses the same
+  // layout — these constants are the one source of truth for both sides.
+  private[graft] val BmffFtypSize = 24
+  private[graft] val BmffMvhdSize = 108
+  private[graft] val BmffTrakSize = 176 // 8 + tkhd(92) + mdia(76)
+  /** header bytes before the first trak: ftyp + moov header + mvhd. */
+  private[graft] val BmffFirstTrak = BmffFtypSize + 8 + BmffMvhdSize // 140
+
+  /** deterministic REAL MP4 (ISO BMFF) container for a media ref: a
+    * valid `ftyp` + `moov` box sequence — `mvhd` (movie timescale +
+    * duration), one `trak` per track with `tkhd` (16.16 fixed-point
+    * dimensions) and a minimal `mdia`→`minf`→`stbl`→`stsz` chain
+    * carrying the sample count. Container METADATA is what a
+    * training-data pipeline filters on before any decode (duration,
+    * resolution, track count) — and it is pure big-endian byte layout,
+    * no codec involved, the same move the WAV writer makes for audio.
+    * No media samples are embedded (mdat omitted — legal: stsz with
+    * fixed sample_size references no offsets here). */
+  def synthVideoPayload(mediaRef: String): Array[Byte] = {
+    val (timescale, duration, width, height, frames, nTracks) = synthVideoSpec(mediaRef)
+    val total = BmffFirstTrak + BmffTrakSize * nTracks
+    val buf = ByteBuffer.allocate(total)
+    def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    // ftyp: major brand + minor version + two compatible brands = 24 bytes
+    buf.putInt(BmffFtypSize); tag("ftyp"); tag("isom"); buf.putInt(0x200)
+    tag("isom"); tag("mp41")
+    // moov container
+    buf.putInt(8 + BmffMvhdSize + BmffTrakSize * nTracks); tag("moov")
+    // mvhd v0
+    buf.putInt(BmffMvhdSize); tag("mvhd"); buf.putInt(0) // version+flags
+    buf.putInt(0).putInt(0) // creation, modification
+    buf.putInt(timescale).putInt(duration)
+    buf.putInt(0x00010000) // rate 1.0
+    buf.putShort(0x0100.toShort).putShort(0) // volume, reserved
+    buf.putLong(0L) // reserved
+    for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(v) // unity matrix
+    for (_ <- 0 until 6) buf.putInt(0) // pre_defined
+    buf.putInt(nTracks + 1) // next_track_ID
+    for (t <- 1 to nTracks) {
+      buf.putInt(BmffTrakSize); tag("trak")
+      // tkhd v0 (flags: enabled | in-movie | in-preview)
+      buf.putInt(92); tag("tkhd"); buf.putInt(0x000007)
+      buf.putInt(0).putInt(0) // creation, modification
+      buf.putInt(t).putInt(0) // track_ID, reserved
+      buf.putInt(duration)
+      buf.putLong(0L) // reserved
+      buf.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, volume, reserved
+      for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(v)
+      buf.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      // mdia container: mdhd + minf(stbl(stsz))
+      buf.putInt(76); tag("mdia")
+      buf.putInt(32); tag("mdhd"); buf.putInt(0)
+      buf.putInt(0).putInt(0) // creation, modification
+      buf.putInt(timescale).putInt(duration)
+      buf.putShort(0x55c4.toShort).putShort(0) // language 'und', pre_defined
+      buf.putInt(36); tag("minf")
+      buf.putInt(28); tag("stbl")
+      buf.putInt(20); tag("stsz"); buf.putInt(0)
+      buf.putInt(1024).putInt(frames) // fixed sample_size, sample_count
+    }
+    buf.array()
+  }
+
+  /** the media-asset table with REAL payloads for every kind: images are
+    * PNGs (`javax.imageio`), audio is 16-bit PCM WAV
+    * (`javax.sound.sampled`), video is a genuine ISO BMFF (MP4)
+    * container whose box metadata is parsed by pure byte arithmetic —
+    * frame PIXELS are the only thing this runtime cannot decode (no JDK
+    * video codec), and no surface here claims them. */
   def mediaAssetsReal(docs: Dataset[Doc]): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
     docs.flatMap { doc =>
@@ -136,6 +221,7 @@ object MultimodalOps {
         val payload = s.kind match {
           case "image" => synthImagePayload(s.media_ref)
           case "audio" => synthAudioPayload(s.media_ref)
+          case "video" => synthVideoPayload(s.media_ref)
           case _       => synthPayload(s.media_ref, s.kind)
         }
         MediaAsset(doc.doc_id, s.media_ref, s.kind, payload)
@@ -143,11 +229,94 @@ object MultimodalOps {
     }
   }
 
-  /** ==== STUB SEAM (video only, as of the image and audio decoders
-    * below) ==== Real deployments replace this with an actual decoder
-    * (video frame-sample) over the same batch iterator.
-    * Here: parse our deterministic 20-byte header. Throws on foreign
-    * payloads — decode failures must be visible, not silent. */
+  final case class VideoMeta(timescale: Int, duration_ticks: Int,
+                             n_tracks: Int, width: Int, height: Int,
+                             n_frames: Int)
+
+  /** REAL ISO BMFF (MP4/MOV family) container-metadata parse: a generic
+    * recursive box walk (size + fourcc headers, big-endian), NOT a
+    * fixed-offset read — `moov`→`mvhd` gives movie timescale/duration
+    * (version 0 and 1 layouts), `trak` count and the first track's
+    * `tkhd` give dimensions (16.16 fixed), its
+    * `mdia`→`minf`→`stbl`→`stsz` chain gives the sample (frame) count.
+    * Fails loudly on anything that is not a BMFF container — a silent
+    * zero would hide corruption at scale. */
+  def decodeVideoMeta(payload: Array[Byte]): VideoMeta = {
+    val buf = ByteBuffer.wrap(payload)
+    def fourcc(off: Int): String =
+      new String(payload, off + 4, 4, "US-ASCII")
+    // iterate child boxes of [from, until); returns (offset, type, size)
+    def boxes(from: Int, until: Int): Iterator[(Int, String, Int)] =
+      new Iterator[(Int, String, Int)] {
+        private var off = from
+        def hasNext: Boolean = off + 8 <= until
+        def next(): (Int, String, Int) = {
+          val size = buf.getInt(off)
+          require(size >= 8 && off + size <= until,
+            s"malformed BMFF box at offset $off: size $size")
+          val r = (off, fourcc(off), size); off += size; r
+        }
+      }
+    require(payload.length >= 12 && fourcc(0) == "ftyp",
+      s"not an ISO BMFF container (${payload.length} bytes, no ftyp)")
+    val (moovOff, _, moovSize) = boxes(0, payload.length)
+      .find(_._2 == "moov")
+      .getOrElse(sys.error("BMFF container without a moov box"))
+    val kids = boxes(moovOff + 8, moovOff + moovSize).toVector
+    val (mvOff, _, _) = kids.find(_._2 == "mvhd")
+      .getOrElse(sys.error("moov without mvhd"))
+    val mvVer = buf.get(mvOff + 8) & 0xff
+    val (timescale, duration) =
+      if (mvVer == 0) (buf.getInt(mvOff + 20), buf.getInt(mvOff + 24))
+      else (buf.getInt(mvOff + 28), buf.getLong(mvOff + 32).toInt)
+    val traks = kids.filter(_._2 == "trak")
+    require(traks.nonEmpty, "moov without any trak")
+    val (t0, _, t0size) = traks.head
+    val (tkOff, _, _) = boxes(t0 + 8, t0 + t0size).find(_._2 == "tkhd")
+      .getOrElse(sys.error("trak without tkhd"))
+    val tkVer = buf.get(tkOff + 8) & 0xff
+    val dimOff = tkOff + (if (tkVer == 0) 84 else 96)
+    val (w, h) = (buf.getInt(dimOff) >>> 16, buf.getInt(dimOff + 4) >>> 16)
+    // descend trak → mdia → minf → stbl → stsz for the sample count
+    def child(off: Int, size: Int, t: String): Option[(Int, String, Int)] =
+      boxes(off + 8, off + size).find(_._2 == t)
+    val frames = (for {
+      (mdOff, _, mdSize) <- child(t0, t0size, "mdia")
+      (mfOff, _, mfSize) <- child(mdOff, mdSize, "minf")
+      (sbOff, _, sbSize) <- child(mfOff, mfSize, "stbl")
+      (szOff, _, _)      <- child(sbOff, sbSize, "stsz")
+    } yield buf.getInt(szOff + 16)).getOrElse(0)
+    VideoMeta(timescale, duration, traks.length, w, h, frames)
+  }
+
+  final case class VideoFeatures(doc_id: String, media_ref: String,
+                                 timescale: Int, duration_ticks: Int,
+                                 duration_ms: Long, n_tracks: Int,
+                                 width: Int, height: Int, n_frames: Int,
+                                 byte_len: Long)
+
+  /** video-native feature extraction over REAL BMFF containers — the
+    * pre-decode filter surface (duration / resolution / track count) in
+    * the same batched mapPartitions shape as [[extractFeatures]]. GRFT
+    * stubs are refused loudly ([[decodeVideoMeta]] recognizes only
+    * genuine BMFF) — this surface exists to verify the real parse. */
+  def videoFeatures(assets: Dataset[MediaAsset]): Dataset[VideoFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.filter(_.kind == "video").map { a =>
+        val m = decodeVideoMeta(a.payload)
+        VideoFeatures(a.doc_id, a.media_ref, m.timescale, m.duration_ticks,
+          m.duration_ticks.toLong * 1000L / m.timescale, m.n_tracks,
+          m.width, m.height, m.n_frames, a.payload.length.toLong)
+      }
+    }
+  }
+
+  /** parser for the deterministic GRFT synthetic payloads (the
+    * stub-mode asset table [[mediaAssets]]) — every REAL decode path
+    * now has its own parser (`javax.imageio`, `javax.sound.sampled`,
+    * [[decodeVideoMeta]]). Throws on foreign payloads — decode failures
+    * must be visible, not silent. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int, Int) = {
     val buf = ByteBuffer.wrap(payload)
     require(buf.getInt() == Magic, "not a GRFT synthetic payload (real codec goes here)")
@@ -181,10 +350,12 @@ object MultimodalOps {
     * payloads parse their header (both asset modes ride the same batched
     * seam); anything else with kind=image decodes through the REAL
     * `javax.imageio` codec path (JPEG/PNG/BMP/GIF), kind=audio through
-    * the REAL `javax.sound.sampled` path (WAV/AIFF/AU) — for audio the
-    * tuple is (channels, bits_per_sample, n_frames, sample_rate). A
-    * foreign VIDEO payload fails loudly: no such codec exists in this
-    * runtime, and a silent zero would hide data corruption at scale. */
+    * the REAL `javax.sound.sampled` path (WAV/AIFF/AU), kind=video
+    * through the REAL ISO BMFF box walk ([[decodeVideoMeta]] — container
+    * metadata; pixels would need a codec and are never claimed here) —
+    * for audio the tuple is (channels, bits_per_sample, n_frames,
+    * sample_rate). A payload no parser recognizes fails loudly — a
+    * silent zero would hide data corruption at scale. */
   def decodePayload(payload: Array[Byte], kind: String): (Int, Int, Int, Int) = {
     // a foreign payload whose first 4 bytes happen to collide with the
     // magic (expected among billions of assets) must not be silently
@@ -213,8 +384,14 @@ object MultimodalOps {
       require(img != null, s"undecodable image payload (${payload.length} bytes)")
       (img.getWidth, img.getHeight, 1, 0)
     } else if (kind == "audio") decodeAudio(payload)
-    else sys.error(
-      s"no $kind codec in this runtime — GRFT stub payloads only (got " +
+    else if (kind == "video") {
+      // REAL container-metadata parse (ISO BMFF box walk) — frame pixels
+      // would need a codec, but the shared feature tuple never carries
+      // pixels; the video-native surface is [[videoFeatures]]
+      val m = decodeVideoMeta(payload)
+      (m.width, m.height, m.n_frames, 0)
+    } else sys.error(
+      s"no $kind decoder in this runtime — GRFT stub payloads only (got " +
         s"${payload.length} foreign bytes)")
   }
 

@@ -24,6 +24,57 @@ final class CheckpointStore(root: String, spark: SparkSession,
 
   private def dataPath(stage: String) = s"$root/$stage"
 
+  /** per-file lineage lives as a parquet SIDE TABLE (file, rows) under
+    * `_lineage/<stage>` — NOT inside the stage dir (the data-file
+    * listing would pick it up) and NOT in the meta json: at 100 TB a
+    * stage has millions of part files, and a driver-side list (the
+    * pre-r8 design collected per-file counts to build the json) becomes
+    * the store's own scaling bottleneck. The meta json keeps only
+    * bounded scalars (fingerprint, total rows, upstream); every lineage
+    * comparison below is a Spark-side join, never an unbounded collect.
+    * Iceberg analogue: the manifest files ARE tables. Legacy roots
+    * (per-file lists still in the json) stay readable — first rewrite
+    * migrates them. */
+  private def lineagePath(stage: String) = s"$root/_lineage/$stage"
+
+  private def lineageExists(stage: String): Boolean =
+    fs.exists(new Path(lineagePath(stage), "_SUCCESS"))
+
+  /** the recorded per-file lineage as a DataFrame (file, rows) — the
+    * side table when present, else the legacy json list (bounded by
+    * whatever an old root's meta holds). */
+  private def lineageDF(stage: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (lineageExists(stage)) spark.read.parquet(lineagePath(stage))
+    else {
+      val legacy = metaFileRows(stage)
+      if (legacy.isEmpty)
+        spark.range(0).select(lit("").as("file"), lit(0L).as("rows")).limit(0)
+      else spark.createDataFrame(legacy).toDF("file", "rows")
+    }
+  }
+
+  private def hasRecordedLineage(stage: String): Boolean =
+    lineageExists(stage) || metaFileRows(stage).nonEmpty
+
+  /** per-file (file, rows) for the given data files — ONE distributed
+    * pass, file name extracted plan-side (no driver mapping). */
+  private def perFileCounts(files: Seq[Path]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty)
+      spark.range(0).select(lit("").as("file"), lit(0L).as("rows")).limit(0)
+    else spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(count(lit(1)).as("rows"))
+  }
+
+  /** total rows of a lineage table — a one-row aggregate, the only
+    * driver-side read the lineage design allows. */
+  private def lineageTotal(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    df.agg(coalesce(sum(col("rows")), lit(0L))).collect()(0).getLong(0)
+  }
+
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readMeta(stage: String): Option[String] = {
@@ -47,7 +98,7 @@ final class CheckpointStore(root: String, spark: SparkSession,
 
   /** One-shot-path recovery from a crashed fold: wipe every stage's
     * completion meta (forces full recompute), drop the fold-owned
-    * `pairpred` aggregate, clear the marker. Lives HERE because the meta
+    * `pairpred` + `type_evidence` aggregates, clear the marker. Lives HERE because the meta
     * filename and layout are this store's implementation details — a
     * caller hand-deleting `_graft_meta.json` would silently stop working
     * if the name ever changed, turning the wipe into stale-data resume.
@@ -59,6 +110,7 @@ final class CheckpointStore(root: String, spark: SparkSession,
         fs.delete(new Path(d.getPath, "_graft_meta.json"), false)
       }
       fs.delete(new Path(root, "pairpred"), true)
+      fs.delete(new Path(root, "type_evidence"), true)
       fs.delete(new Path(root, "_fold_inflight"), false)
       true
     }
@@ -72,11 +124,26 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * first makes the doc-level reconcile sound. No-op (returns Nil) when
     * the stage has no recorded file list to prune against. */
   def pruneUnrecorded(stage: String): Seq[String] = {
-    val recorded = metaFileRows(stage).map(_._1).toSet
-    if (recorded.isEmpty) Nil
-    else listDataFiles(stage).filterNot(p => recorded(p.getName)).map { p =>
-      fs.delete(p, false)
-      p.getName
+    if (!hasRecordedLineage(stage)) Nil
+    else {
+      import org.apache.spark.sql.functions.col
+      val listed = listDataFiles(stage)
+      if (listed.isEmpty) Nil
+      else {
+        // Spark-side anti-join against the lineage table; only the
+        // UNRECORDED names come back to the driver (bounded by one
+        // crashed append's files — normally empty), which the driver
+        // must hold anyway to issue the deletes
+        val listedDF = spark.createDataFrame(
+          listed.map(p => Tuple1(p.getName))).toDF("file")
+        val unrecorded = listedDF
+          .join(lineageDF(stage).select(col("file")), Seq("file"), "left_anti")
+          .collect().map(_.getString(0)).toSet
+        listed.filter(p => unrecorded(p.getName)).map { p =>
+          fs.delete(p, false)
+          p.getName
+        }
+      }
     }
   }
 
@@ -111,6 +178,7 @@ final class CheckpointStore(root: String, spark: SparkSession,
     if (!fs.exists(rootPath)) Nil
     else fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(_.endsWith("._compacting"))
+      .filterNot(_ == "_lineage") // the lineage side tables, not a stage
       .filter(isComplete).sorted.toSeq
   }
 
@@ -208,30 +276,42 @@ final class CheckpointStore(root: String, spark: SparkSession,
                   bucketCol: Option[String] = None, nBuckets: Int = 64): Unit = {
     require(fs.exists(new Path(dataPath(stage), "_SUCCESS")),
       s"appendStage($stage): no existing completed stage at ${dataPath(stage)}")
-    val existing = metaFileRows(stage)
-    val before = listDataFiles(stage).map(_.getName).toSet
-    writeStageMode(df, stage, bucketCol, nBuckets, "append", clustered = true)
-    val newFiles = listDataFiles(stage).filterNot(p => before(p.getName))
-    // STALE meta = data files exist that the recorded lineage doesn't
+    import org.apache.spark.sql.functions.col
+    val beforeFiles = listDataFiles(stage)
+    val before = beforeFiles.map(_.getName).toSet
+    // STALE lineage = pre-append data files the recorded lineage doesn't
     // know (a previous append committed its files but died before its
-    // meta write) — merging would under-count forever and wedge a later
-    // compact()'s row verification; fall back to one full self-healing
-    // rescan instead
-    val known = existing.map(_._1).toSet
-    if ((existing.isEmpty || before.exists(!known(_))) && before.nonEmpty) {
+    // lineage write) — merging would under-count forever and wedge a
+    // later compact()'s row verification. Detected Spark-side (listing
+    // anti-join lineage, one count — never a per-file collect).
+    val stale = !hasRecordedLineage(stage) || {
+      beforeFiles.nonEmpty && {
+        val beforeDF = spark.createDataFrame(
+          beforeFiles.map(p => Tuple1(p.getName))).toDF("file")
+        !beforeDF.join(lineageDF(stage).select(col("file")),
+          Seq("file"), "left_anti").isEmpty
+      }
+    }
+    writeStageMode(df, stage, bucketCol, nBuckets, "append", clustered = true)
+    if (stale && before.nonEmpty) {
+      // fall back to one full self-healing rescan
       val stored = bucketCol match {
         case Some(_) => df.schema.add("_bucket", org.apache.spark.sql.types.LongType)
         case None => df.schema
       }
       markComplete(stage, upstream, Some(stored))
     } else {
-      import org.apache.spark.sql.functions._
-      val fresh =
-        if (newFiles.isEmpty) Nil
-        else spark.read.parquet(newFiles.map(_.toString): _*)
-          .groupBy(input_file_name().as("file")).count().collect()
-          .map(r => (new Path(r.getString(0)).getName, r.getLong(1))).toSeq
-      writeMeta(stage, upstream, existing ++ fresh)
+      // SLICE-SIZED lineage refresh: count the NEW files only, append
+      // their rows to the lineage table, bump the meta total by the
+      // delta — the history files are never rescanned
+      val newFiles = listDataFiles(stage).filterNot(p => before(p.getName))
+      val freshDF = perFileCounts(newFiles).localCheckpoint()
+      val freshTotal = lineageTotal(freshDF)
+      val prevTotal = metaRows(stage).getOrElse(lineageTotal(lineageDF(stage)))
+      if (!lineageExists(stage)) // legacy root: migrate the json list once
+        lineageDF(stage).write.mode("overwrite").parquet(lineagePath(stage))
+      freshDF.write.mode("append").parquet(lineagePath(stage))
+      writeMeta(stage, upstream, prevTotal + freshTotal)
     }
   }
 
@@ -284,31 +364,41 @@ final class CheckpointStore(root: String, spark: SparkSession,
   def markComplete(stage: String, upstream: Seq[String],
                    schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val df = readStage(stage, schema)
-    // per-file lineage: row count per output file, ONE pass — the stage
-    // total is the sum of the per-file counts, not a second scan
+    // per-file lineage: row count per output file, ONE distributed pass
+    // written straight to the lineage side table (never collected); the
+    // stage total is a one-row aggregate of that table, not a second
+    // data scan. Lineage commits BEFORE the meta json — the json's
+    // fingerprint is what marks the stage complete, so a crash between
+    // the two leaves an incomplete stage, never a complete stage with
+    // missing lineage.
     import org.apache.spark.sql.functions._
-    val perFileRows = df.groupBy(input_file_name().as("file")).count().collect()
-      .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
-    writeMeta(stage, upstream, perFileRows.toSeq)
+    df.groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(lineagePath(stage))
+    writeMeta(stage, upstream, lineageTotal(spark.read.parquet(lineagePath(stage))))
   }
 
   private def writeMeta(stage: String, upstream: Seq[String],
-                        perFileRows: Seq[(String, Long)]): Unit = {
-    val perFile = perFileRows.map { case (f, n) => s"""{"file":${jstr(f)},"rows":$n}""" }
-    val total = perFileRows.map(_._2).sum
+                        totalRows: Long): Unit = {
     val meta =
       s"""{"stage":${jstr(stage)},"snapshot_id":${System.currentTimeMillis()},
          |"fingerprint":${jstr(fingerprint)},
-         |"rows":$total,"files":[${perFile.mkString(",")}],
+         |"rows":$totalRows,
          |"upstream":[${upstream.map(jstr).mkString(",")}]}""".stripMargin
     val out = fs.create(new Path(dataPath(stage), "_graft_meta.json"), true)
     out.write(meta.getBytes(StandardCharsets.UTF_8))
     out.close()
   }
 
-  /** the recorded per-file lineage of a stage's meta sidecar (file name →
-    * rows) — machine-written by [[writeMeta]], so a simple structural
-    * parse suffices. */
+  /** the total row count recorded in a stage's meta json (None for a
+    * hand-written meta without one). */
+  private def metaRows(stage: String): Option[Long] =
+    readMeta(stage).flatMap(""""rows":(\d+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong)
+
+  /** LEGACY per-file lineage from the meta json (pre-r8 layout kept the
+    * list inline) — migration read only; new roots keep lineage in the
+    * side table. */
   private def metaFileRows(stage: String): Seq[(String, Long)] =
     readMeta(stage).toSeq.flatMap { m =>
       """\{"file":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r.findAllMatchIn(m)
@@ -355,11 +445,13 @@ final class CheckpointStore(root: String, spark: SparkSession,
     val df = readStage(stage, None)
     val bucketed = df.columns.contains("_bucket")
     val meta = readMeta(stage)
-    // expected rows come from the recorded lineage; a complete stage
-    // always has them (markComplete writes them) — fall back to a scan
-    // only for a hand-written meta
-    val rows = meta.flatMap(""""rows":(\d+)""".r.findFirstMatchIn(_))
-      .map(_.group(1).toLong).getOrElse(df.count())
+    // expected rows come from the recorded lineage TABLE when present
+    // (the source of truth — a crash between a lineage append and the
+    // meta rewrite leaves the json total stale), else the json total,
+    // else a scan (hand-written meta only)
+    val rows =
+      if (lineageExists(stage)) lineageTotal(lineageDF(stage))
+      else metaRows(stage).getOrElse(df.count())
     val upstream = meta.toSeq.flatMap { m =>
       """"upstream":\[([^\]]*)\]""".r.findFirstMatchIn(m).toSeq.flatMap(
         _.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))

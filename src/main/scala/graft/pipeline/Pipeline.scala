@@ -445,6 +445,158 @@ object Pipeline {
         graft.ops.TextOps.isqrt($"weeds_ppm" * $"lin_ppm").as("binc_ppm"))
   }
 
+  // ------------------------------------------- typed entailment subgraphs
+  /** one row per NER mention the annotator emits for a sentence — the
+    * label side of the typed-subgraph evidence join (the reference keeps
+    * these labels per entry, main_ner.py:9-41; [[nerPosTable]] keeps only
+    * the surfaces, so this is the label-bearing projection, produced
+    * through the same pluggable [[SentenceAnnotator]] boundary with the
+    * same connection-per-partition / bounded-batch contract). */
+  final case class MentionLabelRow(doc_id: String, sent_id: Int,
+                                   word: String, label: String)
+
+  def mentionLabelTable(sentences: Dataset[SentenceRow],
+                        annotator: SentenceAnnotator = FixtureAnnotator,
+                        batchSize: Int = 64): Dataset[MentionLabelRow] = {
+    import sentences.sparkSession.implicits._
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    sentences.mapPartitions { it =>
+      annotator.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => annotator.close()))
+      it.grouped(batchSize).flatMap { rows =>
+        val anns = annotator.annotate(rows.map(_.sent))
+        require(anns.length == rows.length,
+          s"annotator returned ${anns.length} results for ${rows.length} sentences")
+        rows.lazyZip(anns).flatMap { (row, ann) =>
+          NerPos.nerPosPerSentence(row.sent, Seq(ann)).mentions
+            .map(m => MentionLabelRow(row.doc_id, row.sent_id, m.word, m.label))
+        }
+      }
+    }
+  }
+
+  /** the ADDITIVE type-evidence aggregate behind the typed entailment
+    * subgraphs: per (canonical entity, NER label), how many linked
+    * mentions carry that label. Entity-link mentions ([[Mentions.detect]]
+    * / `detectJoin`) meet annotator labels ([[mentionLabelTable]]) on the
+    * exact (doc, sentence, surface) key — one equi-join, both sides
+    * mention-sized. Counts fold by summation ([[mergeTypeEvidence]]), the
+    * same incremental contract as `pairpred`. */
+  def entityTypeEvidence(mentions: Dataset[Mentions.MentionRow],
+                         labels: Dataset[MentionLabelRow]): DataFrame =
+    mentions.toDF()
+      .select(col("doc_id"), col("sent_id"), col("mention").as("word"),
+              col("canonical"))
+      .join(labels.toDF(), Seq("doc_id", "sent_id", "word"))
+      .groupBy(col("canonical"), col("label").as("ent_type"))
+      .agg(count(lit(1)).as("n_mentions"))
+
+  /** fold a fresh slice's type-evidence aggregate into the maintained one
+    * (plain additive merge — the [[mergePairPred]] twin). */
+  def mergeTypeEvidence(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.unionByName(delta)
+      .groupBy(col("canonical"), col("ent_type"))
+      .agg(sum(col("n_mentions")).as("n_mentions"))
+
+  /** the (non-additive) type ASSIGNMENT: each canonical entity takes its
+    * modal mention label, deterministic tie-break (count desc, label
+    * asc) — recomputed from the merged evidence aggregate on every fold,
+    * exactly like the pair-pred cap (a label can overtake as evidence
+    * grows, so assignment is never folded). */
+  def entityTypesFromEvidence(evidence: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("canonical"))
+      .orderBy(col("n_mentions").desc, col("ent_type"))
+    evidence.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("canonical"), col("ent_type"))
+  }
+
+  /** the pair-pred aggregate with its argument TYPES attached — the
+    * evidence space of the per-type-pair entailment graphs. Entities
+    * without label evidence type as `defaultType` (common-noun arguments
+    * — most of the space). Two dimension joins on the argument columns;
+    * the type table is entity-cardinality-sized (AQE broadcasts it when
+    * small; at dictionary scale it shuffles like any dimension join). */
+  def typedPairPred(pairPred: DataFrame, entityTypes: DataFrame,
+                    defaultType: String = "OTHER"): DataFrame =
+    pairPred
+      .join(entityTypes.select(col("canonical").as("arg_s"),
+              col("ent_type").as("type_s")), Seq("arg_s"), "left")
+      .join(entityTypes.select(col("canonical").as("arg_o"),
+              col("ent_type").as("type_o")), Seq("arg_o"), "left")
+      .withColumn("type_s", coalesce(col("type_s"), lit(defaultType)))
+      .withColumn("type_o", coalesce(col("type_o"), lit(defaultType)))
+
+  /** TYPED entailment-graph local weights — the Hosseini/Berant
+    * formulation the downstream EntGraph build actually constructs
+    * (/root/reference/README.md:52-56 defers to EntGraph_Zh, which builds
+    * ONE graph per argument-type pair): the directional conditional +
+    * log-free PMI battery of [[edgeWeightsFromCapped]], computed WITHIN
+    * each (type_s, type_o) slice. Because an entity has exactly one
+    * assigned type, the typed slices PARTITION the capped pair space —
+    * the cap itself is identical to the untyped surface (same skew
+    * contract, same evidence rows); only the marginals and totals are
+    * keyed by the slice. Plan shape: the two dimension joins, then the
+    * same one-grouped-shuffle + local bounded k² flatMap as the untyped
+    * battery; the per-slice totals table is type-pair-cardinality-sized
+    * and broadcast. Same fold contract: `pairpred` and the type evidence
+    * fold additively, cap/assignment/marginals recompute from the merged
+    * aggregates. */
+  def typedEdgeWeights(pairPred: DataFrame, entityTypes: DataFrame,
+                       maxPredsPerPair: Int = 32, saltBuckets: Int = 8,
+                       materializeCapped: Boolean = true,
+                       defaultType: String = "OTHER"): DataFrame = {
+    val spark = pairPred.sparkSession
+    import spark.implicits._
+    val capped = cappedCheckpointed(
+      typedPairPred(pairPred, entityTypes, defaultType),
+      maxPredsPerPair, saltBuckets, materializeCapped)
+    val sh = capped
+      .groupBy($"type_s", $"type_o", $"arg_s", $"arg_o")
+      .agg(collect_list(struct($"pred", $"support")).as("preds"))
+      .select($"type_s", $"type_o", $"preds")
+      .as[(String, String, Seq[(String, Long)])]
+      .flatMap { case (ts, to, preds) =>
+        for { i <- preds.indices.iterator; j <- preds.indices
+              if i != j && preds(i)._1 != preds(j)._1 }
+          yield (ts, to, preds(i)._1, preds(j)._1)
+      }.toDF("type_s", "type_o", "pred_src", "pred_dst")
+      .groupBy($"type_s", $"type_o", $"pred_src", $"pred_dst")
+      .agg(count(lit(1)).as("shared_pairs"))
+    val marg = capped.groupBy($"type_s", $"type_o", $"pred")
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = capped.select($"type_s", $"type_o", $"arg_s", $"arg_o").distinct()
+      .groupBy($"type_s", $"type_o").agg(count(lit(1)).as("total_pairs"))
+    sh
+      .join(marg.select($"type_s", $"type_o", $"pred".as("pred_src"),
+              $"n_pairs".as("n_src_pairs")), Seq("type_s", "type_o", "pred_src"))
+      .join(marg.select($"type_s", $"type_o", $"pred".as("pred_dst"),
+              $"n_pairs".as("n_dst_pairs")), Seq("type_s", "type_o", "pred_dst"))
+      .join(broadcast(tot), Seq("type_s", "type_o"))
+      .select($"type_s", $"type_o", $"pred_src", $"pred_dst", $"shared_pairs",
+        $"n_src_pairs", $"n_dst_pairs",
+        expr("""cast((cast(shared_pairs as decimal(38,0)) * 1000000)
+               |  div n_src_pairs as long)""".stripMargin).as("cond_ppm"),
+        expr("""cast((cast(shared_pairs as decimal(38,0)) * total_pairs * 1000000)
+               |  div (cast(n_src_pairs as decimal(38,0)) * n_dst_pairs) as long)"""
+          .stripMargin).as("pmi_ppm"))
+  }
+
+  /** the SPARSIFIED consumption surface downstream EntGraph globalization
+    * reads: top-K entailment candidates per source predicate by balanced
+    * inclusion (deterministic tie-break binc desc, dst asc), from the
+    * [[edgeWeightsSupport]] battery. Window-rank-per-group — each group
+    * sorts locally inside its exchange partition (the per-group
+    * TakeOrderedAndProject shape); there is never a global sort. */
+  def edgesTopK(weights: DataFrame, k: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("pred_src"))
+      .orderBy(col("binc_ppm").desc, col("pred_dst"))
+    weights.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pred_src"), col("pred_dst"), col("binc_ppm"), col("rank"))
+  }
+
   // ------------------------------------------------------------- metrics
   /** the reference's global stat dicts re-expressed as aggregations
     * (SURVEY.md §2.4): per-rule amendment counts + V_CMP complement bucket
@@ -813,9 +965,10 @@ object Pipeline {
     // explicit bucketed layout as the typed stages: canonical by doc_id
     // (co-located with triples), edges by pred_src — the entailment-graph
     // consumer reads by predicate, so bucket predicates prune its scans
+    val dict = aliases.getOrElse(synthAliases(spark))
     val canonBack = store.runStageDF("canonical", Seq("triples"),
       bucketCol = Some("doc_id"))(
-      canonicalize(triples, aliases.getOrElse(synthAliases(spark))))
+      canonicalize(triples, dict))
     val edgesBack = store.runStageDF("edges", Seq("canonical"),
       bucketCol = Some("pred_src"))(
       entailmentEdges(canonBack))
@@ -825,6 +978,16 @@ object Pipeline {
     store.runStageDF("edge_weights", Seq("canonical"),
       bucketCol = Some("pred_src"))(
       edgeWeightsFromPairPred(pairPredAggregate(canonBack)))
+    // the per-type-pair subgraph surface: type evidence from the
+    // checkpointed sentences (entity-link mentions ⋈ annotator labels),
+    // weights within each typed slice. Derived inline — the fold
+    // maintains the SAME surface from its additive `type_evidence`
+    // aggregate ([[incrementalFold]])
+    store.runStageDF("typed_edge_weights", Seq("canonical"),
+      bucketCol = Some("pred_src"))(
+      typedEdgeWeights(pairPredAggregate(canonBack),
+        entityTypesFromEvidence(entityTypeEvidence(
+          Mentions.detect(sentences, dict), mentionLabelTable(sentences)))))
     RunResult(canonBack, edgesBack, docs)
   }
 
@@ -1067,6 +1230,16 @@ object Pipeline {
           "canonical", Seq("triples"), bucketCol = Some("doc_id"))
       val ppRebuilt = pairPredAggregate(readStore("canonical")).localCheckpoint()
       ppRebuilt.write.mode("overwrite").parquet(s"$root/pairpred")
+      // the typed-subgraph evidence aggregate is rebuilt the same way —
+      // from the reconciled docs store (one full mention/label pass; the
+      // repair path's second non-slice-sized cost, never paid normally)
+      val evRebuilt = {
+        val sentsAll = segmentDocs(readStore("docs")
+          .select(col("doc_id"), col("spans")).as[Doc](docEnc))
+        entityTypeEvidence(Mentions.detect(sentsAll, dict),
+          mentionLabelTable(sentsAll)).localCheckpoint()
+      }
+      evRebuilt.write.mode("overwrite").parquet(s"$root/type_evidence")
       // marker stays until THIS fold completes
     } else {
       fs.create(marker, true).close()
@@ -1093,6 +1266,32 @@ object Pipeline {
       else pairPredAggregate(readStore("canonical"))
     val ppMerged = mergePairPred(ppExisting, pairPredAggregate(cNew))
       .localCheckpoint() // also breaks the pairpred read/overwrite cycle
+    // the typed-subgraph evidence aggregate, maintained exactly like
+    // pairpred: delta from the NEW docs only (mention/label pass over
+    // the fresh slice's sentences), folded by summation. A pre-typed
+    // root derives it once from the docs store and maintains it from
+    // then on. Evaluated LAZILY inside the mutating branch (before any
+    // append mutates the docs store, so the pre-typed fallback never
+    // sees the delta docs twice) — a no-op resubmission on a pre-typed
+    // root must not pay the full-corpus fallback derivation.
+    val evPath = s"$root/type_evidence"
+    def evMerged: DataFrame = {
+      val evExisting =
+        if (fs.exists(new org.apache.hadoop.fs.Path(evPath, "_SUCCESS")))
+          spark.read.parquet(evPath)
+        else {
+          val sentsAll = segmentDocs(readStore("docs")
+            .select(col("doc_id"), col("spans")).as[Doc](docEnc))
+          entityTypeEvidence(Mentions.detect(sentsAll, dict),
+            mentionLabelTable(sentsAll))
+        }
+      val sentsNew = segmentDocs(docsNew
+        .select(col("doc_id"), col("spans")).as[Doc](docEnc))
+      mergeTypeEvidence(evExisting,
+        entityTypeEvidence(Mentions.detect(sentsNew, dict),
+          mentionLabelTable(sentsNew)))
+        .localCheckpoint() // breaks the read/overwrite cycle like ppMerged
+    }
 
     // NO-OP fast path: a clean re-submission of an already-folded slice
     // (every delta empty, no repair ran) must not rewrite anything — in
@@ -1110,21 +1309,28 @@ object Pipeline {
           org.apache.spark.sql.types.StructField("_bucket", org.apache.spark.sql.types.LongType)))
         store.readData("edges", Some(edgesSchema)).drop("_bucket")
       } else {
+        // evidence merge MATERIALIZES here (eager localCheckpoint),
+        // BEFORE the docs append below mutates its fallback input
+        val ev = evMerged
         store.appendStage(docsNew, "docs", Nil, bucketCol = Some("doc_id"))
         store.appendStage(tNew, "triples", Seq("sentences"), bucketCol = Some("doc_id"))
         store.appendStage(cNew, "canonical", Seq("triples"), bucketCol = Some("doc_id"))
         ppMerged.write.mode("overwrite").parquet(ppPath)
+        ev.write.mode("overwrite").parquet(evPath)
         // re-derive edges from the merged aggregate and overwrite the
         // stage (runStageDF under THIS fingerprint re-stamps the meta;
         // the standing marker keeps isComplete false here, which is what
         // a mutating fold needs anyway — only the no-op branch skips)
         val e = store.runStageDF("edges", Seq("canonical"),
           bucketCol = Some("pred_src"))(edgesFromPairPred(ppMerged))
-        // the weight surface re-derives from the SAME merged aggregate —
-        // the incremental path maintains weights for free (a pre-weights
-        // root simply gains the stage on its first mutating fold)
+        // the weight surfaces re-derive from the SAME merged aggregates —
+        // the incremental path maintains them for free (a pre-weights
+        // root simply gains the stages on its first mutating fold)
         store.runStageDF("edge_weights", Seq("canonical"),
           bucketCol = Some("pred_src"))(edgeWeightsFromPairPred(ppMerged))
+        store.runStageDF("typed_edge_weights", Seq("canonical"),
+          bucketCol = Some("pred_src"))(
+          typedEdgeWeights(ppMerged, entityTypesFromEvidence(ev)))
         e
       }
     val result = IncrementalResult(

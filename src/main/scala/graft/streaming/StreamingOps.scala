@@ -156,7 +156,7 @@ object StreamingOps {
     val marker = new org.apache.hadoop.fs.Path(aggPath, "_last_batch")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val last = readLastBatch(fs, marker)
-    if (last < 0L) None
+    if (last < 0L) None // genuinely nothing committed yet
     else {
       def ok(p: org.apache.hadoop.fs.Path) =
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
@@ -166,7 +166,17 @@ object StreamingOps {
          else Seq.empty)
           .filter(p => pat.pattern.matcher(p.getName).matches()) :+
           new org.apache.hadoop.fs.Path(aggPath, "agg")
-      gens.find(ok).map(_.toString)
+      // a committed marker whose generation is gone is the corruption
+      // case the fold protocol refuses loudly — callers must be able to
+      // tell it from "nothing committed yet", so throw here too instead
+      // of collapsing both states into None (a backfill would otherwise
+      // silently skip real-but-damaged history)
+      Some(gens.find(ok).getOrElse(sys.error(
+        s"committedAggregate: $marker commits batch $last but neither an " +
+          s"agg_$last generation nor the legacy agg dir has a _SUCCESS — " +
+          "the store is corrupted outside the generation protocol " +
+          "(mirrors maintainEdges' refusal); restore _last_batch to the " +
+          "newest intact generation's id")).toString)
     }
   }
 
@@ -262,7 +272,46 @@ object StreamingOps {
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
     writer
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
+        foldGeneration(batch.sparkSession, aggPath, batchId, runId, lineageTag,
+          Pipeline.pairPredAggregate(batch.toDF()), Pipeline.mergePairPred) {
+          merged =>
+            // BOTH derived surfaces share ONE capped materialization —
+            // deriving weights through edgeWeightsFromPairPred would
+            // re-run the cap (window top-k) and the pairwise expansion a
+            // second time per batch
+            val capped = Pipeline.cappedPairPred(merged, 32, 8)
+              .localCheckpoint(eager = false)
+            Pipeline.edgesFromCapped(capped)
+              .write.mode("overwrite").parquet(edgesPath)
+            // the entailment-weight surface rides the SAME merged
+            // aggregate — a stream-fed store maintains weights exactly
+            // like the batch fold does (derivation re-run per batch,
+            // never corpus-scaled)
+            weightsPath.foreach(p =>
+              Pipeline.edgeWeightsFromCapped(capped)
+                .write.mode("overwrite").parquet(p))
+        }
+      }
+      .start()
+  }
+
+  /** ONE committed fold of `delta` into the generation-protocol
+    * aggregate at `aggPath` — the exactly-once machinery maintainEdges'
+    * scaladoc documents, extracted so every maintained aggregate
+    * (pair-pred, type evidence) runs the IDENTICAL attribution / commit
+    * / prune sequence instead of a hand-copied variant. `derive` runs
+    * between the generation's parquet commit and the marker commit —
+    * derived surfaces written there are recomputed by the replay on any
+    * crash before the marker, so they can never lag a committed
+    * generation. Batches ≤ the committed id are skipped (idempotent
+    * replay). */
+  private[graft] def foldGeneration(
+      spark: org.apache.spark.sql.SparkSession, aggPath: String,
+      batchId: Long, runId: String, lineageTag: String,
+      delta: DataFrame, merge: (DataFrame, DataFrame) => DataFrame)(
+      derive: DataFrame => Unit): Unit = {
+    import graft.pipeline.Pipeline
+    locally {
         val conf = spark.sparkContext.hadoopConfiguration
         val base = new org.apache.hadoop.fs.Path(aggPath)
         val marker = new org.apache.hadoop.fs.Path(aggPath, "_last_batch")
@@ -369,30 +418,17 @@ object StreamingOps {
                   "the store is corrupted outside the generation " +
                   "protocol; refusing to reinitialize the aggregate " +
                   "from a single batch's delta")))
-          val delta = Pipeline.pairPredAggregate(batch.toDF())
           val merged = current
-            .map(d => Pipeline.mergePairPred(spark.read.parquet(d.toString), delta))
+            .map(d => merge(spark.read.parquet(d.toString), delta))
             .getOrElse(delta)
-            .localCheckpoint() // one materialization, 2-3 consumers below
+            .localCheckpoint() // one materialization, derive + gen write
           // the dir name carries the lineage tag, so attribution is
           // atomic with the parquet job's own _SUCCESS — no separate
           // stamp file, no stampless crash window
           merged.write.mode("overwrite").parquet(genW(batchId).toString)
-          // BOTH derived surfaces share ONE capped materialization —
-          // deriving weights through edgeWeightsFromPairPred would
-          // re-run the cap (window top-k) and the pairwise expansion a
-          // second time per batch
-          val capped = Pipeline.cappedPairPred(merged, 32, 8)
-            .localCheckpoint(eager = false)
-          Pipeline.edgesFromCapped(capped)
-            .write.mode("overwrite").parquet(edgesPath)
-          // the entailment-weight surface rides the SAME merged
-          // aggregate — a stream-fed store maintains weights exactly
-          // like the batch fold does (derivation re-run per batch, never
-          // corpus-scaled)
-          weightsPath.foreach(p =>
-            Pipeline.edgeWeightsFromCapped(capped)
-              .write.mode("overwrite").parquet(p))
+          // derived surfaces write INSIDE the pre-marker window: a crash
+          // before the marker replays the batch and recomputes them
+          derive(merged)
           // atomic marker commit: write-temp-then-rename — a crash can
           // leave the OLD marker (replay recomputes the merge off the
           // old generation, harmless) or, in the delete→rename sliver,
@@ -418,6 +454,93 @@ object StreamingOps {
                 (genIdOf(n).contains(batchId) && n != genW(batchId).getName)
               if (stale) fs.delete(p, true)
             }
+        }
+    }
+  }
+
+  /** [[maintainEdges]] over a stream of DOCUMENTS, additionally
+    * maintaining the TYPED entailment-weight surface
+    * ([[graft.pipeline.Pipeline.typedEdgeWeights]]). The extraction
+    * chain (segment → extract → canonicalize) runs per micro-batch
+    * inside foreachBatch — the same stateless narrow transformations,
+    * per-batch output identical to the stream-transformation form — so
+    * one batch can feed BOTH maintained aggregates:
+    *
+    *   - `aggPath`: the pair-pred aggregate (identical protocol and
+    *     layout to [[maintainEdges]] — a store started there resumes
+    *     here unchanged);
+    *   - `evidencePath`: the additive type-evidence aggregate
+    *     ([[graft.pipeline.Pipeline.entityTypeEvidence]]), its own
+    *     generation store under the SAME lineage tag and batch ids.
+    *
+    * Commit order per batch: evidence folds FIRST, pair-pred second,
+    * derived surfaces (edges / weights / typed weights) inside the
+    * pair-pred fold's pre-marker window. Crash analysis: each fold is
+    * individually idempotent (batch ≤ its marker skips), so a crash
+    * between the two markers replays the batch, skips the evidence fold
+    * (already committed), and recomputes the pair-pred fold — the typed
+    * derivation reads the COMMITTED evidence generation, which at that
+    * point is exactly this batch's. The evidence marker is always ≥ the
+    * pair-pred marker; both stores reach the same id when the batch
+    * commits. */
+  def maintainTypedEdges(docs: Dataset[graft.model.Doc],
+                         aliases: Dataset[graft.model.AliasRow],
+                         aggPath: String, evidencePath: String,
+                         edgesPath: String, weightsPath: String,
+                         typedWeightsPath: String,
+                         trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                         checkpointLocation: Option[String] = None,
+                         parser: graft.pipeline.DepParser = graft.pipeline.FixtureDepParser,
+                         annotator: graft.pipeline.SentenceAnnotator = graft.pipeline.FixtureAnnotator)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.{Mentions, Pipeline}
+    locally { // resume guard — BEFORE the query starts (both aggregates)
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      for (p <- Seq(aggPath, evidencePath)) {
+        val marker = new org.apache.hadoop.fs.Path(p, "_last_batch")
+        val fs = marker.getFileSystem(conf)
+        require(readLastBatch(fs, marker) < 0L || checkpointLocation.isDefined,
+          s"maintainTypedEdges: $p holds a committed aggregate but no " +
+            "checkpointLocation was given — a fresh query restarts batch " +
+            "ids at 0 and the idempotence marker would silently drop all " +
+            "new data; pass the original checkpointLocation (or fresh " +
+            "output paths)")
+      }
+    }
+    val runId = checkpointLocation.map("cp:" + _)
+      .getOrElse("ephemeral:" + java.util.UUID.randomUUID().toString)
+    val lineageTag = lineageTagOf(runId)
+    val writer = docs.writeStream.outputMode("append")
+    trigger.foreach(writer.trigger)
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[graft.model.Doc], batchId: Long) =>
+        val spark = batch.sparkSession
+        val sentences = Pipeline.segmentDocs(batch)
+        val canonical = Pipeline.canonicalize(
+          Pipeline.extractTriples(sentences, parser = parser), aliases)
+        // evidence fold FIRST (no derived surfaces of its own)
+        foldGeneration(spark, evidencePath, batchId, runId, lineageTag,
+          Pipeline.entityTypeEvidence(
+            Mentions.detect(sentences, aliases),
+            Pipeline.mentionLabelTable(sentences, annotator)),
+          Pipeline.mergeTypeEvidence)(_ => ())
+        // pair-pred fold second; all derived surfaces in its window
+        foldGeneration(spark, aggPath, batchId, runId, lineageTag,
+          Pipeline.pairPredAggregate(canonical), Pipeline.mergePairPred) {
+          merged =>
+            val capped = Pipeline.cappedPairPred(merged, 32, 8)
+              .localCheckpoint(eager = false)
+            Pipeline.edgesFromCapped(capped)
+              .write.mode("overwrite").parquet(edgesPath)
+            Pipeline.edgeWeightsFromCapped(capped)
+              .write.mode("overwrite").parquet(weightsPath)
+            val evGen = committedAggregate(spark, evidencePath).getOrElse(
+              sys.error(s"maintainTypedEdges: evidence fold for batch " +
+                s"$batchId left no committed generation at $evidencePath"))
+            Pipeline.typedEdgeWeights(merged,
+                Pipeline.entityTypesFromEvidence(spark.read.parquet(evGen)))
+              .write.mode("overwrite").parquet(typedWeightsPath)
         }
       }
       .start()

@@ -1,8 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
 import graft.ops.DedupOps
-import graft.functions.PortableHash
 
 /** Stage-split profiler for dedup_ngram (dev tool), built to pin down the
   * round-6 driver-box constant: the same query ran 14-17 s on the driver
@@ -28,29 +26,15 @@ object ProfNgram {
       if (args.length > 1) args(1).toInt
       else Runtime.getRuntime.availableProcessors()
     val spark = graft.Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    def s1() = {
-      val exploded = DedupOps.parallelized(docs)
-        .select(col("doc_id"), DedupOps.wordNgrams(col("text"), DedupOps.NgramN).as("grams"))
-        .withColumn("n_grams", size(col("grams")).cast("long"))
-        .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-      exploded.select(col("doc_id"), col("n_grams"),
-                      PortableHash.md5Long48(col("gram")).as("gram_h"))
-    }
-    def s2() = s1()
-      .groupBy(col("gram_h"))
-      .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("members"))
-      .filter(size(col("members")).between(2, DedupOps.NgramMaxBucket))
-    def s3() = s2()
-      .select(col("members")).as[Seq[(Long, Long)]]
-      .flatMap { members =>
-        val sorted = members.sortBy(_._1)
-        for { i <- sorted.indices.iterator; j <- (i + 1) until sorted.length
-              if sorted(i)._1 != sorted(j)._1 }
-          yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
-      }.toDF("a", "b", "n_a", "n_b")
+    // the stages COMPOSE DedupOps' own private[graft] sub-plan builders —
+    // the shipped query is ngramPairEmission(ngramBuckets(ngramGramTable))
+    // + the final aggregation, so the decomposition can never desync from
+    // what s4 actually runs
+    def s1() = DedupOps.ngramGramTable(docs)
+    def s2() = DedupOps.ngramBuckets(s1())
+    def s3() = DedupOps.ngramPairEmission(s2())
     def s4() = DedupOps.ngramJaccardPairs(docs)
 
     val stages = Seq[(String, () => org.apache.spark.sql.DataFrame)](

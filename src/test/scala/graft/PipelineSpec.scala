@@ -236,11 +236,22 @@ class PipelineSpec extends SparkSpecBase {
     // the bucket column is an implementation detail — not in the read-back
     assert(!r2.triples.columns.contains("_bucket") &&
            !r2.edges.columns.contains("_bucket"))
-    // lineage metadata carries rows + upstream refs
+    // lineage metadata: the meta json carries bounded scalars only
+    // (rows + upstream); the per-file lineage lives as a parquet SIDE
+    // TABLE under _lineage/<stage> — never an inline list that the
+    // driver would have to collect at scale
     val meta = new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/triples/_graft_meta.json")), "UTF-8")
-    assert(meta.contains("\"rows\":") && meta.contains("\"upstream\":[\"sentences\"]")
-           && meta.contains("\"files\":"), meta)
+    assert(meta.contains("\"rows\":") && meta.contains("\"upstream\":[\"sentences\"]"), meta)
+    assert(!meta.contains("\"files\":"),
+      s"per-file lineage must live in the side table, not the meta json: $meta")
+    assert(new java.io.File(s"$root/_lineage/triples/_SUCCESS").exists(),
+      "missing _lineage/triples side table")
+    val lineage = spark.read.parquet(s"$root/_lineage/triples")
+    assert(lineage.columns.toSet == Set("file", "rows"))
+    import org.apache.spark.sql.functions.sum
+    assert(lineage.agg(sum($"rows")).collect()(0).getLong(0) == t1,
+      "lineage side-table total must equal the stage row count")
   }
 
   test("a checkpoint from different run parameters is invalidated, not reused") {
