@@ -98,6 +98,12 @@ class CrossedSpec extends AnyFunSuite {
                            k => RandomTrees.generate(k)) == 5000)
   }
 
+  test("crossed lists exactly match the reference on the round-8 fresh battery") {
+    // disjoint k-range (105000-109999), generated in round 8
+    assert(runDifferential("/golden_crossed_random7.json",
+                           k => RandomTrees.generate(k)) == 5000)
+  }
+
   test("shipped config (flag off) emits empty crossed lists — schema parity") {
     val fx = Templates.generate(0L)
     val rels = PostProcess.processSentence(fx.parse, Some(fx.posTags))

@@ -71,6 +71,13 @@ class DifferentialSpec extends AnyFunSuite {
       id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
   }
 
+  test("engine output exactly matches the reference on the round-8 fresh-seed battery") {
+    // seventh k-range for the MAIN five-list differential (95000-104999,
+    // generated in round 8): fully unseen by every earlier battery
+    runDifferential("/golden_random7.json", 10000,
+      id => graft.synth.RandomTrees.generate(id.split("-")(1).toLong))
+  }
+
   test("per-sentence decomposition equals the reference's per-document processing") {
     // the reference processes documents (lists of sentences) through one
     // post_processing call; the engine processes sentences independently.

@@ -671,6 +671,102 @@ class OpsSpec extends SparkSpecBase {
     assert(re == got)
   }
 
+  test("crossVerify: exact shingle-Jaccard on suspects only, threshold routing, partition-invariant") {
+    import graft.ops.DedupOps
+    val seen = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h i j"),       // identical: true jaccard 1000
+      (11L, "q r s t u v w x y z"),       // clean → never a suspect, absent
+      (12L, "a b c d e f g h i CHANGED")) // 7 of 9 union shingles shared
+      .toDF("doc_id", "text")
+    val got = DedupOps.crossVerify(incoming, seen)
+      .select("doc_id", "best_seen_id", "jaccard_x1000", "verified", "route_refined")
+      .as[(Long, Long, Long, Int, String)].collect().sortBy(_._1).toSeq
+    // verifier work is SUSPECT-bounded: one row per screen suspect only
+    assert(got.map(_._1) == Seq(10L, 12L), got.toString)
+    // exact Jaccard, hand-computed: 8/8 → 1000; 7/(8+8-7) → ⌊7000/9⌋ = 777
+    assert(got(0) == ((10L, 1L, 1000L, 1, "near_dup")), got(0).toString)
+    assert(got(1) == ((12L, 1L, 777L, 1, "near_dup")), got(1).toString)
+    // a stricter threshold demotes the partial copy to a false alarm —
+    // true similarity decides, not band counts
+    val strict = DedupOps.crossVerify(incoming, seen, thresholdX1000 = 800)
+      .select("doc_id", "verified", "route_refined")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(strict == Seq((10L, 1, "near_dup"), (12L, 0, "screen_false_alarm")),
+      strict.toString)
+    // suspects whose only collisions sat in dropped oversize buckets keep
+    // the sentinel best match and return to the clean pool
+    val dropped = DedupOps.crossVerify(incoming, seen, maxBucketSize = 0)
+      .select("doc_id", "best_seen_id", "jaccard_x1000", "route_refined")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(dropped.map(_._1) == Seq(10L, 12L))
+    assert(dropped.forall(r => r._2 == -1L && r._3 == 0L &&
+      r._4 == "screen_false_alarm"), dropped.toString)
+    // verdicts are pure content functions — layout must not matter
+    val re = DedupOps.crossVerify(incoming.repartition(7), seen.repartition(5))
+      .select("doc_id", "best_seen_id", "jaccard_x1000", "verified", "route_refined")
+      .as[(Long, Long, Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
+  test("video BMFF round-trip: the box walk recovers the container spec exactly") {
+    val refs = Seq("m_000", "vid-a", "媒体-42", "x")
+    for (ref <- refs) {
+      val (timescale, duration, width, height, frames, nTracks) =
+        MultimodalOps.synthVideoSpec(ref)
+      val m = MultimodalOps.decodeVideoMeta(MultimodalOps.synthVideoPayload(ref))
+      assert(m == MultimodalOps.VideoMeta(timescale, duration, nTracks,
+        width, height, frames), s"$ref: $m")
+    }
+    // the distributed surface agrees field-for-field, duration in ms
+    val docs = Pipeline.synthDocs(spark, 50)
+    val vf = MultimodalOps.videoFeatures(MultimodalOps.mediaAssetsReal(docs)).collect()
+    assert(vf.nonEmpty)
+    for (f <- vf) {
+      val (timescale, duration, width, height, frames, nTracks) =
+        MultimodalOps.synthVideoSpec(f.media_ref)
+      assert((f.timescale, f.duration_ticks, f.n_tracks, f.width, f.height,
+              f.n_frames) == ((timescale, duration, nTracks, width, height, frames)),
+        f.media_ref)
+      assert(f.duration_ms == duration.toLong * 1000L / timescale)
+      assert(f.byte_len > 0L)
+    }
+  }
+
+  test("video BMFF parse: version-1 mvhd layout, loud refusal of non-BMFF payloads") {
+    // hand-built container with a VERSION 1 mvhd (64-bit times) — the
+    // synth generator only emits v0, so the v1 branch needs its own bytes
+    val buf = java.nio.ByteBuffer.allocate(16 + 228)
+    def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    buf.putInt(16); tag("ftyp"); tag("isom"); buf.putInt(0)
+    buf.putInt(228); tag("moov")
+    buf.putInt(120); tag("mvhd"); buf.putInt(0x01000000) // version 1
+    buf.putLong(0L).putLong(0L)                          // 64-bit times
+    buf.putInt(1000); buf.putLong(98765L)                // timescale, duration
+    buf.putInt(0x00010000); buf.putShort(0x0100.toShort).putShort(0)
+    buf.putLong(0L)
+    for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(v)
+    for (_ <- 0 until 6) buf.putInt(0)
+    buf.putInt(2) // next_track_ID
+    buf.putInt(100); tag("trak")
+    buf.putInt(92); tag("tkhd"); buf.putInt(0x000007)
+    buf.putInt(0).putInt(0).putInt(1).putInt(0).putInt(98765)
+    buf.putLong(0L); buf.putLong(0L)
+    for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(v)
+    buf.putInt(320 << 16).putInt(240 << 16)
+    val m = MultimodalOps.decodeVideoMeta(buf.array())
+    // no mdia chain → frame count reads as 0, everything else exact
+    assert(m == MultimodalOps.VideoMeta(1000, 98765, 1, 320, 240, 0), m.toString)
+    // non-BMFF payloads fail LOUDLY — a silent zero would hide corruption
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodeVideoMeta(MultimodalOps.synthPayload("r", "video")))
+    // a corrupt box size inside a real container also fails loudly
+    val broken = MultimodalOps.synthVideoPayload("m_000").clone()
+    val bb = java.nio.ByteBuffer.wrap(broken)
+    bb.putInt(MultimodalOps.BmffFtypSize, 4) // moov box claims size 4 (< 8)
+    intercept[IllegalArgumentException](MultimodalOps.decodeVideoMeta(broken))
+  }
+
   test("temperatureRates: exact sqrt-temperature keep-rates, all alphas") {
     import graft.ops.TextOps
     val docs = (Seq.fill(9)("A") ++ Seq("B") ++ Seq.fill(2)("C")).zipWithIndex
