@@ -340,7 +340,15 @@ object DedupOps {
     * not (those docs return to the clean pool). A suspect whose only
     * collisions were in dropped oversize buckets keeps best_seen_id = -1
     * and jaccard 0. Partition-invariant: every verdict is a pure
-    * function of content + the seen corpus. */
+    * function of content + the seen corpus.
+    *
+    * The suspect-bounded intermediates (`suspects`, `cand`, both gram
+    * tables) each feed 2-3 consumers — they MATERIALIZE once
+    * (`localCheckpoint`, the capped-pair-pred pattern), so the corpus
+    * scans behind them run once, not once per consumer: without the
+    * pins, the two band derivations and both shingle explodes are
+    * re-executed by every downstream join (the round-8 plan audit
+    * counted 40+ exchanges for exactly this reason). */
   def crossVerify(incoming: DataFrame, seen: DataFrame, shingleN: Int = 3,
                   bands: Int = 16, rowsPerBand: Int = 4,
                   thresholdX1000: Int = 500, maxHitBands: Long = 0L,
@@ -348,6 +356,7 @@ object DedupOps {
     val suspects = nearNewScreen(incoming, seen, shingleN, bands, rowsPerBand)
       .filter(col("n_hit_bands") > maxHitBands)
       .select(col("doc_id"), col("n_hit_bands"))
+      .localCheckpoint() // batch-bounded; consumed by cand + the closer
     // seen-side band table with member-bounded buckets (size guard via
     // a window-free self-aggregation: bucket sizes ride one count agg,
     // then a semi-join keeps the surviving (band, bucket) keys)
@@ -362,15 +371,19 @@ object DedupOps {
       .join(seenBands.join(okBuckets, Seq("band", "bucket"), "left_semi"),
             Seq("band", "bucket"))
       .select(col("doc_id"), col("seen_id")).distinct()
+      .localCheckpoint() // suspect-bounded; consumed by both gram cuts + shared
     // exact distinct-shingle sets, restricted to the docs that survived
-    // into candidate pairs (semi-joins keep both gram tables bounded)
+    // into candidate pairs (semi-joins keep both gram tables bounded);
+    // materialized: each feeds its size marginal AND the shared-gram join
     val incGrams = parallelized(incoming)
       .select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
       .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val seenGrams = parallelized(seen)
       .select(col("doc_id").as("seen_id"),
               explode(wordNgrams(col("text"), shingleN)).as("gram"))
       .join(cand.select(col("seen_id")).distinct(), Seq("seen_id"), "left_semi")
+      .localCheckpoint()
     val nInc = incGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val nSeen = seenGrams.groupBy(col("seen_id")).agg(count(lit(1)).as("n_b"))
     val shared = cand

@@ -297,6 +297,38 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("dedup_cross_verify: suspect-bounded equi-joins only, never corpus x corpus") {
+    val df = SparkEntry.queries("dedup_cross_verify")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the pairwise verifier must stay on (id, gram) hash joins:\n$plan")
+    // the gram tables are cut down to candidate docs via semi-joins
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("kg_edges_topk: per-group window limit, never a global sort") {
+    val df = SparkEntry.queries("kg_edges_topk")(spark, sf)
+    val plan = executed(df)
+    // the rank<=K filter must be pushed INTO the window as a group limit
+    // (per-partition heap before the full window sort) — losing this on
+    // a billion-predicate graph means sorting every group's full fanout
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // no global (allover) sort: every Sort in the plan is per-partition
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"global sort crept into the top-K surface:\n$plan")
+  }
+
+  test("kg_typed_edge_weights: per-slice totals broadcast, equi-joins, no cartesian") {
+    val df = SparkEntry.queries("kg_typed_edge_weights")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // unlike the untyped surface there is NO one-row scalar cross join:
+    // per-slice totals join on (type_s, type_o) keys and ride a broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ANN scale paths keep corpus work narrow (bounded exchanges, no cartesian)") {
     for (q <- Seq("ann_lsh", "ann_ivf")) {
       val df = SparkEntry.queries(q)(spark, sf)
