@@ -1383,7 +1383,10 @@ object SparkEntry {
            |  WHERE kind = 'video'),
            |p AS (SELECT doc_id, media_ref, payload,
            |    ${duckBeInt("hx", bmffC(bmffMvhd + 20))} AS timescale,
-           |    ${duckBeInt("hx", bmffC(bmffMvhd + 24))} AS duration_ticks,
+           |    -- BIGINT: the Spark side reads the u32 v0 field unsigned
+           |    -- into a long (v1 containers carry a true 64-bit value)
+           |    CAST(${duckBeInt("hx", bmffC(bmffMvhd + 24))} AS BIGINT)
+           |      AS duration_ticks,
            |    ${duckBeInt("hx", bmffC(bmffMoov))} AS moov_size,
            |    ${duckBeInt("hx", bmffC(bmffTkhd + 84), 2)} AS width,
            |    ${duckBeInt("hx", bmffC(bmffTkhd + 88), 2)} AS height,

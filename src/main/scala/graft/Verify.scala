@@ -51,17 +51,23 @@ object Verify {
     // merely shares the name is left untouched.
     try {
       val legacy = new java.io.File(s"$outDir/_aux")
+      // "ours" = every child is one of the aux table names a pre-r7
+      // verify could have written (a PARTIAL legacy dir — the old aux
+      // try-block could die mid-way — must still be cleaned, so the
+      // signature is children ⊆ known, not a fixed required pair); an
+      // unrelated _aux that merely shares the name has foreign children
+      // and is left in place
+      val knownAux = Set("aliases", "docs", "coref_rels", "mention_labels")
       val oursLegacy = legacy.isDirectory &&
-        new java.io.File(legacy, "aliases").isDirectory &&
-        new java.io.File(legacy, "docs").isDirectory
+        Option(legacy.listFiles()).exists(_.forall(f => knownAux(f.getName)))
       if (oursLegacy) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(legacy)
       } else if (legacy.isDirectory)
-        System.err.println(s"[verify] $outDir/_aux exists but lacks the " +
-          "legacy aux signature (aliases/ + docs/) — not ours, left in place")
+        System.err.println(s"[verify] $outDir/_aux exists but holds " +
+          "non-aux children — not ours, left in place")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] legacy _aux cleanup failed: ${e.getMessage}")
     }

@@ -229,7 +229,7 @@ object MultimodalOps {
     }
   }
 
-  final case class VideoMeta(timescale: Int, duration_ticks: Int,
+  final case class VideoMeta(timescale: Int, duration_ticks: Long,
                              n_tracks: Int, width: Int, height: Int,
                              n_frames: Int)
 
@@ -245,13 +245,26 @@ object MultimodalOps {
     val buf = ByteBuffer.wrap(payload)
     def fourcc(off: Int): String =
       new String(payload, off + 4, 4, "US-ASCII")
-    // iterate child boxes of [from, until); returns (offset, type, size)
+    // iterate child boxes of [from, until); returns (offset, type, size).
+    // Handles the two legal special sizes real containers use: size==0
+    // (box extends to the end of the enclosing range — e.g. a trailing
+    // mdat) and size==1 (64-bit largesize in the next 8 bytes — e.g. a
+    // >4 GB mdat); only sizes 2..7 are actually malformed.
     def boxes(from: Int, until: Int): Iterator[(Int, String, Int)] =
       new Iterator[(Int, String, Int)] {
         private var off = from
         def hasNext: Boolean = off + 8 <= until
         def next(): (Int, String, Int) = {
-          val size = buf.getInt(off)
+          val size = buf.getInt(off) match {
+            case 0 => until - off // to end of the enclosing box/file
+            case 1 =>
+              require(off + 16 <= until, s"truncated largesize box at offset $off")
+              val large = buf.getLong(off + 8)
+              require(large >= 16L && large <= (until - off).toLong,
+                s"malformed BMFF largesize at offset $off: $large")
+              large.toInt // payload is an in-memory array, always < 2 GiB
+            case s => s
+          }
           require(size >= 8 && off + size <= until,
             s"malformed BMFF box at offset $off: size $size")
           val r = (off, fourcc(off), size); off += size; r
@@ -266,22 +279,34 @@ object MultimodalOps {
     val (mvOff, _, _) = kids.find(_._2 == "mvhd")
       .getOrElse(sys.error("moov without mvhd"))
     val mvVer = buf.get(mvOff + 8) & 0xff
+    // durations are 64-bit clean: v0's u32 field reads unsigned, v1's
+    // u64 is kept whole — truncating to Int would silently wrap exactly
+    // the long-duration files v1 exists for
     val (timescale, duration) =
-      if (mvVer == 0) (buf.getInt(mvOff + 20), buf.getInt(mvOff + 24))
-      else (buf.getInt(mvOff + 28), buf.getLong(mvOff + 32).toInt)
+      if (mvVer == 0) (buf.getInt(mvOff + 20), buf.getInt(mvOff + 24).toLong & 0xffffffffL)
+      else (buf.getInt(mvOff + 28), buf.getLong(mvOff + 32))
     val traks = kids.filter(_._2 == "trak")
     require(traks.nonEmpty, "moov without any trak")
-    val (t0, _, t0size) = traks.head
-    val (tkOff, _, _) = boxes(t0 + 8, t0 + t0size).find(_._2 == "tkhd")
-      .getOrElse(sys.error("trak without tkhd"))
-    val tkVer = buf.get(tkOff + 8) & 0xff
-    val dimOff = tkOff + (if (tkVer == 0) 84 else 96)
-    val (w, h) = (buf.getInt(dimOff) >>> 16, buf.getInt(dimOff + 4) >>> 16)
+    def tkhdOf(t: (Int, String, Int)): Int =
+      boxes(t._1 + 8, t._1 + t._3).find(_._2 == "tkhd")
+        .getOrElse(sys.error("trak without tkhd"))._1
+    def dims(tkOff: Int): (Int, Int) = {
+      val tkVer = buf.get(tkOff + 8) & 0xff
+      val dimOff = tkOff + (if (tkVer == 0) 84 else 96)
+      (buf.getInt(dimOff) >>> 16, buf.getInt(dimOff + 4) >>> 16)
+    }
+    // the VIDEO track is the one with nonzero tkhd dimensions — real
+    // muxers often put an audio track first, whose width/height are 0
+    // and whose stsz counts audio samples; blindly taking traks.head
+    // would silently report 0x0 and the wrong frame count for them
+    val t0 @ (t0off, _, t0size) = traks
+      .find(t => dims(tkhdOf(t)) != ((0, 0))).getOrElse(traks.head)
+    val (w, h) = dims(tkhdOf(t0))
     // descend trak → mdia → minf → stbl → stsz for the sample count
     def child(off: Int, size: Int, t: String): Option[(Int, String, Int)] =
       boxes(off + 8, off + size).find(_._2 == t)
     val frames = (for {
-      (mdOff, _, mdSize) <- child(t0, t0size, "mdia")
+      (mdOff, _, mdSize) <- child(t0off, t0size, "mdia")
       (mfOff, _, mfSize) <- child(mdOff, mdSize, "minf")
       (sbOff, _, sbSize) <- child(mfOff, mfSize, "stbl")
       (szOff, _, _)      <- child(sbOff, sbSize, "stsz")
@@ -290,7 +315,7 @@ object MultimodalOps {
   }
 
   final case class VideoFeatures(doc_id: String, media_ref: String,
-                                 timescale: Int, duration_ticks: Int,
+                                 timescale: Int, duration_ticks: Long,
                                  duration_ms: Long, n_tracks: Int,
                                  width: Int, height: Int, n_frames: Int,
                                  byte_len: Long)
@@ -306,7 +331,7 @@ object MultimodalOps {
       batch.filter(_.kind == "video").map { a =>
         val m = decodeVideoMeta(a.payload)
         VideoFeatures(a.doc_id, a.media_ref, m.timescale, m.duration_ticks,
-          m.duration_ticks.toLong * 1000L / m.timescale, m.n_tracks,
+          m.duration_ticks * 1000L / m.timescale, m.n_tracks,
           m.width, m.height, m.n_frames, a.payload.length.toLong)
       }
     }

@@ -124,7 +124,12 @@ final class CheckpointStore(root: String, spark: SparkSession,
     * first makes the doc-level reconcile sound. No-op (returns Nil) when
     * the stage has no recorded file list to prune against. */
   def pruneUnrecorded(stage: String): Seq[String] = {
-    if (!hasRecordedLineage(stage)) Nil
+    // the meta json is the anchor tying the recorded lineage to the
+    // stage's CURRENT content: lineage-without-meta is a mid-protocol
+    // state (e.g. a compact crashed after the swap, before
+    // markComplete) where the lineage may describe files that no longer
+    // exist — pruning against it would delete valid data. Refuse.
+    if (!hasRecordedLineage(stage) || readMeta(stage).isEmpty) Nil
     else {
       import org.apache.spark.sql.functions.col
       val listed = listDataFiles(stage)
@@ -307,7 +312,13 @@ final class CheckpointStore(root: String, spark: SparkSession,
       val newFiles = listDataFiles(stage).filterNot(p => before(p.getName))
       val freshDF = perFileCounts(newFiles).localCheckpoint()
       val freshTotal = lineageTotal(freshDF)
-      val prevTotal = metaRows(stage).getOrElse(lineageTotal(lineageDF(stage)))
+      // previous total from the lineage table, NOT the meta json: a
+      // crash between a lineage append and the meta rewrite leaves the
+      // json total stale-low — preferring it here would bake the
+      // under-count into every subsequent append (the compact verifier
+      // already names the lineage table the source of truth). Evaluated
+      // eagerly BEFORE freshDF lands in the table.
+      val prevTotal = lineageTotal(lineageDF(stage))
       if (!lineageExists(stage)) // legacy root: migrate the json list once
         lineageDF(stage).write.mode("overwrite").parquet(lineagePath(stage))
       freshDF.write.mode("append").parquet(lineagePath(stage))
@@ -476,6 +487,14 @@ final class CheckpointStore(root: String, spark: SparkSession,
         "original files left untouched")
     val dst = new Path(dataPath(stage))
     fs.delete(dst, true)
+    // the lineage SIDE TABLE must die with the stage it describes: the
+    // pre-r8 inline lineage lived in the meta json and vanished with the
+    // dst delete above, which is exactly what made a crashed compact
+    // safe — no recorded lineage, so pruneUnrecorded no-ops and the
+    // incomplete stage recomputes. A surviving side table would instead
+    // list the PRE-compact file names, and a later fold repair's
+    // pruneUnrecorded anti-join would delete every valid compacted file.
+    fs.delete(new Path(lineagePath(stage)), true)
     // a false return (HDFS-style silent failure) must not masquerade as
     // success — the stage is already gone, so fail loudly; the store's
     // completeness check then forces a recompute on the next run

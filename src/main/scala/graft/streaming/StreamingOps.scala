@@ -397,7 +397,7 @@ object StreamingOps {
               // delta and then prune it.
               val others = committedGens.filterNot(ownGen(_, batchId))
               if (others.nonEmpty) sys.error(
-                s"maintainEdges: $aggPath holds committed aggregate data " +
+                s"foldGeneration($aggPath): the store holds committed aggregate data " +
                   s"(${others.map(_.getName).mkString(", ")}) but " +
                   "_last_batch is missing or unreadable. This state is " +
                   "reachable by a crash in the marker delete→rename " +
@@ -413,7 +413,7 @@ object StreamingOps {
             else Some(genRead(last)
               .orElse(if (hasSuccess(legacy)) Some(legacy) else None)
               .getOrElse(sys.error(
-                s"maintainEdges: $marker commits batch $last but neither " +
+                s"foldGeneration($aggPath): $marker commits batch $last but neither " +
                   s"an agg_$last generation nor $legacy has a _SUCCESS — " +
                   "the store is corrupted outside the generation " +
                   "protocol; refusing to reinitialize the aggregate " +
@@ -440,7 +440,7 @@ object StreamingOps {
           out.close()
           fs.delete(marker, false)
           require(fs.rename(tmp, marker),
-            s"maintainEdges: rename $tmp -> $marker failed")
+            s"foldGeneration($aggPath): rename $tmp -> $marker failed")
           // prune superseded generations (and the legacy dir) only now —
           // a crash here leaves stale dirs, never a broken commit
           if (fs.exists(base))
@@ -516,7 +516,10 @@ object StreamingOps {
     writer
       .foreachBatch { (batch: Dataset[graft.model.Doc], batchId: Long) =>
         val spark = batch.sparkSession
-        val sentences = Pipeline.segmentDocs(batch)
+        // ONE materialization of the batch's sentences: they feed THREE
+        // consumers (extraction, mention detection, the label table) —
+        // unpinned, each re-runs segmentation and the source read
+        val sentences = Pipeline.segmentDocs(batch).localCheckpoint()
         val canonical = Pipeline.canonicalize(
           Pipeline.extractTriples(sentences, parser = parser), aliases)
         // evidence fold FIRST (no derived surfaces of its own)

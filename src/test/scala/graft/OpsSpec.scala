@@ -742,7 +742,9 @@ class OpsSpec extends SparkSpecBase {
     buf.putInt(228); tag("moov")
     buf.putInt(120); tag("mvhd"); buf.putInt(0x01000000) // version 1
     buf.putLong(0L).putLong(0L)                          // 64-bit times
-    buf.putInt(1000); buf.putLong(98765L)                // timescale, duration
+    // duration > 2^31 ticks — the exact case the 64-bit v1 field exists
+    // for (a ~15 h file at 90 kHz); must come through untruncated
+    buf.putInt(1000); buf.putLong(5000000000L)           // timescale, duration
     buf.putInt(0x00010000); buf.putShort(0x0100.toShort).putShort(0)
     buf.putLong(0L)
     for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(v)
@@ -756,7 +758,7 @@ class OpsSpec extends SparkSpecBase {
     buf.putInt(320 << 16).putInt(240 << 16)
     val m = MultimodalOps.decodeVideoMeta(buf.array())
     // no mdia chain → frame count reads as 0, everything else exact
-    assert(m == MultimodalOps.VideoMeta(1000, 98765, 1, 320, 240, 0), m.toString)
+    assert(m == MultimodalOps.VideoMeta(1000, 5000000000L, 1, 320, 240, 0), m.toString)
     // non-BMFF payloads fail LOUDLY — a silent zero would hide corruption
     intercept[IllegalArgumentException](
       MultimodalOps.decodeVideoMeta(MultimodalOps.synthPayload("r", "video")))
@@ -765,6 +767,69 @@ class OpsSpec extends SparkSpecBase {
     val bb = java.nio.ByteBuffer.wrap(broken)
     bb.putInt(MultimodalOps.BmffFtypSize, 4) // moov box claims size 4 (< 8)
     intercept[IllegalArgumentException](MultimodalOps.decodeVideoMeta(broken))
+  }
+
+  test("video BMFF parse: audio-first track ordering, largesize and to-EOF boxes") {
+    def mvhdV0(buf: java.nio.ByteBuffer, tag: String => Unit,
+               timescale: Int, duration: Int): Unit = {
+      buf.putInt(108); tag("mvhd"); buf.putInt(0)
+      buf.putInt(0).putInt(0)
+      buf.putInt(timescale).putInt(duration)
+      buf.putInt(0x00010000); buf.putShort(0x0100.toShort).putShort(0)
+      buf.putLong(0L)
+      for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(v)
+      for (_ <- 0 until 6) buf.putInt(0)
+      buf.putInt(3)
+    }
+    def trakV0(buf: java.nio.ByteBuffer, tag: String => Unit,
+               id: Int, w: Int, h: Int): Unit = {
+      buf.putInt(100); tag("trak")
+      buf.putInt(92); tag("tkhd"); buf.putInt(0x000007)
+      buf.putInt(0).putInt(0).putInt(id).putInt(0).putInt(0)
+      buf.putLong(0L); buf.putLong(0L)
+      for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(v)
+      buf.putInt(w << 16).putInt(h << 16)
+    }
+    // real muxers often put the AUDIO track first (0x0 tkhd dims) — the
+    // walk must pick the track with nonzero dimensions, not traks.head
+    locally {
+      val buf = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 200)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      buf.putInt(16); tag("ftyp"); tag("isom"); buf.putInt(0)
+      buf.putInt(8 + 108 + 200); tag("moov")
+      mvhdV0(buf, tag, 600, 1200)
+      trakV0(buf, tag, 1, 0, 0)     // audio-like: zero dimensions
+      trakV0(buf, tag, 2, 640, 480) // the video track
+      val m = MultimodalOps.decodeVideoMeta(buf.array())
+      assert(m == MultimodalOps.VideoMeta(600, 1200L, 2, 640, 480, 0), m.toString)
+    }
+    // streaming-layout container: a size==1 (64-bit largesize) mdat
+    // BEFORE moov, and a trailing size==0 (to-end-of-file) free box —
+    // both legal BMFF shapes the walk must step over, not reject
+    locally {
+      val buf = java.nio.ByteBuffer.allocate(16 + 24 + 8 + 108 + 100 + 12)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      buf.putInt(16); tag("ftyp"); tag("isom"); buf.putInt(0)
+      buf.putInt(1); tag("mdat"); buf.putLong(24L); buf.putLong(0L) // largesize box
+      buf.putInt(8 + 108 + 100); tag("moov")
+      mvhdV0(buf, tag, 1000, 7777)
+      trakV0(buf, tag, 1, 320, 240)
+      buf.putInt(0); tag("free"); buf.putInt(0) // extends to EOF
+      val m = MultimodalOps.decodeVideoMeta(buf.array())
+      assert(m == MultimodalOps.VideoMeta(1000, 7777L, 1, 320, 240, 0), m.toString)
+    }
+    // a v0 duration with the top bit set reads UNSIGNED (u32), never
+    // negative
+    locally {
+      val buf = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 100)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      buf.putInt(16); tag("ftyp"); tag("isom"); buf.putInt(0)
+      buf.putInt(8 + 108 + 100); tag("moov")
+      mvhdV0(buf, tag, 90000, 0xF0000000) // u32 4026531840, Int -268435456
+      trakV0(buf, tag, 1, 320, 240)
+      val m = MultimodalOps.decodeVideoMeta(buf.array())
+      assert(m.duration_ticks == 4026531840L, m.toString)
+    }
   }
 
   test("temperatureRates: exact sqrt-temperature keep-rates, all alphas") {

@@ -253,4 +253,73 @@ class TypedWeightsSpec extends SparkSpecBase {
     assert(store.pruneUnrecorded("t").isEmpty)
     assert(store.readData("t", None).drop("_bucket").count() == 55L)
   }
+
+  test("a stale meta-json total (lineage-append/meta-write crash window) self-heals on append") {
+    // crash window: an append commits its lineage rows but dies before
+    // the meta rewrite — the json total is stale-low while the lineage
+    // table is complete. The NEXT append must take its previous total
+    // from the lineage table (source of truth), not bake the
+    // under-count in forever.
+    val root = Files.createTempDirectory("graft-lineage-stale").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "t=1")
+    store.runStageDF("t", bucketCol = Some("k"))(
+      (0L until 30L).map(i => (i, s"v$i")).toDF("k", "v"))
+    store.appendStage((30L until 50L).map(i => (i, s"v$i")).toDF("k", "v"),
+      "t", Nil, bucketCol = Some("k"))
+    // forge the crash: knock the json total back to the pre-append value
+    val metaPath = java.nio.file.Paths.get(s"$root/t/_graft_meta.json")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    java.nio.file.Files.write(metaPath,
+      meta.replace("\"rows\":50", "\"rows\":30").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/t/._graft_meta.json.crc"))
+    store.appendStage((50L until 60L).map(i => (i, s"v$i")).toDF("k", "v"),
+      "t", Nil, bucketCol = Some("k"))
+    val healed = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    assert(healed.contains("\"rows\":60"),
+      s"stale json total must heal from the lineage table, got: $healed")
+    import org.apache.spark.sql.functions.sum
+    assert(spark.read.parquet(s"$root/_lineage/t")
+      .agg(sum($"rows")).collect()(0).getLong(0) == 60L)
+  }
+
+  test("compact rewrites the lineage side table; a stale lineage without meta is never pruned against") {
+    val root = Files.createTempDirectory("graft-lineage-compact").toString
+    val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "t=1")
+    store.runStageDF("t", bucketCol = Some("k"))(
+      (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+    store.appendStage((40L until 60L).map(i => (i, s"v$i")).toDF("k", "v"),
+      "t", Nil, bucketCol = Some("k"))
+    val preNames = spark.read.parquet(s"$root/_lineage/t")
+      .select("file").as[String].collect().toSet
+    store.compact("t")
+    // a completed compact re-records lineage for the NEW files: names on
+    // disk == names in the table, totals exact, nothing prunable
+    val postNames = spark.read.parquet(s"$root/_lineage/t")
+      .select("file").as[String].collect().toSet
+    val diskNames = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/t"))
+        .map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSet
+    }
+    assert(postNames == diskNames, s"lineage/disk drift: $postNames vs $diskNames")
+    assert(postNames.intersect(preNames).isEmpty,
+      "compact must not carry pre-compact file names in the lineage table")
+    import org.apache.spark.sql.functions.sum
+    assert(spark.read.parquet(s"$root/_lineage/t")
+      .agg(sum($"rows")).collect()(0).getLong(0) == 60L)
+    assert(store.pruneUnrecorded("t").isEmpty)
+    // mid-protocol shape (lineage present, meta json GONE — e.g. a crash
+    // after a swap, before markComplete): pruning against a lineage with
+    // no meta anchor could delete valid data files — must refuse
+    val meta = new java.io.File(s"$root/t/_graft_meta.json")
+    val crc = new java.io.File(s"$root/t/._graft_meta.json.crc")
+    assert(meta.delete()); crc.delete()
+    assert(store.pruneUnrecorded("t").isEmpty,
+      "pruneUnrecorded must refuse a stage with lineage but no meta json")
+    assert(store.readData("t", None).drop("_bucket").count() == 60L,
+      "no data file may be deleted in the refusal path")
+  }
 }
