@@ -166,7 +166,28 @@ object ScaleRehearsal {
             graft.pipeline.Pipeline.canonicalize(
               graft.pipeline.Pipeline.extractTriples(
                 graft.pipeline.Pipeline.segmentDocs(d)),
-              graft.pipeline.Pipeline.synthAliases(spark)))).count() })
+              graft.pipeline.Pipeline.synthAliases(spark)))).count() },
+      // (r8) the LSH-then-verify closer over the same incoming/seen
+      // split as crossApply — two corpus-side band passes + the
+      // suspect-bounded exact-Jaccard joins
+      time("dedup_cross_verify") { () =>
+        DedupOps.crossVerify(docs.filter(col("doc_id") % 3 =!= 0),
+                             docs.filter(col("doc_id") % 3 === 0)).count() },
+      // (r8) the full TYPED-subgraph derivation from raw docs: extract →
+      // canonicalize → pair-pred + mention/label evidence → per-slice
+      // weight battery
+      time("kg_typed_edge_weights") { () =>
+        import spark.implicits._
+        import graft.pipeline.{Mentions, Pipeline}
+        val d = spark.read.parquet(kgDocsPath).as[graft.model.Doc]
+        val sents = Pipeline.segmentDocs(d).localCheckpoint()
+        val aliases = Pipeline.synthAliases(spark)
+        Pipeline.typedEdgeWeights(
+          Pipeline.pairPredAggregate(Pipeline.canonicalize(
+            Pipeline.extractTriples(sents), aliases)),
+          Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
+            Mentions.detect(sents, aliases),
+            Pipeline.mentionLabelTable(sents)))).count() })
   }
 
   def main(args: Array[String]): Unit = {
