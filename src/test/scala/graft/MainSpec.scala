@@ -403,20 +403,41 @@ class MainSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(streamedW == batchW,
            s"stream-maintained weights diverged (${streamedW.size} vs ${batchW.size})")
-    // a store maintained BEFORE the weight surface existed (simulated by
-    // deleting it) is backfilled on the next drain even when no new
+    // the TYPED surface is maintained alongside, equal to the batch
+    // derivation over the same docs (evidence aggregate folded per batch)
+    val batchTyped: Set[Seq[Any]] = {
+      val P = graft.pipeline.Pipeline
+      val sents = P.segmentDocs(P.synthDocs(spark, 40))
+      P.typedEdgeWeights(
+        P.pairPredAggregate(P.canonicalize(
+          P.extractTriples(sents), P.synthAliases(spark))),
+        P.entityTypesFromEvidence(P.entityTypeEvidence(
+          graft.pipeline.Mentions.detect(sents, P.synthAliases(spark)),
+          P.mentionLabelTable(sents))))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(spark.read.parquet(s"$out/edge_weights_typed_stream")
+      .collect().map(_.toSeq).toSet == batchTyped,
+      "stream-maintained TYPED weights diverged from batch")
+    // a store maintained BEFORE the weight surfaces existed (simulated by
+    // deleting them) is backfilled on the next drain even when no new
     // batch arrives (foreachBatch never fires — the backfill reads the
-    // committed aggregate generation directly)
+    // committed aggregate generations directly); the typed backfill
+    // reads BOTH generations
     locally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(new java.io.File(s"$out/edge_weights_stream"))
+      rm(new java.io.File(s"$out/edge_weights_typed_stream"))
       Main.main(Array("--reader", "docs-json", "--input", in, "--out", out,
                       "--stream-once"))
       val refilled = spark.read.parquet(s"$out/edge_weights_stream")
         .collect().map(_.toSeq).toSet
       assert(refilled == batchW, "post-drain weight backfill diverged")
+      val refilledTyped = spark.read.parquet(s"$out/edge_weights_typed_stream")
+        .collect().map(_.toSeq).toSet
+      assert(refilledTyped == batchTyped, "post-drain TYPED backfill diverged")
     }
     // one-shot flags are loudly rejected (they would be silently dead)
     intercept[IllegalArgumentException](

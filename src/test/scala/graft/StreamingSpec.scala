@@ -446,4 +446,58 @@ class StreamingSpec extends SparkSpecBase {
     val chain = causeChain(e)
     assert(chain.contains("corrupted"), s"expected the corruption refusal, got: $chain")
   }
+
+  test("foldGeneration dual-aggregate replay: a committed fold skips, the lagging fold catches up") {
+    // the maintainTypedEdges crash window: evidence fold commits batch N,
+    // the process dies before the pair-pred fold — the replay must SKIP
+    // the evidence fold (idempotence) yet still run the pair-pred fold
+    // and its derived surfaces, reading the already-committed evidence
+    // generation. Exercised at the foldGeneration unit level, where the
+    // crash point is deterministic.
+    import graft.pipeline.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-dualfold").toString
+    val evPath = s"$dir/evidence"; val ppPath = s"$dir/pairpred"
+    val runId = "cp:" + dir
+    val tag = StreamingOps.lineageTagOf(runId)
+    val ev0 = Seq(("e1", "PER", 2L), ("e2", "LOC", 1L))
+      .toDF("canonical", "ent_type", "n_mentions")
+    val pp0 = Seq(("e1", "e2", "P", 2L), ("e1", "e2", "Q", 1L))
+      .toDF("arg_s", "arg_o", "pred", "support")
+    // batch 0: evidence committed; "crash" = pair-pred fold never ran
+    StreamingOps.foldGeneration(spark, evPath, 0L, runId, tag,
+      ev0, Pipeline.mergeTypeEvidence)(_ => ())
+    val evGen0 = StreamingOps.committedAggregate(spark, evPath).get
+    // replay of batch 0: the evidence fold must skip (same committed
+    // generation afterwards), the pair-pred fold runs and derives
+    var derived = 0
+    StreamingOps.foldGeneration(spark, evPath, 0L, runId, tag,
+      ev0, Pipeline.mergeTypeEvidence)(_ => ())
+    assert(StreamingOps.committedAggregate(spark, evPath).get == evGen0,
+      "replayed evidence fold must not produce a new generation")
+    StreamingOps.foldGeneration(spark, ppPath, 0L, runId, tag,
+      pp0, Pipeline.mergePairPred) { merged =>
+      derived += 1
+      Pipeline.typedEdgeWeights(merged,
+          Pipeline.entityTypesFromEvidence(spark.read.parquet(evGen0)))
+        .write.mode("overwrite").parquet(s"$dir/typed")
+    }
+    assert(derived == 1)
+    // both markers now agree on the committed id
+    for (p <- Seq(evPath, ppPath))
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p, "_last_batch")).trim.toLong == 0L, p)
+    // the derived surface equals the direct derivation from the inputs
+    val direct = Pipeline.typedEdgeWeights(pp0,
+      Pipeline.entityTypesFromEvidence(ev0)).collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$dir/typed").collect().map(_.toSeq).toSet == direct)
+    assert(direct.nonEmpty)
+    // a second batch folds additively into BOTH aggregates
+    StreamingOps.foldGeneration(spark, evPath, 1L, runId, tag,
+      Seq(("e2", "LOC", 5L)).toDF("canonical", "ent_type", "n_mentions"),
+      Pipeline.mergeTypeEvidence)(_ => ())
+    val evAll = spark.read.parquet(
+      StreamingOps.committedAggregate(spark, evPath).get)
+      .as[(String, String, Long)].collect().toSet
+    assert(evAll == Set(("e1", "PER", 2L), ("e2", "LOC", 6L)), evAll.toString)
+  }
 }
