@@ -276,6 +276,19 @@ object SparkEntry {
       Pipeline.edgesTopK(Pipeline.edgeWeightsSupport(Pipeline.pairPredAggregate(
         Pipeline.canonicalize(t, Pipeline.synthAliases(s)))), k = 8)
     }),
+    "kg_typed_edges_topk" -> ((s, _) => {
+      // the TYPED consumption slice: EntGraph globalization reads each
+      // per-argument-type-pair graph separately, so the sparsification
+      // ranks within (type_s, type_o, pred_src) over the typed battery
+      val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
+      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
+      val types = Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
+        Mentions.detect(sents, Pipeline.synthAliases(s)),
+        Pipeline.mentionLabelTable(sents)))
+      Pipeline.typedEdgesTopK(Pipeline.typedEdgeWeights(
+        Pipeline.pairPredAggregate(
+          Pipeline.canonicalize(t, Pipeline.synthAliases(s))), types), k = 8)
+    }),
     "kg_entity_rank" -> ((s, _) => {
       // entity importance: fixed-point integer PageRank over the same
       // bounded co-occurrence graph as kg_cooc_components — pure BIGINT
@@ -857,6 +870,16 @@ object SparkEntry {
         |      ORDER BY binc_ppm DESC, pred_dst) AS INTEGER) AS rank
         |  FROM base)
         |WHERE rank <= 8""".stripMargin
+    // the typed twin: rank within each per-type-pair graph over the
+    // typed battery (whole derivation rides as a CTE)
+    val kgTypedEdgesTopKSql =
+      s"""WITH base AS ($kgTypedEdgeWeightsSql)
+        |SELECT type_s, type_o, pred_src, pred_dst, cond_ppm, rank FROM (
+        |  SELECT type_s, type_o, pred_src, pred_dst, cond_ppm,
+        |    CAST(row_number() OVER (PARTITION BY type_s, type_o, pred_src
+        |      ORDER BY cond_ppm DESC, pred_dst) AS INTEGER) AS rank
+        |  FROM base)
+        |WHERE rank <= 8""".stripMargin
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     // shared CTE: distinct word 3-grams per doc (mirrors DedupOps.wordNgrams)
     def gramsCteOver(src: String) =
@@ -1245,6 +1268,7 @@ object SparkEntry {
       "kg_typed_edge_weights" -> kgTypedEdgeWeightsSql,
       "kg_typed_edge_weights_incr" -> kgTypedEdgeWeightsSql,
       "kg_edges_topk" -> kgEdgesTopKSql,
+      "kg_typed_edges_topk" -> kgTypedEdgesTopKSql,
       // the incremental maintenance path must land on the IDENTICAL edge
       // table — proven by sharing the batch oracle verbatim
       "kg_edges_incr" -> kgEdgesSql,

@@ -597,6 +597,21 @@ object Pipeline {
       .select(col("pred_src"), col("pred_dst"), col("binc_ppm"), col("rank"))
   }
 
+  /** the TYPED twin of [[edgesTopK]]: downstream EntGraph globalization
+    * consumes each per-argument-type-pair graph separately, so the
+    * sparsification ranks within the (type_s, type_o, pred_src) group of
+    * the [[typedEdgeWeights]] surface (by conditional ppm — the typed
+    * battery's directional score — tie-break cond desc, dst asc). Same
+    * per-group window-limit shape, never a global sort. */
+  def typedEdgesTopK(typedWeights: DataFrame, k: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("type_s"), col("type_o"), col("pred_src"))
+      .orderBy(col("cond_ppm").desc, col("pred_dst"))
+    typedWeights.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("type_s"), col("type_o"), col("pred_src"), col("pred_dst"),
+              col("cond_ppm"), col("rank"))
+  }
+
   // ------------------------------------------------------------- metrics
   /** the reference's global stat dicts re-expressed as aggregations
     * (SURVEY.md §2.4): per-rule amendment counts + V_CMP complement bucket

@@ -306,18 +306,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(plan.contains("LeftSemi"), plan)
   }
 
-  test("kg_edges_topk: per-group window limit, never a global sort") {
-    val df = SparkEntry.queries("kg_edges_topk")(spark, sf)
-    val plan = executed(df)
-    // the rank<=K filter must be pushed INTO the window as a group limit
-    // (per-partition heap before the full window sort) — losing this on
-    // a billion-predicate graph means sorting every group's full fanout
-    assert(plan.contains("WindowGroupLimit"),
-      s"rank filter not pushed into the window:\n$plan")
-    assert(!plan.contains("CartesianProduct"), plan)
-    // no global (allover) sort: every Sort in the plan is per-partition
-    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
-      s"global sort crept into the top-K surface:\n$plan")
+  test("kg_edges_topk + typed twin: per-group window limit, never a global sort") {
+    for (q <- Seq("kg_edges_topk", "kg_typed_edges_topk")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = executed(df)
+      // the rank<=K filter must be pushed INTO the window as a group
+      // limit (per-partition heap before the full window sort) — losing
+      // this on a billion-predicate graph means sorting every group's
+      // full fanout
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: rank filter not pushed into the window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // no global (allover) sort: every Sort in the plan is per-partition
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q: global sort crept into the top-K surface:\n$plan")
+    }
   }
 
   test("kg_typed_edge_weights: per-slice totals broadcast, equi-joins, no cartesian") {

@@ -211,6 +211,36 @@ class TypedWeightsSpec extends SparkSpecBase {
       rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length)))
   }
 
+  test("typedEdgesTopK ranks within each per-type-pair graph independently") {
+    val w = Seq(
+      ("PER", "LOC", "P", "A", 900L), ("PER", "LOC", "P", "B", 700L),
+      ("PER", "LOC", "P", "C", 700L), // tie → dst asc
+      ("PER", "ORG", "P", "Z", 100L), // same pred_src, DIFFERENT slice: own rank 1
+      ("PER", "LOC", "Q", "A", 500L)
+    ).toDF("type_s", "type_o", "pred_src", "pred_dst", "cond_ppm")
+    val got = Pipeline.typedEdgesTopK(w, k = 2)
+      .as[(String, String, String, String, Long, Int)].collect()
+      .sortBy(r => (r._1, r._2, r._3, r._6)).toSeq
+    assert(got == Seq(
+      ("PER", "LOC", "P", "A", 900L, 1), ("PER", "LOC", "P", "B", 700L, 2), // C cut
+      ("PER", "LOC", "Q", "A", 500L, 1),
+      ("PER", "ORG", "P", "Z", 100L, 1)), got.toString)
+    // over the real typed surface: ≤ K per (slice, src), dense ranks
+    val sents = Pipeline.segmentDocs(Pipeline.synthDocs(spark, 80))
+    val aliases = Pipeline.synthAliases(spark)
+    val typed = Pipeline.typedEdgeWeights(
+      Pipeline.pairPredAggregate(Pipeline.canonicalize(
+        Pipeline.extractTriples(sents), aliases)),
+      Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
+        Mentions.detect(sents, aliases), Pipeline.mentionLabelTable(sents))))
+    val topk = Pipeline.typedEdgesTopK(typed, k = 3).collect()
+    assert(topk.nonEmpty)
+    val byGroup = topk.groupBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(byGroup.values.forall(_.length <= 3))
+    assert(byGroup.values.forall(rs =>
+      rs.map(_.getInt(5)).sorted.toSeq == (1 to rs.length)))
+  }
+
   test("legacy inline-lineage roots migrate to the side table on first append") {
     val root = Files.createTempDirectory("graft-lineage-legacy").toString
     val store = new graft.pipeline.CheckpointStore(root, spark, fingerprint = "t=1")
