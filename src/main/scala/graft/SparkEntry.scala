@@ -58,6 +58,23 @@ object SparkEntry {
     * materializes the same docs as the `_aux/docs` oracle table). */
   val VerifyDocs = 400L
 
+  /** ONE typed-battery derivation shared by every typed query surface
+    * (kg_typed_edge_weights, its _incr twin's batch oracle, and the
+    * kg_typed_edges_topk consumption slice): extract → canonicalize →
+    * pair-pred aggregate, entity-link mentions ⋈ annotator labels →
+    * modal type assignment → per-slice cond/PMI weights. A single
+    * definition means the three surfaces can never sparsify or oracle a
+    * DIFFERENT battery than the one kg_typed_edge_weights publishes. */
+  private def typedBattery(s: SparkSession): DataFrame = {
+    val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
+    val types = Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
+      Mentions.detect(sents, Pipeline.synthAliases(s)),
+      Pipeline.mentionLabelTable(sents)))
+    Pipeline.typedEdgeWeights(Pipeline.pairPredAggregate(
+      Pipeline.canonicalize(Pipeline.extractTriples(sents),
+        Pipeline.synthAliases(s))), types)
+  }
+
   // the deterministic toy-sample key/filter live in Pipeline (shared with
   // graft.Main's --toy-sample sink)
 
@@ -234,20 +251,13 @@ object SparkEntry {
           Pipeline.pairPredAggregate(canon(0, 250)),
           Pipeline.pairPredAggregate(canon(250, VerifyDocs))))
     }),
-    "kg_typed_edge_weights" -> ((s, _) => {
+    "kg_typed_edge_weights" -> ((s, _) =>
       // the per-argument-type-pair subgraph surface (the Hosseini/Berant
       // formulation the downstream EntGraph build constructs): the
       // cond/PMI battery computed WITHIN each (type_s, type_o) slice,
       // types = modal NER label per canonical entity from the
       // entity-link mentions ⋈ annotator labels evidence join
-      val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
-      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
-      val types = Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
-        Mentions.detect(sents, Pipeline.synthAliases(s)),
-        Pipeline.mentionLabelTable(sents)))
-      Pipeline.typedEdgeWeights(Pipeline.pairPredAggregate(
-        Pipeline.canonicalize(t, Pipeline.synthAliases(s))), types)
-    }),
+      typedBattery(s)),
     "kg_typed_edge_weights_incr" -> ((s, _) => {
       // incremental twin: BOTH additive aggregates (pair-pred AND type
       // evidence) folded from two slices, the non-additive assignment +
@@ -276,19 +286,12 @@ object SparkEntry {
       Pipeline.edgesTopK(Pipeline.edgeWeightsSupport(Pipeline.pairPredAggregate(
         Pipeline.canonicalize(t, Pipeline.synthAliases(s)))), k = 8)
     }),
-    "kg_typed_edges_topk" -> ((s, _) => {
+    "kg_typed_edges_topk" -> ((s, _) =>
       // the TYPED consumption slice: EntGraph globalization reads each
       // per-argument-type-pair graph separately, so the sparsification
-      // ranks within (type_s, type_o, pred_src) over the typed battery
-      val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
-      val t = Pipeline.extractTriples(Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs)))
-      val types = Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
-        Mentions.detect(sents, Pipeline.synthAliases(s)),
-        Pipeline.mentionLabelTable(sents)))
-      Pipeline.typedEdgesTopK(Pipeline.typedEdgeWeights(
-        Pipeline.pairPredAggregate(
-          Pipeline.canonicalize(t, Pipeline.synthAliases(s))), types), k = 8)
-    }),
+      // ranks within (type_s, type_o, pred_src) over the SAME battery
+      // the kg_typed_edge_weights surface publishes
+      Pipeline.typedEdgesTopK(typedBattery(s), k = 8)),
     "kg_entity_rank" -> ((s, _) => {
       // entity importance: fixed-point integer PageRank over the same
       // bounded co-occurrence graph as kg_cooc_components — pure BIGINT
