@@ -707,6 +707,10 @@ class OpsSpec extends SparkSpecBase {
       .select("doc_id", "best_seen_id", "jaccard_x1000", "verified", "route_refined")
       .as[(Long, Long, Long, Int, String)].collect().sortBy(_._1).toSeq
     assert(re == got)
+    // an EMPTY seen corpus (first ingestion batch) produces no suspects
+    // and an empty verifier table, schema intact
+    val fresh = DedupOps.crossVerify(incoming, seen.filter($"doc_id" < 0L))
+    assert(fresh.count() == 0 && fresh.columns.contains("route_refined"))
   }
 
   test("video BMFF round-trip: the box walk recovers the container spec exactly") {

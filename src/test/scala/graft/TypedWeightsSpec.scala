@@ -81,6 +81,34 @@ class TypedWeightsSpec extends SparkSpecBase {
         s"${summed.size} summed edges vs ${untyped.size} untyped")
   }
 
+  test("typed surfaces are total on empty inputs (first fold batch can be empty)") {
+    val emptyPP = Seq.empty[(String, String, String, Long)]
+      .toDF("arg_s", "arg_o", "pred", "support")
+    val emptyTypes = Seq.empty[(String, String)].toDF("canonical", "ent_type")
+    val someTypes = Seq(("a", "PER")).toDF("canonical", "ent_type")
+    val somePP = Seq(("a", "o1", "P", 2L), ("a", "o1", "Q", 1L))
+      .toDF("arg_s", "arg_o", "pred", "support")
+    // empty pair space → empty battery, schema intact
+    val w1 = Pipeline.typedEdgeWeights(emptyPP, someTypes)
+    assert(w1.count() == 0 && w1.columns.contains("pmi_ppm"))
+    // empty evidence → every entity types as the default, battery whole
+    val w2 = Pipeline.typedEdgeWeights(somePP,
+      Pipeline.entityTypesFromEvidence(
+        Seq.empty[(String, String, Long)].toDF("canonical", "ent_type", "n_mentions")))
+    assert(w2.select("type_s", "type_o").distinct()
+      .as[(String, String)].collect().toSeq == Seq(("OTHER", "OTHER")))
+    assert(w2.count() == 2) // P→Q and Q→P over the one shared pair
+    // both empty → empty, and the consumption slice follows
+    assert(Pipeline.typedEdgeWeights(emptyPP, emptyTypes).count() == 0)
+    assert(Pipeline.typedEdgesTopK(w1).count() == 0)
+    assert(Pipeline.edgesTopK(Pipeline.edgeWeightsSupport(emptyPP)).count() == 0)
+    // the additive evidence merge tolerates an empty side (no-op fold)
+    val ev = Seq(("e1", "PER", 2L)).toDF("canonical", "ent_type", "n_mentions")
+    assert(Pipeline.mergeTypeEvidence(ev,
+      Seq.empty[(String, String, Long)].toDF("canonical", "ent_type", "n_mentions"))
+      .as[(String, String, Long)].collect().toSeq == Seq(("e1", "PER", 2L)))
+  }
+
   test("entityTypesFromEvidence: modal label with deterministic (count desc, label asc) tie-break") {
     val ev = Seq(
       ("e1", "PER", 3L), ("e1", "LOC", 3L), ("e1", "ORG", 2L), // tie → LOC (label asc)
