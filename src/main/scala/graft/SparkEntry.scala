@@ -66,7 +66,12 @@ object SparkEntry {
     * definition means the three surfaces can never sparsify or oracle a
     * DIFFERENT battery than the one kg_typed_edge_weights publishes. */
   private def typedBattery(s: SparkSession): DataFrame = {
+    // the sentence table feeds THREE independent consumers (extraction,
+    // entity-link mentions, annotator labels) whose subtrees share no
+    // exchange — pin it once so segmentation runs once, not three times
+    // (r9; the evidence side itself is pinned inside typedEdgeWeights)
     val sents = Pipeline.segmentDocs(Pipeline.synthDocs(s, VerifyDocs))
+      .localCheckpoint(eager = false)
     val types = Pipeline.entityTypesFromEvidence(Pipeline.entityTypeEvidence(
       Mentions.detect(sents, Pipeline.synthAliases(s)),
       Pipeline.mentionLabelTable(sents)))
@@ -265,7 +270,9 @@ object SparkEntry {
       // exactly, so it SHARES its oracle SQL
       def slice(from: Long, until: Long) = {
         val docs = Pipeline.synthDocsRange(s, from, until)
-        val sents = Pipeline.segmentDocs(docs)
+        // same pin as typedBattery: each slice's sentence table feeds
+        // extraction + mentions + labels — segment once per slice (r9)
+        val sents = Pipeline.segmentDocs(docs).localCheckpoint(eager = false)
         val pp = Pipeline.pairPredAggregate(Pipeline.canonicalize(
           Pipeline.extractTriples(sents), Pipeline.synthAliases(s)))
         val ev = Pipeline.entityTypeEvidence(

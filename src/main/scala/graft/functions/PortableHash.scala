@@ -48,7 +48,15 @@ object PortableHash {
     * table). Multiply-shift is the standard way to spawn a MinHash family
     * from one base hash. */
   def familyHashLong(i: Int, s: Column): Column =
-    (md5Long48(s) * lit(affineA(i)) + lit(i.toLong)).bitwiseAND(lit(Mask48))
+    familyHashLongOverBase(i, md5Long48(s))
+
+  /** hash #i over an ALREADY-computed md5Long48 base column — the
+    * explicit-sharing form: ops that evaluate a whole family (MinHash
+    * k=64, winnowing k=8, Bloom k=7) project the base once and apply the
+    * k multiply-adds over it, guaranteeing one digest per value instead
+    * of relying on subexpression elimination across k expressions (r9). */
+  def familyHashLongOverBase(i: Int, base: Column): Column =
+    (base * lit(affineA(i)) + lit(i.toLong)).bitwiseAND(lit(Mask48))
 
   /** 48-bit non-negative long from the first 12 hex chars of md5(s) —
     * the native codegen'd expression (one digest, no hex-string /
@@ -72,9 +80,19 @@ object PortableHash {
 
   // ------------------------------------------------------------ JVM twins
 
-  private def digest(s: String): Array[Byte] =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** thread-cached digest (r9): the JVM twins run inside per-gram /
+    * per-token hot loops (simhash, the JVM gram tables) where a
+    * MessageDigest.getInstance per call was measurable allocation. */
+  private def digest(s: String): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** JVM twin of md5Long48 (typed mapPartitions paths): first 6 digest
     * bytes big-endian == first 12 hex chars parsed base-16. */

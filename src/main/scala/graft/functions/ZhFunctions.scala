@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Counts CJK characters (U+4E00..U+9FFF — the reference's Chinese-char
@@ -72,6 +73,104 @@ case class Md5Long48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native fixed-point cosine / dot over two numeric arrays — the ANN and
+  * embedding-dedup hot path (guide §4: higher-order functions like
+  * `aggregate(zip_with(...))` are interpreted per ELEMENT with lambda
+  * dispatch and boxing, never codegen'd; a custom expression runs one
+  * tight JVM loop per row). Values are IDENTICAL to the Catalyst HOF
+  * formulation `floor(10000 · Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²))`: the same
+  * left-to-right double folds, the same null semantics (length mismatch
+  * or a null element nulls the result, exactly as zip_with's padding /
+  * null product did) — equivalence property-tested in ZhFunctionsSpec. */
+object CosX10000Impl {
+  def cos(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null // zip_with pads the shorter side with null
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // null product nulls the fold
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Long.valueOf(
+      math.floor(10000.0d * dot / (math.sqrt(na) * math.sqrt(nb))).toLong)
+  }
+
+  def fdot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+}
+
+/** shared shape of the two array-pair expressions: float/double element
+  * introspection + nullable result plumbing for eval and codegen. */
+trait ArrayPairExpression extends BinaryExpression {
+  override def nullable: Boolean = true
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double> arguments, got $t")
+  }
+  @transient protected lazy val leftFloat: Boolean = elemIsFloat(left)
+  @transient protected lazy val rightFloat: Boolean = elemIsFloat(right)
+}
+
+case class CosX10000(left: Expression, right: Expression) extends ArrayPairExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cos_x10000"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosX10000Impl.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosr")
+      s"""java.lang.Long $r = graft.functions.CosX10000Impl.cos($a, $b, $leftFloat, $rightFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosX10000 =
+    copy(left = newLeft, right = newRight)
+}
+
+case class FDot(left: Expression, right: Expression) extends ArrayPairExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosX10000Impl.fdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotr")
+      s"""java.lang.Double $r = graft.functions.CosX10000Impl.fdot($a, $b, $leftFloat, $rightFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FDot =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ZhCharCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "zh_char_count"
@@ -94,6 +193,10 @@ object ZhFunctions {
       "zh_char_count", exprs => ZhCharCount(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long48", exprs => Md5Long48(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cos_x10000", exprs => CosX10000(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fdot", exprs => FDot(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: requires `register(spark)` once per session. */
@@ -118,5 +221,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("md5_long48"),
       new ExpressionInfo(classOf[Md5Long48].getName, "md5_long48"),
       (exprs: Seq[Expression]) => Md5Long48(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cos_x10000"),
+      new ExpressionInfo(classOf[CosX10000].getName, "cos_x10000"),
+      (exprs: Seq[Expression]) => CosX10000(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("fdot"),
+      new ExpressionInfo(classOf[FDot].getName, "fdot"),
+      (exprs: Seq[Expression]) => FDot(exprs(0), exprs(1))))
   }
 }

@@ -99,6 +99,60 @@ object DedupOps {
   val NgramN = 3
   val NgramMaxBucket = 200
 
+  /** JVM distinct-gram core (r9, guide §1.2 "per-task work"): the round-7
+    * stage-split profile showed the tokenize → distinct-gram → explode →
+    * md5 SCAN is 74% of dedup_ngram — almost all of it Catalyst string
+    * churn (per-gram `concat_ws` UTF8String materialization + an
+    * `array_distinct` equality scan + expression dispatch). This builds
+    * the same DISTINCT gram set in one tight JVM pass per row:
+    * `split(" ", -1)`, n-token windows via one StringBuilder, first-
+    * occurrence hash-set distinct. Value-identical to [[wordNgrams]] as a
+    * SET (OpsSpec's hash-vs-string-key equality test rides one path
+    * through here and one through the Catalyst form): a <n-token text
+    * yields the whole text as its one gram, a null text the empty gram
+    * (concat_ws over a null array), exactly as the column form does. */
+  private[graft] def distinctGramsJvm(text: String, n: Int): java.util.LinkedHashSet[String] = {
+    val set = new java.util.LinkedHashSet[String]()
+    if (text == null) { set.add(""); return set }
+    val toks = text.split(" ", -1)
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+    } else set.add(toks.mkString(" "))
+    set
+  }
+
+  /** (doc_id, md5Long48 base) per DISTINCT gram, via the JVM core — the
+    * shared scan stage of the MinHash family ops. One digest per gram by
+    * construction; the k family hashes are applied downstream as
+    * multiply-adds over this base ([[PortableHash.familyHashLongOverBase]]). */
+  private[graft] def distinctGramBase(documents: DataFrame, n: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    parallelized(documents)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val it = distinctGramsJvm(text, n).iterator()
+          new Iterator[(Long, Long)] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, Long) = (id, PortableHash.md5Long48Jvm(it.next()))
+          }
+        }
+      }.toDF("doc_id", "base")
+  }
+
   /** n-gram Jaccard near-dup candidate pairs via inverted index:
     * explode distinct n-grams → group by the gram's 48-bit PortableHash
     * (bucket) → LOCAL pairwise emission per bucket → count shared per
@@ -154,15 +208,33 @@ object DedupOps {
     * when `hashShuffleKey`). */
   private[graft] def ngramGramTable(documents: DataFrame, n: Int = NgramN,
                                     hashShuffleKey: Boolean = true): DataFrame = {
-    graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48 (idempotent)
-    val exploded = parallelized(documents)
-      .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
-      .withColumn("n_grams", size(col("grams")).cast("long"))
-      .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-    if (hashShuffleKey)
-      exploded.select(col("doc_id"), col("n_grams"),
-                      PortableHash.md5Long48(col("gram")).as("gram_h"))
-    else exploded.withColumnRenamed("gram", "gram_h")
+    if (hashShuffleKey) {
+      // DEFAULT path: the JVM gram core (r9) — tokenize/distinct/hash in
+      // one narrow pass, no per-gram Catalyst string materialization.
+      // The gram set and count are identical to the column form below
+      // (OpsSpec equality test spans both paths).
+      val spark = documents.sparkSession
+      import spark.implicits._
+      parallelized(documents)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, text) =>
+            val set = distinctGramsJvm(text, n)
+            val ng = set.size.toLong
+            val it = set.iterator()
+            new Iterator[(Long, Long, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, Long, Long) = (id, ng, PortableHash.md5Long48Jvm(it.next()))
+            }
+          }
+        }.toDF("doc_id", "n_grams", "gram_h")
+    } else {
+      val exploded = parallelized(documents)
+        .select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
+        .withColumn("n_grams", size(col("grams")).cast("long"))
+        .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+      exploded.withColumnRenamed("gram", "gram_h")
+    }
   }
 
   /** stage 2: group by the gram key + bucket-size guard (the cap rides
@@ -195,10 +267,13 @@ object DedupOps {
     * LSH pre-join shape. numHashes = bands * rowsPerBand. */
   def minhashBands(documents: DataFrame, shingleN: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    graft.functions.ZhFunctions.register(documents.sparkSession) // native md5_long48
-    val grams = parallelized(documents).select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
+    // r9: gram scan through the JVM core ([[distinctGramBase]]) with ONE
+    // md5 digest per gram, the 64 family hashes applied as multiply-adds
+    // over the shared base column — values identical to
+    // familyHashLong(i, gram) by construction (same base, same affine)
+    val grams = distinctGramBase(documents, shingleN)
     val sigCols = (0 until bands * rowsPerBand)
-      .map(i => min(PortableHash.familyHashLong(i, col("gram"))).as(s"h$i"))
+      .map(i => min(PortableHash.familyHashLongOverBase(i, col("base"))).as(s"h$i"))
     val sigs = grams.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one aggregation, then a narrow explode into (band, bucket) rows —
     // NOT a per-band union (which would re-shuffle the aggregation once
@@ -432,8 +507,9 @@ object DedupOps {
     graft.functions.ZhFunctions.register(seen.sparkSession)
     BloomIndex(
       parallelized(seen)
+        .select(PortableHash.md5Long48(col("text")).as("base")) // one digest per doc (r9)
         .select(explode(array((0 until kHashes).map(i =>
-          pmod(PortableHash.familyHashLong(i, col("text")), lit(mBits))): _*))
+          pmod(PortableHash.familyHashLongOverBase(i, col("base")), lit(mBits))): _*))
           .as("pos"))
         .distinct(),
       mBits, kHashes)
@@ -450,8 +526,9 @@ object DedupOps {
     graft.functions.ZhFunctions.register(incoming.sparkSession)
     val kHashes = bloom.kHashes
     val probes = parallelized(incoming)
+      .select(col("doc_id"), PortableHash.md5Long48(col("text")).as("base")) // one digest (r9)
       .select(col("doc_id"), explode(array((0 until kHashes).map(i =>
-        pmod(PortableHash.familyHashLong(i, col("text")), lit(bloom.mBits))): _*))
+        pmod(PortableHash.familyHashLongOverBase(i, col("base")), lit(bloom.mBits))): _*))
         .as("pos"))
     // semi-join keeps left multiplicity: k probe rows per doc, so
     // n_hits == kHashes ⇔ every position present, even when a doc's own
@@ -534,8 +611,12 @@ object DedupOps {
       transform(sequence(lit(0), length(col("text")) - 8),
                 i => col("text").substr(i + 1, lit(8))))
       .otherwise(array(col("text")))
+    // r9: project the md5 base once, apply the k family hashes as
+    // multiply-adds over it (identical values; one digest per shingle)
     val exploded = parallelized(documents).select(col("doc_id"), explode(shingles).as("sh"))
-    val mins = (0 until k).map(i => min(PortableHash.familyHashLong(i, col("sh"))).as(s"fp$i"))
+      .select(col("doc_id"), PortableHash.md5Long48(col("sh")).as("base"))
+    val mins = (0 until k).map(i =>
+      min(PortableHash.familyHashLongOverBase(i, col("base"))).as(s"fp$i"))
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -543,17 +624,15 @@ object DedupOps {
     * blocks — the deterministic blocking key; `embeddingNearDupsLsh`
     * below is the 100 TB path). sims in x10000 fixed point. */
   def embeddingNearDups(embeddings: DataFrame, thresholdX10000: Int = 9500): DataFrame = {
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-                lit(0.0d), (acc, x) => acc + x)
-    val norm = (a: Column) =>
-      sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-                     lit(0.0d), (acc, x) => acc + x))
+    // native cos_x10000 (r9, guide §4): the block join emits |block|²/2
+    // candidate pairs and the interpreted HOF cosine dominated the op —
+    // the native expression is value-identical (same left-to-right
+    // double folds; ZhFunctionsSpec property-tests the equivalence)
+    graft.functions.ZhFunctions.register(embeddings.sparkSession)
     val l = embeddings.select(col("vec_id").as("a"), col("embedding").as("ea"), col("label"))
     val r = embeddings.select(col("vec_id").as("b"), col("embedding").as("eb"), col("label"))
     l.join(r, Seq("label")).filter(col("a") < col("b"))
-      .withColumn("cos_x10000",
-        floor(lit(10000.0d) * dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).cast("long"))
+      .withColumn("cos_x10000", SimilarityOps.cosX10000(col("ea"), col("eb")))
       .filter(col("cos_x10000") >= thresholdX10000)
       .select(col("a"), col("b"), col("cos_x10000"))
   }
@@ -652,10 +731,15 @@ object DedupOps {
     * the corpus, no sort except per-doc array sort. */
   def substringSpans(documents: DataFrame, k: Int = 8): DataFrame = {
     import graft.functions.PortableHash
+    // the hashed position table feeds BOTH the occurrence aggregate and
+    // the duplicated-position join, and the two subtrees share no
+    // exchange — pin it so the shingle explode + per-gram md5 run once,
+    // not once per consumer (r9; the capped-pair-pred pattern)
     val pos = parallelized(documents)
       .select(col("doc_id"),
               posexplode(TextOps.wordNgramsAll(col("text"), k)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), PortableHash.md5Long48(col("gram")).as("h"))
+      .localCheckpoint(eager = false)
     val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select(col("h"))
     pos.join(dup, Seq("h"))
@@ -683,10 +767,12 @@ object DedupOps {
     * extra shuffle. */
   def substringDeduped(documents: DataFrame, k: Int = 8): DataFrame = {
     import graft.functions.PortableHash
+    // pinned for the same two-consumer reason as in [[substringSpans]]
     val pos = parallelized(documents)
       .select(col("doc_id"),
               posexplode(TextOps.wordNgramsAll(col("text"), k)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), PortableHash.md5Long48(col("gram")).as("h"))
+      .localCheckpoint(eager = false)
     val keepers = pos.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("kp"), count(lit(1)).as("n_occ"))
     val redundant = pos.join(keepers, Seq("h"))
@@ -779,7 +865,11 @@ object DedupOps {
     * reassembly aggregation (row-local sort_array on (line_idx, line)
     * structs — no distributed sort). 3 bounded shuffles total. */
   def lineDeduped(documents: DataFrame, tokensPerLine: Int = 12): DataFrame = {
+    // pinned: the line table feeds the keeper aggregate AND the
+    // occurrence join — without the pin the line explode (per-line
+    // slice/join + md5) executes once per consumer (r9)
     val ex = lineExplode(parallelized(documents), tokensPerLine)
+      .localCheckpoint(eager = false)
     val keepers = ex.groupBy(col("line_h"))
       .agg(min(col("doc_id") * lit(LineIdxBound) + col("line_idx")).as("kpk"))
     ex.join(keepers, Seq("line_h"))

@@ -32,13 +32,25 @@ object SimilarityOps {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
                    lit(0.0d), (acc, x) => acc + x))
 
-  def cosX10000(a: Column, b: Column): Column =
+  /** the Catalyst higher-order-function composition — kept as the
+    * equivalence reference (ZhFunctionsSpec property-tests the native
+    * expression against it); the shipped ops use the native form. */
+  def cosX10000Composed(a: Column, b: Column): Column =
     floor(lit(10000.0d) * dotExpr(a, b) / (normExpr(a) * normExpr(b))).cast("long")
+
+  /** fixed-point cosine via the native codegen'd expression (r9, guide
+    * §4): one tight JVM loop per row instead of 3 interpreted
+    * per-element HOF folds. Identical values and null semantics to
+    * [[cosX10000Composed]]. Requires `ZhFunctions.register` on the
+    * session — every op entry point here calls it (idempotent). */
+  def cosX10000(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cos_x10000", a, b)
 
   /** exact top-k cosine neighbors for each query vector (vec_id < nQueries)
     * — broadcast queries, stream the corpus, per-query top-k via window.
     * Deterministic tie-break on (sim desc, neighbor id). */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.ZhFunctions.register(embeddings.sparkSession) // native cos_x10000
     val queries = broadcast(
       embeddings.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
@@ -57,9 +69,10 @@ object SimilarityOps {
     * literal ±1 array folded at plan time (dim is fixed per table). */
   private def planeBitExpr(embedding: Column, plane: Int, dim: Int): Column = {
     val signs = (0 until dim).map(d => PortableHash.planeSign(plane, d))
-    val signedSum = aggregate(
-      zip_with(embedding, typedLit(signs), (x, s) => x.cast("double") * s),
-      lit(0.0d), (acc, x) => acc + x)
+    // native fdot (r9): same left-to-right double fold as the previous
+    // aggregate(zip_with(...)) composition, one JVM loop per row
+    val signedSum = org.apache.spark.sql.functions.call_function(
+      "fdot", embedding, typedLit(signs))
     when(signedSum >= 0, lit(1L)).otherwise(lit(0L))
   }
 
@@ -73,6 +86,7 @@ object SimilarityOps {
 
   /** random-hyperplane LSH bucket id per vector (nPlanes-bit signature). */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 12): DataFrame = {
+    graft.functions.ZhFunctions.register(embeddings.sparkSession) // native fdot
     val dim = embeddingDim(embeddings)
     val sig = (0 until nPlanes).map(p => planeBitExpr(col("embedding"), p, dim) * lit(1L << p))
       .reduce(_ + _)
@@ -87,6 +101,7 @@ object SimilarityOps {
     * on its single exact bucket, so corpus work stays O(|corpus|). */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
               nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame = {
+    graft.functions.ZhFunctions.register(embeddings.sparkSession) // native cos_x10000
     val bucketed = lshBuckets(embeddings, nPlanes)
     val qbase = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))

@@ -549,8 +549,18 @@ object Pipeline {
                        defaultType: String = "OTHER"): DataFrame = {
     val spark = pairPred.sparkSession
     import spark.implicits._
+    // the type dimension is joined TWICE in typedPairPred (arg_s and
+    // arg_o sides) and the two join subtrees never canonicalize to a
+    // shared exchange — without a pin the whole evidence derivation
+    // behind entityTypes (mention detect ⋈ annotator labels → additive
+    // aggregate → assignment window) executes once PER SIDE. The table
+    // is entity-cardinality-bounded, so it rides the same localCheckpoint
+    // contract as the capped pair space below (r9 plan audit: the typed
+    // battery re-ran the evidence join 2× per query before this pin).
+    val ty = if (materializeCapped) entityTypes.localCheckpoint(eager = false)
+             else entityTypes
     val capped = cappedCheckpointed(
-      typedPairPred(pairPred, entityTypes, defaultType),
+      typedPairPred(pairPred, ty, defaultType),
       maxPredsPerPair, saltBuckets, materializeCapped)
     val sh = capped
       .groupBy($"type_s", $"type_o", $"arg_s", $"arg_o")
