@@ -29,9 +29,14 @@ object DedupOps {
     * fingerprint). */
   def textFp: Column = md5(col("text"))
 
-  /** exact dedup: one row per distinct text with keeper id + group size. */
+  /** exact dedup: one row per distinct text with keeper id + group size.
+    * r9: behind the under-partitioned-scan guard like every other
+    * hash-heavy op here — a tiny single-file scan is ONE split, so the
+    * whole-corpus md5 ran as a single task (the round-8 driver bench
+    * showed exactly this signature: dedup_exact 13× its builder-box
+    * relative cost while every sibling op agreed). */
   def exact(documents: DataFrame): DataFrame =
-    documents.groupBy(textFp.as("text_fp"))
+    parallelized(documents).groupBy(textFp.as("text_fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** under-partitioned-scan guard for the shingle/hash-heavy ops: when the
@@ -428,36 +433,54 @@ object DedupOps {
                   bands: Int = 16, rowsPerBand: Int = 4,
                   thresholdX1000: Int = 500, maxHitBands: Long = 0L,
                   maxBucketSize: Int = 200): DataFrame = {
-    val suspects = nearNewScreen(incoming, seen, shingleN, bands, rowsPerBand)
-      .filter(col("n_hit_bands") > maxHitBands)
-      .select(col("doc_id"), col("n_hit_bands"))
-      .localCheckpoint() // batch-bounded; consumed by cand + the closer
-    // seen-side band table with member-bounded buckets (size guard via
-    // a window-free self-aggregation: bucket sizes ride one count agg,
-    // then a semi-join keeps the surviving (band, bucket) keys)
+    // ONE band derivation per corpus side (r9): the screen, the
+    // bucket-size guard and the candidate join all consume the same two
+    // band tables — the round-8 shape re-ran minhashBands per consumer
+    // (screen incoming + screen seen + okBuckets + cand's seen side +
+    // cand's incoming side = 5 full band passes; now exactly 2, pinned)
+    val incBands = minhashBands(incoming, shingleN, bands, rowsPerBand)
+      .localCheckpoint(eager = false)
     val seenBands = minhashBands(seen, shingleN, bands, rowsPerBand)
       .select(col("doc_id").as("seen_id"), col("band"), col("bucket"))
+      .localCheckpoint(eager = false)
+    // the nearNewScreen derivation inline over the SHARED band tables —
+    // definitionally identical (n_hit_bands = incoming band rows whose
+    // (band, bucket) exists in the seen corpus; clean docs restored at 0)
+    val hits = incBands
+      .join(seenBands.select(col("band"), col("bucket")).distinct(),
+            Seq("band", "bucket"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_bands"))
+    val suspects = incoming.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"))
+      .filter(col("n_hit_bands") > maxHitBands)
+      .localCheckpoint() // batch-bounded; consumed by cand + the closer
+    // seen-side bucket-size guard (window-free self-aggregation over the
+    // pinned band table)
     val okBuckets = seenBands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") <= maxBucketSize)
       .select(col("band"), col("bucket"))
-    val cand = minhashBands(incoming, shingleN, bands, rowsPerBand)
+    val cand = incBands
       .join(suspects.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(seenBands.join(okBuckets, Seq("band", "bucket"), "left_semi"),
             Seq("band", "bucket"))
       .select(col("doc_id"), col("seen_id")).distinct()
       .localCheckpoint() // suspect-bounded; consumed by both gram cuts + shared
     // exact distinct-shingle sets, restricted to the docs that survived
-    // into candidate pairs (semi-joins keep both gram tables bounded);
-    // materialized: each feeds its size marginal AND the shared-gram join
+    // into candidate pairs. r9: the candidate-doc SEMI-JOIN runs BELOW
+    // the shingle explode (join on doc_id commutes with a per-doc
+    // generator), so the explode grinds candidate docs only instead of
+    // exploding the whole corpus and discarding non-candidates after.
+    // Materialized: each feeds its size marginal AND the shared-gram join
     val incGrams = parallelized(incoming)
-      .select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
       .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
       .localCheckpoint()
     val seenGrams = parallelized(seen)
-      .select(col("doc_id").as("seen_id"),
-              explode(wordNgrams(col("text"), shingleN)).as("gram"))
+      .select(col("doc_id").as("seen_id"), col("text"))
       .join(cand.select(col("seen_id")).distinct(), Seq("seen_id"), "left_semi")
+      .select(col("seen_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
       .localCheckpoint()
     val nInc = incGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val nSeen = seenGrams.groupBy(col("seen_id")).agg(count(lit(1)).as("n_b"))

@@ -91,9 +91,18 @@ object GraphOps {
         .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min(col("vlbl")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl"),
-                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("mid"))
+      // the round's mid table feeds BOTH sides of the pointer-jump
+      // self-join below (as itself and as the label-of-label lookup) with
+      // different projections, so the exchanges never canonicalize equal
+      // — without a pin the whole join+agg chain above executes once per
+      // side, doubling every round (r9). Same persistence mode as the
+      // round result: local blocks by default, directory-backed when
+      // `reliable` (keeping the executor-loss contract within a round).
+      val stepped = persistRound(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("lbl"),
+                  least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("mid")),
+        eager = false, reliable)
       // pointer jump: label values are themselves node ids in this table,
       // so each node can adopt its label's label within the same round
       val s2 = stepped.select(col("node").as("j_node"), col("mid").as("j_lbl"))

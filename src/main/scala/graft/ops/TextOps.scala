@@ -313,10 +313,43 @@ object TextOps {
   def contamination(documents: DataFrame, benchmark: DataFrame, n: Int = 8,
                     thresholdX10000: Long = 5000L): DataFrame = {
     import graft.functions.PortableHash
-    val docGrams = documents
-      .select(col("doc_id"),
-              explode(array_distinct(wordNgramsAll(col("text"), n))).as("gram"))
-      .select(col("doc_id"), PortableHash.md5Long48(col("gram")).as("gram_h"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // r9: corpus-side gram scan as one JVM pass (tokenize → n-token
+    // windows → first-occurrence distinct → md5Long48), behind the
+    // under-partitioned-scan guard — the previous Catalyst explode ran
+    // the whole corpus grind on however many splits the tiny scan
+    // yielded AND paid per-gram string materialization. Gram set and
+    // hash values identical to array_distinct(wordNgramsAll(...)) +
+    // md5Long48 (docs with < n tokens carry no grams; null text none).
+    val docGrams = DedupOps.parallelized(documents)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val set = new java.util.LinkedHashSet[String]()
+          if (text != null) {
+            val toks = text.split(" ", -1)
+            if (toks.length >= n) {
+              val sb = new java.lang.StringBuilder()
+              var i = 0
+              while (i <= toks.length - n) {
+                sb.setLength(0)
+                var j = 0
+                while (j < n) {
+                  if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1
+                }
+                set.add(sb.toString)
+                i += 1
+              }
+            }
+          }
+          val it = set.iterator()
+          new Iterator[(Long, Long)] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, Long) = (id, PortableHash.md5Long48Jvm(it.next()))
+          }
+        }
+      }.toDF("doc_id", "gram_h")
     val benchGrams = broadcast(
       benchmark
         .select(explode(array_distinct(wordNgramsAll(col("text"), n))).as("gram"))
