@@ -138,25 +138,55 @@ object DedupOps {
     set
   }
 
-  /** (doc_id, md5Long48 base) per DISTINCT gram, via the JVM core — the
-    * shared scan stage of the MinHash family ops. One digest per gram by
-    * construction; the k family hashes are applied downstream as
-    * multiply-adds over this base ([[PortableHash.familyHashLongOverBase]]). */
-  private[graft] def distinctGramBase(documents: DataFrame, n: Int): DataFrame = {
-    val spark = documents.sparkSession
+  /** the full MinHash band derivation over a SIDE-TAGGED doc table
+    * (inc: Boolean, doc_id: Long, text) — the side rides every group
+    * key, so two corpora can be banded in ONE pass without colliding
+    * doc_ids ever merging ([[crossVerify]] fuses its two band passes
+    * through this; [[minhashBands]] is the constant-tag instantiation).
+    * Gram scan via the JVM core (one md5 digest per distinct gram), the
+    * k family hashes as multiply-adds over the shared base. */
+  private def bandsTagged(tagged: DataFrame, shingleN: Int,
+                          bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = tagged.sparkSession
     import spark.implicits._
-    parallelized(documents)
-      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val grams = tagged.as[(Boolean, Long, String)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, text) =>
-          val it = distinctGramsJvm(text, n).iterator()
-          new Iterator[(Long, Long)] {
+        rows.flatMap { case (inc, id, text) =>
+          val it = distinctGramsJvm(text, shingleN).iterator()
+          new Iterator[(Boolean, Long, Long)] {
             def hasNext: Boolean = it.hasNext
-            def next(): (Long, Long) = (id, PortableHash.md5Long48Jvm(it.next()))
+            def next(): (Boolean, Long, Long) = (inc, id, PortableHash.md5Long48Jvm(it.next()))
           }
         }
-      }.toDF("doc_id", "base")
+      }.toDF("inc", "doc_id", "base")
+    val sigCols = (0 until bands * rowsPerBand)
+      .map(i => min(PortableHash.familyHashLongOverBase(i, col("base"))).as(s"h$i"))
+    val sigs = grams.groupBy(col("inc"), col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // one aggregation, then a narrow explode into (band, bucket) rows —
+    // NOT a per-band union (which would re-shuffle the aggregation once
+    // per band)
+    val bandStructs = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
+    }
+    sigs.select(col("inc"), col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("inc"), col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
+
+  /** (inc, doc_id, text) with the under-partitioned-scan guard — the
+    * input shape of [[bandsTagged]]. */
+  private def taggedDocs(documents: DataFrame, inc: Boolean): DataFrame =
+    parallelized(documents)
+      .select(lit(inc).as("inc"), col("doc_id").cast("long"), col("text"))
+
+  /** the side-tagged union of two corpora with ONE repartition guard over
+    * the whole union (r9): guarding each side separately doubles the map
+    * tasks of every downstream stage (2 × parallelism). */
+  private def taggedUnion(incoming: DataFrame, seen: DataFrame): DataFrame =
+    parallelized(
+      incoming.select(lit(true).as("inc"), col("doc_id").cast("long"), col("text"))
+        .unionByName(
+          seen.select(lit(false).as("inc"), col("doc_id").cast("long"), col("text"))))
 
   /** n-gram Jaccard near-dup candidate pairs via inverted index:
     * explode distinct n-grams → group by the gram's 48-bit PortableHash
@@ -271,25 +301,13 @@ object DedupOps {
     * shingles. One row per (doc, band) with the band's bucket key — the
     * LSH pre-join shape. numHashes = bands * rowsPerBand. */
   def minhashBands(documents: DataFrame, shingleN: Int = 3,
-                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    // r9: gram scan through the JVM core ([[distinctGramBase]]) with ONE
-    // md5 digest per gram, the 64 family hashes applied as multiply-adds
-    // over the shared base column — values identical to
-    // familyHashLong(i, gram) by construction (same base, same affine)
-    val grams = distinctGramBase(documents, shingleN)
-    val sigCols = (0 until bands * rowsPerBand)
-      .map(i => min(PortableHash.familyHashLongOverBase(i, col("base"))).as(s"h$i"))
-    val sigs = grams.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // one aggregation, then a narrow explode into (band, bucket) rows —
-    // NOT a per-band union (which would re-shuffle the aggregation once
-    // per band)
-    val bandStructs = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
-    }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    // r9: the constant-tag instantiation of [[bandsTagged]] — gram scan
+    // through the JVM core with ONE md5 digest per gram, the 64 family
+    // hashes applied as multiply-adds over the shared base column;
+    // values identical to familyHashLong(i, gram) by construction
+    bandsTagged(taggedDocs(documents, inc = true), shingleN, bands, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bucket"))
 
   /** LSH candidate duplicate pairs: docs sharing any band bucket.
     * Group-collect + local pairwise emission — one shuffle, no self-join
@@ -433,16 +451,20 @@ object DedupOps {
                   bands: Int = 16, rowsPerBand: Int = 4,
                   thresholdX1000: Int = 500, maxHitBands: Long = 0L,
                   maxBucketSize: Int = 200): DataFrame = {
-    // ONE band derivation per corpus side (r9): the screen, the
-    // bucket-size guard and the candidate join all consume the same two
-    // band tables — the round-8 shape re-ran minhashBands per consumer
-    // (screen incoming + screen seen + okBuckets + cand's seen side +
-    // cand's incoming side = 5 full band passes; now exactly 2, pinned)
-    val incBands = minhashBands(incoming, shingleN, bands, rowsPerBand)
+    // ONE band derivation for BOTH corpus sides (r9): the screen, the
+    // bucket-size guard and the candidate join all consume one pinned
+    // side-tagged band table — the round-8 shape re-ran minhashBands per
+    // consumer (screen incoming + screen seen + okBuckets + cand's seen
+    // side + cand's incoming side = 5 full band passes; now exactly 1
+    // fused pass over the tagged union; the side rides every group key,
+    // so colliding doc_ids across the corpora never merge)
+    val allBands = bandsTagged(
+      taggedUnion(incoming, seen), shingleN, bands, rowsPerBand)
       .localCheckpoint(eager = false)
-    val seenBands = minhashBands(seen, shingleN, bands, rowsPerBand)
+    val incBands = allBands.filter(col("inc"))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val seenBands = allBands.filter(!col("inc"))
       .select(col("doc_id").as("seen_id"), col("band"), col("bucket"))
-      .localCheckpoint(eager = false)
     // the nearNewScreen derivation inline over the SHARED band tables —
     // definitionally identical (n_hit_bands = incoming band rows whose
     // (band, bucket) exists in the seen corpus; clean docs restored at 0)
@@ -454,7 +476,7 @@ object DedupOps {
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"))
       .filter(col("n_hit_bands") > maxHitBands)
-      .localCheckpoint() // batch-bounded; consumed by cand + the closer
+      .localCheckpoint(eager = false) // batch-bounded; consumed by cand + the closer
     // seen-side bucket-size guard (window-free self-aggregation over the
     // pinned band table)
     val okBuckets = seenBands.groupBy(col("band"), col("bucket"))
@@ -466,22 +488,22 @@ object DedupOps {
       .join(seenBands.join(okBuckets, Seq("band", "bucket"), "left_semi"),
             Seq("band", "bucket"))
       .select(col("doc_id"), col("seen_id")).distinct()
-      .localCheckpoint() // suspect-bounded; consumed by both gram cuts + shared
+      .localCheckpoint(eager = false) // suspect-bounded; consumed by both gram cuts + shared
     // exact distinct-shingle sets, restricted to the docs that survived
-    // into candidate pairs. r9: the candidate-doc SEMI-JOIN runs BELOW
-    // the shingle explode (join on doc_id commutes with a per-doc
-    // generator), so the explode grinds candidate docs only instead of
-    // exploding the whole corpus and discarding non-candidates after.
-    // Materialized: each feeds its size marginal AND the shared-gram join
-    val incGrams = parallelized(incoming)
-      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
-      .localCheckpoint()
-    val seenGrams = parallelized(seen)
-      .select(col("doc_id").as("seen_id"), col("text"))
-      .join(cand.select(col("seen_id")).distinct(), Seq("seen_id"), "left_semi")
-      .select(col("seen_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
-      .localCheckpoint()
+    // into candidate pairs. r9: ONE fused pass — the candidate-doc
+    // SEMI-JOIN runs BELOW the shingle explode (join on doc_id commutes
+    // with a per-doc generator), so only candidate docs of EITHER side
+    // are shingled, in a single pinned job over the tagged union.
+    // Materialized: each side feeds its size marginal AND the shared join
+    val candIds = cand.select(lit(true).as("inc"), col("doc_id")).distinct()
+      .unionByName(cand.select(lit(false).as("inc"), col("seen_id").as("doc_id")).distinct())
+    val allGrams = taggedUnion(incoming, seen)
+      .join(candIds, Seq("inc", "doc_id"), "left_semi")
+      .select(col("inc"), col("doc_id"), explode(wordNgrams(col("text"), shingleN)).as("gram"))
+      .localCheckpoint(eager = false)
+    val incGrams = allGrams.filter(col("inc")).select(col("doc_id"), col("gram"))
+    val seenGrams = allGrams.filter(!col("inc"))
+      .select(col("doc_id").as("seen_id"), col("gram"))
     val nInc = incGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val nSeen = seenGrams.groupBy(col("seen_id")).agg(count(lit(1)).as("n_b"))
     val shared = cand

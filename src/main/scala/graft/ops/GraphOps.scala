@@ -81,8 +81,15 @@ object GraphOps {
     requireCheckpointDir(pairs, reliable)
     val p0 = persistRound(pairs.select(col("u"), col("v")), eager = true, reliable)
     val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
+    // label init rides the SAME aggregation that enumerates the nodes,
+    // but starts at least(node, min neighbor) instead of node — one free
+    // half-round of propagation inside the init shuffle (r9; initial
+    // labels are still node ids within the component and monotonically
+    // decreasing, so the fixpoint — the component min — is unchanged)
     var labels = persistRound(
-      edges.select(col("u").as("node")).distinct().withColumn("lbl", col("node")),
+      edges.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("lbl"))
+        .select(col("u").as("node"), col("lbl")),
       eager = true, reliable)
     var converged = labels.isEmpty
     var it = 0

@@ -135,6 +135,14 @@ final class CheckpointStore(root: String, spark: SparkSession,
       val listed = listDataFiles(stage)
       if (listed.isEmpty) Nil
       else {
+        // lineage rows are built by grouping DATA rows on
+        // input_file_name, so zero-row part files are never recorded —
+        // a legitimately EMPTY stage has an empty lineage table, and
+        // pruning against it would delete every (empty) part file,
+        // leaving a _SUCCESS+meta dir with no parquet to infer a schema
+        // from. Zero recorded files ⇒ nothing sound to prune against.
+        val lineage = lineageDF(stage).select(col("file"))
+        if (lineage.isEmpty) return Nil
         // Spark-side anti-join against the lineage table; only the
         // UNRECORDED names come back to the driver (bounded by one
         // crashed append's files — normally empty), which the driver
@@ -142,7 +150,7 @@ final class CheckpointStore(root: String, spark: SparkSession,
         val listedDF = spark.createDataFrame(
           listed.map(p => Tuple1(p.getName))).toDF("file")
         val unrecorded = listedDF
-          .join(lineageDF(stage).select(col("file")), Seq("file"), "left_anti")
+          .join(lineage, Seq("file"), "left_anti")
           .collect().map(_.getString(0)).toSet
         listed.filter(p => unrecorded(p.getName)).map { p =>
           fs.delete(p, false)

@@ -496,16 +496,32 @@ object StreamingOps {
     import graft.pipeline.{Mentions, Pipeline}
     locally { // resume guard — BEFORE the query starts (both aggregates)
       val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-      for (p <- Seq(aggPath, evidencePath)) {
+      def markerOf(p: String): Long = {
         val marker = new org.apache.hadoop.fs.Path(p, "_last_batch")
-        val fs = marker.getFileSystem(conf)
-        require(readLastBatch(fs, marker) < 0L || checkpointLocation.isDefined,
+        readLastBatch(marker.getFileSystem(conf), marker)
+      }
+      for (p <- Seq(aggPath, evidencePath)) {
+        require(markerOf(p) < 0L || checkpointLocation.isDefined,
           s"maintainTypedEdges: $p holds a committed aggregate but no " +
             "checkpointLocation was given — a fresh query restarts batch " +
             "ids at 0 and the idempotence marker would silently drop all " +
             "new data; pass the original checkpointLocation (or fresh " +
             "output paths)")
       }
+      // a PRE-TYPED pairpred store (built by maintainEdges) adopted here
+      // starts the evidence aggregate EMPTY: entities observed only in
+      // the already-folded batches carry no label evidence and type as
+      // the default forever, so edge_weights_typed silently diverges
+      // from the batch derivation over the same corpus. Surface it
+      // loudly at adoption time — faithful typed weights need a
+      // batch-side evidence rebuild over the historical corpus.
+      val aggMarker = markerOf(aggPath)
+      if (aggMarker >= 0L && markerOf(evidencePath) < 0L)
+        System.err.println(s"[stream] WARNING: $aggPath already holds batches " +
+          s"through $aggMarker but $evidencePath has no committed evidence " +
+          "generation — type evidence starts empty, historical entities will " +
+          "type as the default until re-observed; rebuild the evidence store " +
+          "batch-side for typed weights faithful to the full corpus")
     }
     val runId = checkpointLocation.map("cp:" + _)
       .getOrElse("ephemeral:" + java.util.UUID.randomUUID().toString)
