@@ -234,14 +234,25 @@ object GraphOps {
       eager = true, reliable)  // (u, v, d) — reused every iteration
     var rank = withDeg.select(col("u").as("node")).distinct()
       .withColumn("pr", lit(1000000000L))
-    for (_ <- 1 to iters) {
-      rank = persistRound(
-        withDeg.join(rank, withDeg("u") === rank("node"))
-          .groupBy(col("v"))
-          .agg(sum(expr("pr div d")).as("contrib"))
-          .select(col("v").as("node"),
-                  expr("150000000 + (850 * contrib) div 1000").as("pr")),
-        eager = false, reliable) // lazy: first consumer runs ONE job end-to-end
+    for (i <- 1 to iters) {
+      val next = withDeg.join(rank, withDeg("u") === rank("node"))
+        .groupBy(col("v"))
+        .agg(sum(expr("pr div d")).as("contrib"))
+        .select(col("v").as("node"),
+                expr("150000000 + (850 * contrib) div 1000").as("pr"))
+      // persistence CADENCE (r9): under AQE a localCheckpoint
+      // materializes its adaptive stages at CONSTRUCTION, so a per-
+      // iteration checkpoint turns the power iteration into iters×
+      // stage-job barriers (48 jobs measured for the 10-iteration
+      // full-graph rank). Checkpointing every 5th round (and the last)
+      // keeps the plan/lineage bounded at ≤5 chained join+agg pairs
+      // while letting AQE run each 5-round block as one execution.
+      // `reliable` mode keeps the per-round directory checkpoint — its
+      // contract is executor-loss recovery, not job-count.
+      rank =
+        if (reliable) persistRound(next, eager = false, reliable)
+        else if (i % 5 == 0 || i == iters) next.localCheckpoint(eager = false)
+        else next
     }
     rank.select(col("node").as("entity"), col("pr").as("rank_x1e9"))
   }
